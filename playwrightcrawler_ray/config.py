@@ -1,0 +1,76 @@
+"""Engine tunables.
+
+Mirrors the reference's tuning surface (``config.py`` in
+/root/reference — wildcard-imported there at playwrightcrawler.py:118)
+but as an explicit dataclass so pipelines can carry their own config and
+tests can override without global state.
+
+Values keep the reference's defaults where behavior parity matters
+(word filters, URL length, level counts, strategy weights); Ray-specific
+knobs (batch sizes, shard counts, actor-pool sizes) are new and sized
+for a 32-CPU node, scaling by partition count on a real cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # --- behavior parity with the reference (config.py in /root/reference) ---
+    words_remove_special_chars: bool = True   # WORDS_REMOVE_SPECIAL_CHARS
+    words_to_lower: bool = True               # WORDS_TO_LOWER
+    words_min_len: int = 3                    # WORDS_MIN_LEN (exclusive lower bound)
+    words_max_len: int = 40                   # WORDS_MAX_LEN (inclusive upper bound)
+    words_max_words: int = 24000              # WORDS_MAX_WORDS
+    max_webcontent_size: int = 900_000        # MAX_WEBCONTENT_SIZE
+    max_url_length: int = 4096                # MAX_URL_LENGTH
+    max_dir_levels: int = 7                   # MAX_DIR_LEVELS
+    max_host_levels: int = 7                  # MAX_HOST_LEVELS
+    hunt_open_directories: bool = True        # HUNT_OPEN_DIRECTORIES
+    remove_repeated_segments: bool = True     # REMOVE_REPEATED_SEGMENTS
+    node_id: str = "ray-collector-01"         # NODE_ID
+    host_regex_block_list: tuple[str, ...] = (r"(^|\.)gstatic\.com$",)
+    host_regex_allow_list: tuple[str, ...] = (r".*",)
+    url_regex_block_list: tuple[str, ...] = (
+        "/noticias/modules/noticias/modules/",
+        "/images/images/images/images/",
+        "/plugins/owlcarousel/plugins/",
+    )
+    # frontier poll strategy weights (config.py:154-159). The reference's
+    # "fewest_urls" key has no registered strategy function
+    # (playwrightcrawler.py:4482-4503) and effectively yields an empty wave;
+    # we reproduce that *effective* behavior when reproduce_reference_bugs
+    # is set (SURVEY.md §7.4 item 6).
+    method_weights: dict[str, int] = field(
+        default_factory=lambda: {
+            "fewest_urls": 1,
+            "oldest": 1,
+            "host_prefix": 10,
+            "random": 5,
+        }
+    )
+    reproduce_reference_bugs: bool = True
+
+    # --- crawl loop ---
+    wave_size: int = 10_000          # RANDOM_SITES_QUEUE (config.py:151)
+    max_waves: int = 100             # ITERATIONS analogue, bounded for sandbox
+    per_host_per_wave: int = 1       # reference one-URL-per-host collapse (A1)
+    seed: int = 42                   # reproducible strategy choice / sampling
+    respect_robots: bool = True      # capability add (absent in reference, T7)
+
+    # --- Ray execution knobs (new; sized for one 32-CPU node) ---
+    num_frontier_shards: int = 8     # scale with cluster size; hash(host) % shards
+    num_seen_shards: int = 8         # pixel-hash dedup shards
+    fetch_concurrency: int = 8       # fetch actor pool size
+    fetch_batch_size: int = 256      # URLs per fetch batch
+    parse_batch_size: int = 256
+    image_batch_size: int = 64       # image rows are wide (binary payloads)
+    decode_num_cpus: float = 1.0
+
+    # --- sinks ---
+    output_dir: str = "/tmp/pwc_ray_out"
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,31 @@
+"""Imaging: encode/decode/hash for the ``images`` table payloads.
+
+This container has no PIL/OpenCV, so the codec layer is self-contained:
+a real PNG codec (zlib + numpy, lossless) and a deterministic quantized
+lossy format ("qimg") standing in for JPEG. Real JPEG/WebP/GIF decode is
+STUBBED behind ``CodecUnavailable`` (NotImplementedError) — the Ray-side
+plumbing (schemas, batch sizes, actor signatures, error taxonomy rows)
+is real and tested either way.
+"""
+
+from .codec import (
+    CodecUnavailable,
+    DecompressionBombError,
+    UnidentifiedImageError,
+    decode_image,
+    encode_image,
+    dhash64,
+    pixel_hash,
+    psnr,
+)
+
+__all__ = [
+    "CodecUnavailable",
+    "DecompressionBombError",
+    "UnidentifiedImageError",
+    "decode_image",
+    "encode_image",
+    "dhash64",
+    "pixel_hash",
+    "psnr",
+]

@@ -1,0 +1,161 @@
+"""Image codec facade: decode → normalized RGB pixels, hashes, PSNR.
+
+Maps the reference's image handler semantics
+(playwrightcrawler.py:3844-3930):
+
+- decode + mode normalization (CMYK→RGB, palette+transparency→RGBA;
+  here: RGBA is flattened to RGB over white so pixel hashes are
+  format-independent);
+- stable content identity from *decoded pixels*, not wire bytes
+  (reference names files ``sha512(img.tobytes())`` :3858 — our
+  ``pixel_hash`` + ``dhash64`` columns);
+- the error taxonomy, re-raised as typed exceptions the decode stage
+  converts into the reference's ``source`` labels:
+  ``UnidentifiedImageError`` → content_type_images_unidentified_image_error,
+  ``DecompressionBombError`` → content_type_images_decompression_bomb_error,
+  ``OSError``/ValueError       → content_type_images_oserror.
+
+Formats: ``png`` (real, lossless), ``qimg`` (real, deterministic 6-bit
+quantized lossy stand-in for JPEG; PSNR ≈ 46 dB ≥ the 40 dB invariant).
+``jpeg``/``webp``/``gif`` raise ``CodecUnavailable`` — PIL is absent in
+this container; the stage emits a clearly-labeled stub row instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+from .png import png_decode, png_encode
+
+
+class UnidentifiedImageError(ValueError):
+    """Bytes are not any image format we recognize."""
+
+
+class DecompressionBombError(MemoryError):
+    """Image dimensions exceed the safety limit."""
+
+
+class CodecUnavailable(NotImplementedError):
+    """A real-world format whose decoder isn't present in this container."""
+
+
+_QIMG_MAGIC = b"QIM1"
+_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "gif", "tiff", "bmp"}
+MAX_PIXELS = 64_000_000
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode (h, w, 3) uint8 pixels as ``png`` (lossless) or ``qimg``
+    (lossy: 6-bit quantization + zlib)."""
+    fmt = fmt.lower()
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "qimg":
+        if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+            raise ValueError("expected (h, w, 3) uint8 array")
+        h, w, _ = pixels.shape
+        q = (pixels >> 2).astype(np.uint8)  # 6-bit per channel
+        return _QIMG_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+    if fmt in _STUBBED_FORMATS:
+        raise CodecUnavailable(f"no {fmt} encoder in this container")
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def sniff_format(data: bytes) -> str:
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if data.startswith(_QIMG_MAGIC):
+        return "qimg"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    raise UnidentifiedImageError("unrecognized image magic")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode wire bytes → ((h, w, 3) uint8 RGB, fmt).
+
+    RGBA is composited over white; typed exceptions implement the
+    reference error taxonomy (module docstring)."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 12:
+        raise UnidentifiedImageError("too short to be an image")
+    fmt = sniff_format(bytes(data))
+    if fmt in _STUBBED_FORMATS:
+        raise CodecUnavailable(f"no {fmt} decoder in this container")
+    try:
+        if fmt == "png":
+            px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
+        else:  # qimg
+            w, h = struct.unpack_from(">II", data, 4)
+            if w * h > MAX_PIXELS:
+                raise MemoryError(f"decompression bomb: {w}x{h}")
+            raw = np.frombuffer(zlib.decompress(bytes(data[12:])), dtype=np.uint8)
+            if raw.size != h * w * 3:
+                raise ValueError("bad qimg payload size")
+            # dequantize to bin centers: q*4 + 2, clipped
+            px = np.minimum(raw.reshape(h, w, 3).astype(np.uint16) * 4 + 2, 255).astype(
+                np.uint8
+            )
+    except MemoryError as e:
+        raise DecompressionBombError(str(e)) from e
+    except (zlib.error, struct.error) as e:
+        raise OSError(f"corrupt image stream: {e}") from e
+    if px.shape[2] == 4:  # flatten alpha over white
+        rgb = px[:, :, :3].astype(np.uint16)
+        a = px[:, :, 3:4].astype(np.uint16)
+        px = ((rgb * a + 255 * (255 - a)) // 255).astype(np.uint8)
+    return px, fmt
+
+
+def pixel_hash(pixels: np.ndarray) -> str:
+    """SHA1 hex of the decoded RGB pixel buffer — the exact-dup key
+    (format-independent content identity, reference :3858)."""
+    return hashlib.sha1(np.ascontiguousarray(pixels).tobytes()).hexdigest()
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash of decoded pixels (the ``phash`` column):
+    grayscale → 9×8 block-mean resize → horizontal gradient sign bits.
+    Returned as a *signed* int64 (two's complement) to fit Arrow int64."""
+    g = (
+        0.299 * pixels[:, :, 0].astype(np.float32)
+        + 0.587 * pixels[:, :, 1].astype(np.float32)
+        + 0.114 * pixels[:, :, 2].astype(np.float32)
+    )
+    h, w = g.shape
+    # block-mean resize to 8 rows x 9 cols
+    row_idx = (np.arange(h) * 8) // h
+    col_idx = (np.arange(w) * 9) // w
+    sums = np.zeros((8, 9), np.float64)
+    counts = np.zeros((8, 9), np.float64)
+    np.add.at(sums, (row_idx[:, None], col_idx[None, :]), g)
+    np.add.at(counts, (row_idx[:, None], col_idx[None, :]), 1.0)
+    small = sums / np.maximum(counts, 1.0)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays
+    (inf for identical) — the lossy-format allclose invariant."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,158 @@
+"""Content-type router + opendir + text function tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from playwrightcrawler_ray.functions.content_types import (
+    EXTENSION_MAP,
+    ContentTypeRouter,
+    sanitize_content_type,
+)
+from playwrightcrawler_ray.functions.html import extract_page
+from playwrightcrawler_ray.functions.opendir import is_open_directory
+from playwrightcrawler_ray.functions.text import (
+    count_tokens,
+    detect_language,
+    extract_top_words,
+    fingerprint64,
+    quality_signals,
+)
+
+
+def test_sanitize_content_type():
+    assert sanitize_content_type("text/html; charset=UTF-8") == "text/html"
+    assert sanitize_content_type('"text/html"') == "text/html"
+    assert sanitize_content_type("Content-Type: image/png") == "image/png"
+    assert sanitize_content_type("  application/json ;x=1") == "application/json"
+    assert sanitize_content_type("") == ""
+
+
+# ≥1 MIME per regex group (FIXTURES.md §5 content_type_route_cases).
+ROUTE_CASES = [
+    ("text/html", "html"),
+    ("application/xhtml+xml", "html"),
+    ("text/html; charset=iso-8859-1", "html"),
+    ("text/plain", "plain_text"),
+    ("application/json", "plain_text"),
+    ("text/javascript", "plain_text"),
+    ("image/png", "image"),
+    ("image/jpeg", "image"),
+    ("IMAGE/PNG", "image"),
+    ("audio/midi", "midi"),
+    ("audio/mpeg", "audio"),
+    ("video/mp4", "video"),
+    ("application/pdf", "pdf"),
+    ("application/x-cbz", "comic"),
+    ("application/msword", "doc"),
+    ("application/x-sqlite3", "database"),
+    ("font/woff2", "font"),
+    ("application/x-bittorrent", "torrent"),
+    ("application/zip", "compressed"),
+    ("application/x-madeup-thing", "other"),
+]
+
+
+@pytest.mark.parametrize("ct,expected", ROUTE_CASES)
+def test_route(ct, expected):
+    router = ContentTypeRouter()
+    assert router.route_one(ct) == expected
+
+
+def test_route_first_match_order():
+    # midi registers before audio: audio/midi must be midi, not audio
+    # (reference registration order, playwrightcrawler.py:496-538).
+    assert ContentTypeRouter().route_one("audio/midi") == "midi"
+
+
+def test_route_array_vectorized():
+    router = ContentTypeRouter()
+    cts = ["text/html", "image/png", "text/html", "application/zip"]
+    out = list(router.route_array(cts))
+    assert out == ["html", "image", "html", "compressed"]
+
+
+def test_octet_stream_patterns():
+    # octet-stream aliases join binary categories when enabled
+    # (USE_OCTET_STREAM, reference :940-958); with it disabled they fall
+    # through to "other".
+    assert ContentTypeRouter(use_octet_stream=True).route_one(
+        "application/octet-stream"
+    ) == "image"
+    assert ContentTypeRouter(use_octet_stream=False).route_one(
+        "application/octet-stream"
+    ) == "other"
+
+
+def test_extension_map():
+    assert EXTENSION_MAP["jpg"] == "image"
+    assert EXTENSION_MAP["pdf"] == "pdf"
+    assert EXTENSION_MAP["tgz"] == "compressed"
+
+
+OPENDIR_CASES = [
+    "<html><head><title>Index of /files</title></head><body></body></html>",
+    '<A HREF="/x/">[To Parent Directory]</A>',
+    "<h1>Listing of /stuff</h1>",
+    '<img src="/icons/back.gif" alt="[PARENTDIR]">',
+    '<a href="?C=N;O=D">Name</a>',
+    "<ListBucketResult xmlns='http://s3.amazonaws.com/doc/2006-03-01/'>",
+    "powered by h5ai",
+]
+
+
+@pytest.mark.parametrize("content", OPENDIR_CASES)
+def test_opendir_positive(content):
+    flag, pattern = is_open_directory(content, "https://files.example/")
+    assert flag and pattern
+
+
+def test_opendir_negative_and_hostpattern():
+    flag, _ = is_open_directory("<html><body>A normal page</body></html>",
+                                "https://x.example/")
+    assert not flag
+    flag, _ = is_open_directory(
+        "<title>files.example:8080 - /</title>", "https://files.example:8080/"
+    )
+    assert flag
+
+
+def test_extract_page():
+    html = """
+    <html><head><title>T</title><script>var x=1;</script>
+    <link href="/style.css"><script src="/app.js"></script></head>
+    <body><h1>Hello World</h1>
+    <a href="/a">A</a> <a href="https://other.example/b">B</a>
+    <img src="/img/cat.png" alt="a cat">
+    <p>Some  text
+    here</p><style>.x{}</style></body></html>
+    """
+    out = extract_page(html)
+    assert "/a" in out.links and "https://other.example/b" in out.links
+    assert "/style.css" in out.links and "/app.js" in out.links
+    assert ("/img/cat.png", "a cat") in out.images
+    # reference parity: each text node is end-stripped only
+    # (playwrightcrawler.py:3758-3762) — internal whitespace survives.
+    assert out.min_webcontent == "Hello World A B Some  text\n    here"
+
+
+def test_extract_top_words():
+    text = "Apple apple BANANA banana banana x yz the the the the"
+    # len filter: > 3 chars; 'the' (3) and shorter dropped
+    words = extract_top_words(text)
+    assert words == ["banana", "apple"]
+    # length cap is inclusive at max_len
+    assert extract_top_words("a" * 40 + " " + "b" * 41) == ["a" * 40]
+
+
+def test_text_ops():
+    assert detect_language("the cat and the dog are in the house") == "en"
+    assert detect_language("der hund und die katze sind nicht im haus") == "de"
+    assert detect_language("") == "und"
+    assert count_tokens("Hello, world!") == 4  # hello , world !
+    q = quality_signals("The quick brown fox.")
+    assert q["n_tokens"] == 4 and 0 < q["alpha_ratio"] < 1
+    assert fingerprint64("abc") == fingerprint64("abc")
+    assert fingerprint64("some longer document text") != fingerprint64(
+        "other longer document text"
+    )

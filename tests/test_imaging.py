@@ -1,0 +1,92 @@
+"""Imaging codec tests: PNG round-trip, lossy PSNR invariant, dHash,
+error taxonomy (SURVEY.md §5 item 3 per-row invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from playwrightcrawler_ray.imaging import (
+    CodecUnavailable,
+    DecompressionBombError,
+    UnidentifiedImageError,
+    decode_image,
+    dhash64,
+    encode_image,
+    pixel_hash,
+    psnr,
+)
+from playwrightcrawler_ray.imaging.codec import hamming64
+from playwrightcrawler_ray.imaging.png import png_decode, png_encode
+
+
+def _pixels(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # smooth-ish image: random low-res grid upsampled, like real photos
+    base = rng.integers(0, 256, size=(h // 8, w // 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+
+
+def test_png_roundtrip_exact():
+    px = _pixels(1)
+    data = png_encode(px)
+    out = png_decode(data)
+    assert np.array_equal(out, px)
+
+
+def test_png_rgba_flatten():
+    rgba = np.dstack([_pixels(2), np.full((48, 64), 128, np.uint8)])
+    data = png_encode(rgba)
+    out, fmt = decode_image(data)
+    assert fmt == "png" and out.shape == (48, 64, 3)
+
+
+def test_qimg_lossy_psnr_over_40db():
+    px = _pixels(3)
+    data = encode_image(px, "qimg")
+    out, fmt = decode_image(data)
+    assert fmt == "qimg"
+    assert psnr(px, out) >= 40.0  # BASELINE.json per-row invariant
+
+
+def test_decode_errors_taxonomy():
+    with pytest.raises(UnidentifiedImageError):
+        decode_image(b"this is not an image at all....")
+    with pytest.raises(CodecUnavailable):
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 64)  # real JPEG magic → stub
+    # truncated PNG → OSError family
+    good = png_encode(_pixels(4))
+    with pytest.raises((OSError, ValueError)):
+        decode_image(good[:40] + b"\x00" * 8)
+    # decompression bomb: forge a qimg header claiming 1e9 pixels
+    import struct, zlib
+
+    bomb = b"QIM1" + struct.pack(">II", 100_000, 100_000) + zlib.compress(b"")
+    with pytest.raises(DecompressionBombError):
+        decode_image(bomb)
+
+
+def test_pixel_hash_format_independent():
+    px = _pixels(5)
+    # identical pixels via different wire bytes → same exact-dup key
+    assert pixel_hash(px) == pixel_hash(px.copy())
+    h1 = pixel_hash(decode_image(png_encode(px))[0])
+    assert h1 == pixel_hash(px)
+
+
+def test_dhash_nearness():
+    px = _pixels(6, 64, 64)
+    h_orig = dhash64(px)
+    # lossy re-encode: phash should be very close (near-dup bucket)
+    lossy, _ = decode_image(encode_image(px, "qimg"))
+    assert hamming64(h_orig, dhash64(lossy)) <= 4
+    # a different image should be far
+    other = _pixels(99, 64, 64)
+    assert hamming64(h_orig, dhash64(other)) > 10
+    # int64 range for Arrow
+    assert -(2**63) <= h_orig < 2**63
+
+
+def test_psnr_identical_inf():
+    px = _pixels(7)
+    assert psnr(px, px) == float("inf")

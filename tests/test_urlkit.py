@@ -1,0 +1,215 @@
+"""urlkit unit + property tests (SURVEY.md §5 items 1-2)."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from playwrightcrawler_ray.urlkit import (
+    UrlPolicy,
+    canonicalize_url,
+    classify_link,
+    decompose_query,
+    extract_email,
+    file_extension_of,
+    get_directory_levels,
+    get_directory_tree,
+    get_host_levels,
+    has_repeated_segments,
+    is_embedded_url,
+    url_id,
+    url_sha256,
+)
+
+# (raw, expected) — mined from the reference's repair tables
+# (playwrightcrawler.py:2330-2417).
+CANON_CASES = [
+    ("https://example.com/a/b", "https://example.com/a/b"),
+    ("  https://example.com/x  ", "https://example.com/x"),
+    ('"https://example.com/q"', "https://example.com/q"),
+    ("'https://example.com/q'", "https://example.com/q"),
+    ("“https://example.com/q”", "https://example.com/q"),
+    ("htpps://example.com/", "https://example.com/"),
+    ("htts://example.com/", "https://example.com/"),
+    ("htttps://example.com/", "https://example.com/"),
+    ("https://https://example.com/", "https://example.com/"),
+    ("htto://example.com/", "http://example.com/"),
+    ("htp://example.com/", "http://example.com/"),
+    ("ttp://example.com/", "http://example.com/"),
+    ("http:www.example.com/x", "http://www.example.com/x"),
+    ("://example.com/", "https://example.com/"),
+    (".https://example.com/", "https://example.com/"),
+    ("(http://example.com/", "http://example.com/"),
+    ("https:///example.com/path", "https://example.com/path"),
+    ("http:////example.com//a//b", "http://example.com/a/b"),
+    ("HTTPS://EXAMPLE.COM/Path", "https://example.com/Path"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:99999/a", "https://example.com/a"),
+    ("https://example.com:abc/a", "https://example.com/a"),
+    ("https://user:pw@example.com/a", "https://user:pw@example.com/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?x=1#frag", "https://example.com/a?x=1"),
+    ("https://example.com//a///b////c", "https://example.com/a/b/c"),
+    # NOTE reference parity: pass 1 uses the PLAIN slash collapse
+    # (:2393-2396) — the embedded-URL-preserving collapse only runs in
+    # pass 2 (:2410) — so an embedded URL's own "//" is collapsed too.
+    (
+        "https://proxy.example/fetch/https://inner.example//a//b",
+        "https://proxy.example/fetch/https:/inner.example/a/b",
+    ),
+    ("", ""),
+    (None, ""),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CANON_CASES)
+def test_canonicalize_cases(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + ":/.?&=%#@-_ \"'",
+        max_size=120,
+    )
+)
+def test_canonicalize_idempotent(s):
+    # Idempotence is load-bearing: the reference deletes any stored doc
+    # where sanitize(url) != url (playwrightcrawler.py:3688-3694).
+    once = canonicalize_url(s)
+    assert canonicalize_url(once) == once
+
+
+def test_url_ids():
+    import hashlib
+
+    u = "https://example.com/a"
+    assert url_id(u) == hashlib.sha1(u.encode()).hexdigest()
+    assert url_sha256(u) == hashlib.sha256(u.encode()).hexdigest()
+    assert len(url_id(u)) == 40
+    assert len(url_sha256(u)) == 64
+    assert url_id(u) != url_id(u + "b")
+
+
+def test_embedded_urls():
+    assert is_embedded_url("data:image/png;base64,xxxx")
+    assert is_embedded_url("javascript:void(0)")
+    assert is_embedded_url("blob:https://x")
+    assert is_embedded_url("about:blank")
+    assert not is_embedded_url("https://example.com/data:foo")
+
+
+# Examples from the reference docstring (playwrightcrawler.py:1229-1233).
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://x.com/fonts/fonts/fonts/", True),
+        ("https://x.com/assets/video/assets/video/assets/video/", True),
+        ("https://x.com/a/b/c/a/b/c/a/b/c/", True),
+        ("https://x.com/assets/video/assets/video/", False),  # only 2 repeats
+        ("https://x.com/a/b/c", False),
+        ("https://x.com/", False),
+        ("https://x.com/a/a", False),
+        ("https://x.com/a/a/a", True),
+    ],
+)
+def test_repeated_segments(url, expected):
+    assert has_repeated_segments(url) is expected
+
+
+def test_host_levels_numbering():
+    # host_level_1 is the TLD (reference preprocess :1911-1916).
+    levels = get_host_levels("sub.example.com")
+    assert levels["host_level_1"] == "com"
+    assert levels["host_level_2"] == "example"
+    assert levels["host_level_3"] == "sub"
+    assert levels["host_level_7"] == ""
+    assert get_host_levels("example.com:8080")["host_level_1"] == "com"
+
+
+def test_directory_levels_numbering():
+    d = get_directory_levels("/a/b/c/")
+    assert d["directory_level_1"] == "a"
+    assert d["directory_level_3"] == "c"
+    assert d["directory_level_4"] == ""
+    deep = get_directory_levels("/1/2/3/4/5/6/7/8/9")
+    assert deep["directory_level_7"] == "7"
+    assert "directory_level_8" not in deep
+
+
+def test_directory_tree():
+    # Example from reference :3950-3959 (code also yields the host root).
+    out = get_directory_tree("https://example.com/a/b/c/file.txt")
+    assert out == [
+        "https://example.com/a/b/c",
+        "https://example.com/a/b",
+        "https://example.com/a",
+        "https://example.com/",
+    ]
+    assert get_directory_tree("https://example.com/") == []
+
+
+def test_query_decomposition():
+    has_q, variables, values = decompose_query("a=1&b=2&a=3")
+    assert has_q and set(variables) == {"a", "b"}
+    assert sorted(values) == ["1", "2", "3"]
+    assert decompose_query("") == (False, [], [])
+
+
+def test_file_extension():
+    assert file_extension_of("/a/b/photo.JPG") == "jpg"
+    assert file_extension_of("/a/b/photo%2Ejpg") == "jpg"
+    assert file_extension_of("/a/b/") == ""
+    assert file_extension_of("/a/b/noext") == ""
+
+
+def test_policy_admission():
+    pol = UrlPolicy(url_block=("/images/images/images/images/",))
+    assert pol.admit("https://ok.example/a", "ok.example")
+    assert not pol.admit("https://sub.gstatic.com/x", "sub.gstatic.com")
+    assert not pol.admit("https://ok.example/images/images/images/images/x", "ok.example")
+    assert not pol.admit("https://ok.example/" + "a" * 5000, "ok.example")
+    assert not pol.admit("https://ok.example/x/x/x/x", "ok.example")  # trap
+    assert not pol.admit("https://ok.example/a", None)
+
+
+def test_classify_relative():
+    (rec,) = classify_link("/sub/page.html", "https://host.example/dir/index.html")
+    assert rec["url"] == "https://host.example/sub/page.html"
+    assert rec["source"] == "relative_url"
+    assert rec["parent_host"] == "host.example"
+    assert rec["host"] == "host.example"
+    (rec,) = classify_link("../up.html", "https://host.example/a/b/c.html")
+    assert rec["url"] == "https://host.example/a/up.html"
+
+
+def test_classify_full():
+    (rec,) = classify_link("https://other.example/x", "https://host.example/")
+    assert rec["source"] == "full_url"
+    assert rec["host"] == "other.example"
+
+
+def test_classify_email():
+    (rec,) = classify_link("mailto:john.doe@example.com", "https://host.example/p")
+    assert rec["source"] == "email_url"
+    assert rec["emails"] == ["john.doe@example.com"]
+    assert rec["url"] == "https://host.example/p|john.doe@example.com"
+    assert rec["visited"] is True
+    # misspellings (reference :2131-2134)
+    for prefix in ["maito:", "emailto:", "mail to:", "malito:"]:
+        out = classify_link(prefix + "a@b.com", "https://h.example/")
+        assert out and out[0]["emails"] == ["a@b.com"], prefix
+    # invalid address → dropped
+    assert classify_link("mailto:not-an-email", "https://h.example/") == []
+
+
+def test_extract_email_validation():
+    assert extract_email("mailto:a.b-c@x-y.example.org") == "a.b-c@x-y.example.org"
+    assert extract_email("mailto:@bad.com") is None
+    assert extract_email("gopher://x") is None

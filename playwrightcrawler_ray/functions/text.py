@@ -89,15 +89,21 @@ def quality_signals(text: str) -> dict[str, float]:
     }
 
 
-def fingerprint64(text: str, window: int = 8) -> int:
-    """Deterministic 64-bit document fingerprint: min-of-rolling-hashes
-    over byte windows (a winnowing-style robust fingerprint; equal for
-    equal texts, stable under containerization of the pipeline)."""
+def fingerprint64(text: str) -> int:
+    """Deterministic 64-bit document *identity* fingerprint (blake2b-8):
+    equal texts → equal ids, distinct texts → distinct with p≈2^-64."""
+    data = text.encode("utf-8", errors="surrogatepass")
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def rolling_min_fingerprint(text: str, window: int = 8) -> int:
+    """64-bit *similarity* fingerprint: minimum of a rolling polynomial
+    hash over byte windows (winnowing-style — documents sharing long
+    substrings tend to share it; use for cheap near-dup pre-bucketing)."""
     data = text.encode("utf-8", errors="surrogatepass")
     if len(data) <= window:
-        return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+        return fingerprint64(text)
     best = (1 << 64) - 1
-    # rolling polynomial hash, vectorizable; window hop of 1
     h = 0
     base, mod = 1000003, (1 << 61) - 1
     power = pow(base, window - 1, mod)

@@ -156,3 +156,9 @@ def test_text_ops():
     assert fingerprint64("some longer document text") != fingerprint64(
         "other longer document text"
     )
+    from playwrightcrawler_ray.functions.text import rolling_min_fingerprint
+
+    # similarity fingerprint: shared long substring → shared fingerprint
+    assert rolling_min_fingerprint("xx some longer document text") == (
+        rolling_min_fingerprint("yy some longer document text")
+    )

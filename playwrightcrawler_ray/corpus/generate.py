@@ -1,0 +1,217 @@
+"""Seeded synthetic web-graph generator (FIXTURES.md §3).
+
+A pure function of ``(seed, n_hosts, pages_per_host)`` producing the
+corpus both the engine ("fetch" resolves against it) and the oracle
+simulator crawl — byte-identical inputs on both sides:
+
+- Zipf-skewed host sizes (host 0 holds ~30% of pages — exercises the
+  mega-host skew path);
+- pages with relative + absolute + malformed (``htpps://``) hrefs,
+  ~10% cross-host edges;
+- crawler traps (``/loop/a/b/a/b/a/b``), ``mailto:`` (+ misspellings),
+  ``data:`` URIs that must be dropped;
+- one Apache-style open-directory page per 8 hosts;
+- per-host robots.txt, some disallowing ``/private/``;
+- images: PNG + qimg payloads with ``alt`` captions, including exact
+  duplicates (same bytes at two URLs), near-duplicates (same pixels in
+  both formats; 1-bit perturbations), a truncated payload and a real
+  JPEG magic (decoder stub path) for the error taxonomy.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..imaging.codec import encode_image
+
+_CAPTION_WORDS = (
+    "amber basalt cobalt dune ember fjord glacier harbor island juniper "
+    "kelp lagoon meadow nimbus onyx prairie quartz reef summit tundra "
+    "umber valley willow zephyr canyon delta mesa grove atoll cliff"
+).split()
+
+
+@dataclass
+class CorpusData:
+    """The synthetic web: url → response, plus per-host robots and seeds."""
+
+    pages: dict[str, dict] = field(default_factory=dict)  # url -> {status, content_type, body, redirect_to}
+    robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
+    seeds: list[str] = field(default_factory=list)
+    # ground truth for test assertions (not visible to the engine):
+    truth_images: dict[str, dict] = field(default_factory=dict)  # img url -> {pixels_shape, caption, fmt}
+
+    def n_pages(self) -> int:
+        return len(self.pages)
+
+
+def _make_pixels(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Smooth seeded RGB image: low-res noise upsampled + gradient."""
+    base = rng.integers(0, 256, size=(max(2, size // 8), max(2, size // 8), 3),
+                        dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:size, :size]
+    grad = np.linspace(0, 64, size, dtype=np.uint8)[None, :, None]
+    return ((img.astype(np.uint16) + grad) % 256).astype(np.uint8)
+
+
+def _caption(rng: random.Random, n: int = 4) -> str:
+    return " ".join(rng.choice(_CAPTION_WORDS) for _ in range(n))
+
+
+def build_corpus(
+    seed: int = 42,
+    n_hosts: int = 16,
+    pages_per_host: int = 12,
+    img_sizes: tuple[int, ...] = (16, 24, 32, 48, 64),
+) -> CorpusData:
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    corpus = CorpusData()
+
+    hosts = [f"host{h:02d}.test" for h in range(n_hosts)]
+    # Zipf-ish skew: host 0 gets ~30% of all pages
+    total_pages = n_hosts * pages_per_host
+    counts = [max(2, int(total_pages * 0.3))] + [
+        max(2, int((total_pages * 0.7) / (n_hosts - 1))) for _ in range(n_hosts - 1)
+    ]
+
+    page_urls: dict[str, list[str]] = {}
+    for host, count in zip(hosts, counts):
+        urls = [f"https://{host}/"]
+        for p in range(1, count):
+            depth = rng.choice([1, 1, 1, 2, 2, 3])
+            segs = "/".join(f"d{rng.randrange(6)}" for _ in range(depth - 1))
+            name = f"page{p}.html"
+            urls.append(f"https://{host}/{segs + '/' if segs else ''}{name}")
+        page_urls[host] = urls
+
+    # robots: every 3rd host disallows /private/, host 1 has crawl-delay
+    for i, host in enumerate(hosts):
+        lines = ["User-agent: *"]
+        if i % 3 == 0:
+            lines.append("Disallow: /private/")
+        if i == 1:
+            lines.append("Crawl-delay: 2")
+        corpus.robots[host] = "\n".join(lines) + "\n"
+
+    # image payload pool with deliberate dup structure
+    images: list[tuple[str, bytes, str, str]] = []  # (url, body, content_type, caption)
+
+    def add_image(host: str, name: str, body: bytes, ctype: str,
+                  caption: str, truth: dict | None = None):
+        url = f"https://{host}/img/{name}"
+        images.append((url, body, ctype, caption))
+        corpus.truth_images[url] = truth or {}
+        return url
+
+    img_truth_pixels: dict[str, np.ndarray] = {}
+    for i in range(n_hosts * 3):
+        host = hosts[i % n_hosts]
+        size = img_sizes[i % len(img_sizes)]
+        px = _make_pixels(nprng, size)
+        cap = _caption(rng)
+        if i % 3 == 0:
+            body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
+        else:
+            # qimg bytes served with a messy real-world MIME
+            body, ctype, name = encode_image(px, "qimg"), "image/jpeg", f"pic{i}.jpg"
+        url = add_image(host, name, body, ctype, cap,
+                        {"caption": cap, "fmt": "png" if i % 3 == 0 else "qimg"})
+        img_truth_pixels[url] = px
+        if i % 7 == 0:
+            # exact duplicate: same bytes at a second URL (collapses on pixel hash)
+            add_image(hosts[(i + 1) % n_hosts], f"dup{i}{name[-4:]}", body, ctype, cap,
+                      {"caption": cap, "dup_of": url})
+        if i % 5 == 0:
+            # near-duplicate: same pixels, other format (phash-close, pixel-hash distinct)
+            alt_fmt = "qimg" if i % 3 == 0 else "png"
+            body2 = encode_image(px, alt_fmt)
+            add_image(host, f"near{i}.{ 'jpg' if alt_fmt == 'qimg' else 'png'}",
+                      body2, "image/png" if alt_fmt == "png" else "image/jpeg", cap,
+                      {"caption": cap, "near_of": url})
+        if i % 11 == 0:
+            # 1-bit perturbed variant
+            px2 = px.copy()
+            px2[0, 0, 0] ^= 1
+            add_image(host, f"perturb{i}.png", encode_image(px2, "png"),
+                      "image/png", cap, {"caption": cap, "near_of": url})
+    # malformed payloads → error taxonomy rows
+    good_png = encode_image(_make_pixels(nprng, 24), "png")
+    add_image(hosts[0], "broken.png", good_png[: len(good_png) // 2], "image/png",
+              "truncated", {"error": "oserror"})
+    add_image(hosts[0], "notimage.png", b"this is not an image, honest",
+              "image/png", "junk", {"error": "unidentified"})
+    add_image(hosts[0], "realjpeg.jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 64,
+              "image/jpeg", "stub", {"error": "codec_unavailable"})
+
+    img_by_host: dict[str, list[tuple[str, str]]] = {}
+    for url, body, ctype, cap in images:
+        host = url.split("/")[2]
+        img_by_host.setdefault(host, []).append((url, cap))
+        corpus.pages[url] = {
+            "status": 200, "content_type": ctype, "body": body, "redirect_to": "",
+        }
+
+    # build HTML pages
+    for hi, host in enumerate(hosts):
+        urls = page_urls[host]
+        for pi, url in enumerate(urls):
+            # stable per-page RNG (NOT tuple hash — PYTHONHASHSEED varies)
+            prng = random.Random(seed ^ zlib.crc32(f"{host}|{pi}".encode()))
+            links: list[str] = []
+            # intra-host edges
+            for _ in range(min(8, len(urls) - 1)):
+                tgt = prng.choice(urls)
+                if prng.random() < 0.6:
+                    links.append("/" + tgt.split("/", 3)[3])  # relative form
+                else:
+                    links.append(tgt)
+            # ~10% cross-host edges
+            if prng.random() < 0.5:
+                other = prng.choice(hosts)
+                links.append(f"https://{other}/")
+            # noise links
+            if pi == 1:
+                links.append("htpps://" + host + "/page1.html")  # malformed scheme
+                links.append("data:image/png;base64,AAAA")
+                links.append("mailto:contact@" + host)
+                links.append("maito:typo@" + host)
+            if pi == 2:
+                links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
+            if hi % 3 == 0 and pi == 3:
+                links.append("/private/secret.html")  # robots-blocked target
+            body_links = "\n".join(f'<a href="{l}">link</a>' for l in links)
+            imgs = ""
+            for iu, cap in img_by_host.get(host, [])[:3] if pi % 2 == 0 else []:
+                rel = "/" + iu.split("/", 3)[3]
+                imgs += f'<img src="{rel}" alt="{cap}">\n'
+            opendir = ""
+            if hi % 8 == 0 and pi == len(urls) - 1:
+                opendir = "<title>Index of /files</title>"
+            text = f"<p>Synthetic page {pi} on {host} with words "
+            text += " ".join(_caption(prng, 6).split()) + "</p>"
+            html = (
+                f"<html><head>{opendir}<title>{host} p{pi}</title></head>"
+                f"<body><h1>{host} page {pi}</h1>\n{text}\n{body_links}\n{imgs}"
+                f"</body></html>"
+            )
+            corpus.pages[url] = {
+                "status": 200,
+                "content_type": "text/html; charset=UTF-8",
+                "body": html.encode("utf-8"),
+                "redirect_to": "",
+            }
+        # robots-blocked page exists but must never be fetched
+        corpus.pages[f"https://{host}/private/secret.html"] = {
+            "status": 200, "content_type": "text/html",
+            "body": b"<html><body>secret</body></html>", "redirect_to": "",
+        }
+
+    # seeds: 8 hosts incl. one deliberately malformed scheme (FIXTURES.md §2)
+    corpus.seeds = [f"https://{hosts[i]}/" for i in range(min(7, n_hosts))]
+    corpus.seeds.append("htpps://" + hosts[-1] + "/")
+    return corpus

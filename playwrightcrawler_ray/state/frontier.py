@@ -1,0 +1,165 @@
+"""Sharded URL frontier: per-host priority queues + politeness budgets +
+robots rules + the URL-seen filter.
+
+This replaces the reference's Elasticsearch links index + weighted
+random polling (playwrightcrawler.py:1119-1428, 4427-4503) with an
+explicit frontier service. ``FrontierShard`` is a plain Python class —
+Ray-agnostic so the oracle simulator and unit tests drive it directly;
+the crawl pipeline wraps it with ``ray.remote``. Sharding key is
+``hash(host) % num_shards`` so one host's politeness state lives on
+exactly one shard (SURVEY.md §7.3); skew is handled at pop time — a
+mega-host still yields only ``per_host_per_wave`` URLs per wave, so hot
+hosts bound wave contribution rather than wave latency.
+
+Determinism: the priority of a URL is ``(wave_discovered, url)`` — the
+Ray-native analogue of the reference's ``created_at asc + url
+tiebreak`` frontier order (:1399-1425). Pops, merges and strategy
+sampling are all seeded/sorted, which is what makes crawl ordering
+reproducible (the reference itself is unseeded-random; parity is
+defined against the seeded oracle, SURVEY.md §7.4 item 1).
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+from collections import defaultdict
+
+from .approxset import make_seen_set, restore_seen_set
+from .robots import RobotsRules
+
+
+def shard_of(host: str, num_shards: int) -> int:
+    """Stable host → shard routing (NOT Python hash(): must be identical
+    across processes and runs)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(host.encode("utf-8", "surrogatepass"), digest_size=4).digest(),
+        "big",
+    ) % num_shards
+
+
+class FrontierShard:
+    def __init__(self, shard_id: int = 0, seen_mode: str = "exact",
+                 seen_capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.seen = make_seen_set(seen_mode, seen_capacity)
+        self.heaps: dict[str, list[tuple[int, str]]] = defaultdict(list)
+        self.robots: dict[str, RobotsRules] = {}
+        self.host_cooldown_until: dict[str, int] = {}
+        self.counters = {
+            "offered": 0, "admitted": 0, "dup": 0,
+            "robots_denied": 0, "popped": 0, "pushed_back": 0,
+        }
+
+    # --- robots ---
+
+    def set_robots(self, items: list[tuple[str, str | None]]) -> None:
+        for host, text in items:
+            self.robots[host] = RobotsRules.parse(text)
+
+    def _robots_allows(self, host: str, path: str) -> bool:
+        rules = self.robots.get(host)
+        return rules.allowed(path) if rules is not None else True
+
+    # --- offers ---
+
+    def offer(self, items: list[tuple[str, int, str, str, int]]) -> dict:
+        """Offer discovered URLs: (url, url_id64, host, path, wave).
+
+        Seen-filter (insert-if-absent) then robots check, then heap push
+        keyed (wave, url). Returns this call's counter deltas."""
+        delta = {"offered": 0, "admitted": 0, "dup": 0, "robots_denied": 0}
+        for url, h64, host, path, wave in items:
+            delta["offered"] += 1
+            if not self.seen.add_if_absent(int(h64)):
+                delta["dup"] += 1
+                continue
+            if not self._robots_allows(host, path):
+                delta["robots_denied"] += 1
+                continue
+            heapq.heappush(self.heaps[host], (int(wave), url))
+            delta["admitted"] += 1
+        for k, v in delta.items():
+            self.counters[k] += v
+        return delta
+
+    def mark_seen(self, id64s: list[int]) -> int:
+        """Pre-mark URLs as seen without queueing (e.g. error terminal
+        states). Returns how many were new."""
+        return sum(self.seen.add_if_absent(int(h)) for h in id64s)
+
+    # --- pops ---
+
+    def pop_candidates(
+        self, wave: int, per_host: int = 1
+    ) -> list[tuple[int, str, str]]:
+        """Pop up to ``per_host`` URLs from every non-cooling host heap.
+        Returns (wave_discovered, url, host) triples; deterministic
+        (heap order + sorted host iteration)."""
+        out: list[tuple[int, str, str]] = []
+        for host in sorted(self.heaps.keys()):
+            if self.host_cooldown_until.get(host, 0) > wave:
+                continue
+            heap = self.heaps[host]
+            took = 0
+            while heap and took < per_host:
+                w, url = heapq.heappop(heap)
+                out.append((w, url, host))
+                took += 1
+            if took:
+                rules = self.robots.get(host)
+                cd = rules.crawl_delay if rules is not None else None
+                if cd:
+                    # politeness mapping: crawl-delay seconds → whole
+                    # waves of cooldown (documented approximation)
+                    self.host_cooldown_until[host] = wave + 1 + int(cd)
+            if not heap:
+                del self.heaps[host]
+        self.counters["popped"] += len(out)
+        return out
+
+    def push_back(self, items: list[tuple[int, str, str]]) -> None:
+        """Reinsert candidates the driver didn't schedule this wave —
+        no seen-check (they are already seen)."""
+        for w, url, host in items:
+            heapq.heappush(self.heaps[host], (int(w), url))
+        self.counters["pushed_back"] += len(items)
+
+    # --- introspection / checkpoint ---
+
+    def size(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def stats(self) -> dict:
+        return dict(self.counters, queued=self.size(), hosts=len(self.heaps))
+
+    def checkpoint(self) -> bytes:
+        """Serialized full shard state: heaps + seen-set + robots +
+        cooldowns + counters (the per-partition checkpoint of the north
+        rule; written per wave by the pipeline)."""
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "seen": self.seen.state(),
+                "heaps": {h: list(q) for h, q in self.heaps.items()},
+                "robots": {h: r.state() for h, r in self.robots.items()},
+                "cooldown": dict(self.host_cooldown_until),
+                "counters": dict(self.counters),
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        st = pickle.loads(blob)
+        self.shard_id = st["shard_id"]
+        self.seen = restore_seen_set(st["seen"])
+        self.heaps = defaultdict(list)
+        for h, q in st["heaps"].items():
+            heap = list(q)
+            heapq.heapify(heap)
+            self.heaps[h] = heap
+        self.robots = {h: RobotsRules.from_state(r) for h, r in st["robots"].items()}
+        self.host_cooldown_until = dict(st["cooldown"])
+        self.counters = dict(st["counters"])

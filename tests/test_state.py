@@ -1,0 +1,167 @@
+"""Seen-set structures, robots rules, frontier shard semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from playwrightcrawler_ray.state.approxset import (
+    BloomFilter,
+    CuckooFilter,
+    ExactSet,
+    make_seen_set,
+    restore_seen_set,
+)
+from playwrightcrawler_ray.state.dedup import DedupShard
+from playwrightcrawler_ray.state.frontier import FrontierShard, shard_of
+from playwrightcrawler_ray.state.robots import RobotsRules
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
+def test_seen_set_basics(mode):
+    s = make_seen_set(mode, capacity=4096)
+    assert s.add_if_absent(123456789)
+    assert not s.add_if_absent(123456789)
+    assert 123456789 in s
+    out = s.add_many([1, 2, 1, 3])
+    assert out == [True, True, False, True]
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
+def test_seen_set_no_false_negatives(mode):
+    rng = random.Random(7)
+    items = [rng.getrandbits(63) for _ in range(5000)]
+    s = make_seen_set(mode, capacity=8192)
+    for h in items:
+        s.add_if_absent(h)
+    missing = [h for h in items if h not in s]
+    assert missing == []  # approximate structures may FP, never FN
+
+
+def test_cuckoo_fp_rate_bounded():
+    rng = random.Random(11)
+    s = CuckooFilter(capacity=1 << 14)
+    inserted = {rng.getrandbits(63) for _ in range(8000)}
+    for h in inserted:
+        s.add_if_absent(h)
+    probes = [rng.getrandbits(63) for _ in range(20000)]
+    fps = sum(1 for p in probes if p not in inserted and p in s)
+    assert fps / len(probes) < 0.01  # 16-bit fp → theoretical ~1.2e-4
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
+def test_seen_set_checkpoint_roundtrip(mode):
+    s = make_seen_set(mode, capacity=2048)
+    items = [random.Random(3).getrandbits(62) for _ in range(100)]
+    s.add_many(items)
+    s2 = restore_seen_set(s.state())
+    assert all(h in s2 for h in items)
+    assert not s2.add_if_absent(items[0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_cuckoo_vs_exact_equivalence(items):
+    # dedup-set decision equality on random multisets (SURVEY.md §5.2)
+    exact, cuckoo = ExactSet(), CuckooFilter(capacity=4096)
+    for h in items:
+        e = exact.add_if_absent(h)
+        c = cuckoo.add_if_absent(h)
+        # cuckoo may say "dup" for a new item (FP) but never "new" for a dup
+        assert not (e is False and c is True)
+
+
+def test_robots_rules():
+    r = RobotsRules.parse(
+        "User-agent: googlebot\nDisallow: /all/\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Crawl-delay: 2\n"
+    )
+    assert r.allowed("/public/x")
+    assert not r.allowed("/private/secret.html")
+    assert r.allowed("/private/ok/file")     # longest match wins
+    assert r.allowed("/all/fine")            # other-agent group ignored
+    assert r.crawl_delay == 2.0
+    assert RobotsRules.parse(None).allowed("/anything")
+    assert RobotsRules.parse("").allowed("/x")
+    # wildcard + anchor
+    r2 = RobotsRules.parse("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not r2.allowed("/docs/file.pdf")
+    assert r2.allowed("/docs/file.pdfx")
+
+
+def test_shard_of_stable():
+    assert shard_of("example.com", 8) == shard_of("example.com", 8)
+    assert 0 <= shard_of("anything.test", 5) < 5
+
+
+def _mk_items(urls_hosts, wave=0):
+    from playwrightcrawler_ray.urlkit.ids import url_id_64
+    from urllib.parse import urlsplit
+
+    return [
+        (u, url_id_64(u), h, urlsplit(u).path or "/", wave) for u, h in urls_hosts
+    ]
+
+
+def test_frontier_offer_pop_order():
+    f = FrontierShard(0)
+    f.offer(_mk_items([("https://b.test/x", "b.test"), ("https://a.test/y", "a.test"),
+                       ("https://a.test/a", "a.test")], wave=0))
+    f.offer(_mk_items([("https://a.test/earlier-wave-loses", "a.test")], wave=1))
+    out = f.pop_candidates(wave=1, per_host=1)
+    # sorted hosts; per host: (wave, url) heap order
+    assert [u for _, u, _ in out] == ["https://a.test/a", "https://b.test/x"]
+    # dup offers are dropped
+    d = f.offer(_mk_items([("https://a.test/a", "a.test")]))
+    assert d["dup"] == 1
+
+
+def test_frontier_robots_and_pushback():
+    f = FrontierShard(0)
+    f.set_robots([("a.test", "User-agent: *\nDisallow: /private/\n")])
+    d = f.offer(_mk_items([("https://a.test/private/x", "a.test"),
+                           ("https://a.test/ok", "a.test")]))
+    assert d["robots_denied"] == 1 and d["admitted"] == 1
+    out = f.pop_candidates(0)
+    assert len(out) == 1
+    f.push_back(out)
+    assert f.size() == 1
+
+
+def test_frontier_crawl_delay_cooldown():
+    f = FrontierShard(0)
+    f.set_robots([("slow.test", "User-agent: *\nCrawl-delay: 2\n")])
+    f.offer(_mk_items([(f"https://slow.test/p{i}", "slow.test") for i in range(5)]))
+    assert len(f.pop_candidates(wave=0)) == 1
+    assert f.pop_candidates(wave=1) == []  # cooling down
+    assert f.pop_candidates(wave=2) == []
+    assert len(f.pop_candidates(wave=3)) == 1
+
+
+def test_frontier_checkpoint_roundtrip():
+    f = FrontierShard(3)
+    f.set_robots([("a.test", "User-agent: *\nDisallow: /p/\n")])
+    f.offer(_mk_items([("https://a.test/1", "a.test"), ("https://b.test/2", "b.test")]))
+    blob = f.checkpoint()
+    g = FrontierShard(0)
+    g.restore(blob)
+    assert g.shard_id == 3
+    assert g.size() == 2
+    d = g.offer(_mk_items([("https://a.test/1", "a.test")]))
+    assert d["dup"] == 1  # seen survives checkpoint
+    assert [u for _, u, _ in g.pop_candidates(0)] == [
+        "https://a.test/1", "https://b.test/2"
+    ]
+
+
+def test_dedup_shard():
+    d = DedupShard(0)
+    assert d.add_many([10, 11, 10]) == [True, True, False]
+    blob = d.checkpoint()
+    d2 = DedupShard(1)
+    d2.restore(blob)
+    assert d2.add_many([11, 12]) == [False, True]

@@ -1,0 +1,334 @@
+"""The crawl wave driver: frontier actors + one streaming Dataset per
+wave, with per-wave checkpoints.
+
+Replaces the reference's process loop (`main`/`crawler`,
+playwrightcrawler.py:5345-5414): instead of N lock-coordinated OS
+processes polling Elasticsearch, one logical job alternates
+
+    pop wave from sharded frontier actors
+    → Dataset: fetch → parse(+offer links) → imgfetch → decode(+dedup)
+    → write parquet partition ``wave=K``
+    → checkpoint frontier + dedup shards
+
+Within a wave the streaming executor pipelines all stages across blocks
+(the "pipelined fetch/decode/phash-dedup/write" of the north star);
+across waves the actors carry state. Determinism: shard pops are
+deterministic, the driver merge-sorts candidates by ``(wave, url)``,
+and strategy sampling is seeded — so crawl *ordering* is reproducible
+and verified against the sequential oracle (tests/test_crawl_golden.py).
+
+Scale notes (100 TB / 10^10 URLs):
+- frontier shards scale horizontally (``hash(host) % num_shards``); a
+  wave pop is one small RPC per shard;
+- the corpus broadcast becomes a real HTTP fetch pool (same stage
+  signature);
+- parquet output is partitioned per wave (resume skips completed
+  waves); Lance is the intended table format on a real deployment —
+  parquet-per-wave keeps the same append/versioned layout contract;
+- politeness is enforced at pop time, so fetch tasks need no cross-task
+  coordination; mega-host skew is bounded by ``per_host_per_wave``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from itertools import chain
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import CrawlConfig
+from ..corpus.generate import CorpusData
+from ..state.dedup import DedupShard
+from ..state.frontier import FrontierShard, shard_of
+from ..stages.ray_stages import (
+    make_decode_fn,
+    make_fetch_fn,
+    make_imgfetch_fn,
+    make_parse_fn,
+)
+from ..urlkit.canonicalize import canonicalize_url
+from ..urlkit.ids import url_id_64
+from .strategy import apply_strategy, choose_strategy, wave_rng
+
+
+@dataclass
+class CrawlResult:
+    order: list[str] = field(default_factory=list)
+    waves: int = 0
+    pages_written: int = 0
+    output_dir: str = ""
+    stats: dict = field(default_factory=dict)
+    wave_log: list[dict] = field(default_factory=list)
+
+    def seen_ids(self) -> set[int]:
+        return set(self.stats.get("seen_ids", []))
+
+
+def _seed_offers(seeds: list[str], cfg: CrawlConfig, ctx_policy) -> list[tuple]:
+    items = []
+    for raw in seeds:
+        cu = canonicalize_url(raw)
+        p = urlsplit(cu)
+        if not p.hostname or not ctx_policy.admit(cu, p.hostname):
+            continue
+        items.append((cu, url_id_64(cu), p.hostname, p.path or "/", 0))
+    return items
+
+
+class CrawlEngine:
+    """Owns the actor fleet and the wave loop. Ray must already be
+    initialised by the caller (driver contract)."""
+
+    def __init__(self, corpus: CorpusData, cfg: CrawlConfig | None = None,
+                 seen_mode: str = "exact"):
+        self.cfg = cfg or CrawlConfig()
+        self.corpus = corpus
+        self.seen_mode = seen_mode
+        RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
+        RemoteDedup = ray.remote(num_cpus=0)(DedupShard)
+        self.shards = [
+            RemoteShard.remote(i, seen_mode) for i in range(self.cfg.num_frontier_shards)
+        ]
+        self.dedup = [
+            RemoteDedup.remote(i, "exact") for i in range(self.cfg.num_seen_shards)
+        ]
+        self.corpus_ref = ray.put(corpus.pages)
+        from ..stages.process import ProcessContext
+
+        self._pctx = ProcessContext(self.cfg)
+        # robots preload: "fetched once per host through the corpus
+        # interface", cached on the owning shard (north-rule robots cache)
+        if self.cfg.respect_robots and corpus.robots:
+            by_shard: dict[int, list] = {}
+            for host, text in corpus.robots.items():
+                by_shard.setdefault(
+                    shard_of(host, self.cfg.num_frontier_shards), []
+                ).append((host, text))
+            ray.get([self.shards[s].set_robots.remote(items)
+                     for s, items in by_shard.items()])
+
+    # --- frontier plumbing ---
+
+    def _offer(self, items: list[tuple]) -> None:
+        by_shard: dict[int, list] = {}
+        for it in items:
+            by_shard.setdefault(
+                shard_of(it[2], self.cfg.num_frontier_shards), []
+            ).append(it)
+        ray.get([self.shards[s].offer.remote(v) for s, v in by_shard.items()])
+
+    def _pop_merged(self, wave: int) -> list[tuple[int, str, str]]:
+        parts = ray.get(
+            [s.pop_candidates.remote(wave, self.cfg.per_host_per_wave)
+             for s in self.shards]
+        )
+        return sorted(chain.from_iterable(parts))
+
+    def _push_back(self, leftover: list[tuple[int, str, str]]) -> None:
+        if not leftover:
+            return
+        by_shard: dict[int, list] = {}
+        for cand in leftover:
+            by_shard.setdefault(
+                shard_of(cand[2], self.cfg.num_frontier_shards), []
+            ).append(cand)
+        ray.get([self.shards[s].push_back.remote(v) for s, v in by_shard.items()])
+
+    def _queued(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    # --- checkpointing (per-partition: one blob per shard per wave) ---
+
+    def _checkpoint(self, wave: int, order: list[str], wave_log: list[dict]) -> None:
+        ckdir = os.path.join(self.cfg.output_dir, "checkpoints", f"wave={wave:05d}")
+        tmp = ckdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        blobs = ray.get([s.checkpoint.remote() for s in self.shards])
+        for i, blob in enumerate(blobs):
+            with open(os.path.join(tmp, f"frontier_{i:03d}.bin"), "wb") as f:
+                f.write(blob)
+        dblobs = ray.get([d.checkpoint.remote() for d in self.dedup])
+        for i, blob in enumerate(dblobs):
+            with open(os.path.join(tmp, f"dedup_{i:03d}.bin"), "wb") as f:
+                f.write(blob)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"wave": wave, "order": order, "wave_log": wave_log}, f)
+        if os.path.exists(ckdir):
+            shutil.rmtree(ckdir)
+        os.rename(tmp, ckdir)  # atomic publish
+
+    def restore_latest_checkpoint(self) -> dict | None:
+        root = os.path.join(self.cfg.output_dir, "checkpoints")
+        if not os.path.isdir(root):
+            return None
+        waves = sorted(d for d in os.listdir(root) if d.startswith("wave="))
+        if not waves:
+            return None
+        ckdir = os.path.join(root, waves[-1])
+        with open(os.path.join(ckdir, "meta.json")) as f:
+            meta = json.load(f)
+        futs = []
+        for i, s in enumerate(self.shards):
+            with open(os.path.join(ckdir, f"frontier_{i:03d}.bin"), "rb") as f:
+                futs.append(s.restore.remote(f.read()))
+        for i, d in enumerate(self.dedup):
+            with open(os.path.join(ckdir, f"dedup_{i:03d}.bin"), "rb") as f:
+                futs.append(d.restore.remote(f.read()))
+        ray.get(futs)
+        return meta
+
+    # --- the wave loop ---
+
+    def run(self, resume: bool = False, max_waves: int | None = None) -> CrawlResult:
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        order: list[str] = []
+        wave_log: list[dict] = []
+        start_wave = 0
+        meta = self.restore_latest_checkpoint() if resume else None
+        if meta is not None:
+            order = list(meta["order"])
+            wave_log = list(meta["wave_log"])
+            start_wave = meta["wave"] + 1
+        else:
+            self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
+
+        fetch_fn = make_fetch_fn(self.corpus_ref)
+        imgfetch_fn = make_imgfetch_fn(self.corpus_ref)
+        decode_fn = make_decode_fn(cfg, self.dedup)
+        parse_fn = make_parse_fn(cfg, self.shards)
+        limit = max_waves if max_waves is not None else cfg.max_waves
+
+        t0 = time.perf_counter()
+        wave = start_wave
+        empty_streak = 0
+        while wave < limit:
+            candidates = self._pop_merged(wave)
+            if not candidates:
+                if self._queued() == 0:
+                    break
+                wave += 1
+                empty_streak += 1
+                if empty_streak > 64:
+                    break
+                continue
+            rng = wave_rng(cfg.seed, wave)
+            strategy = choose_strategy(rng, cfg.method_weights)
+            selected, leftover = apply_strategy(
+                strategy, candidates, cfg.wave_size, rng,
+                cfg.reproduce_reference_bugs,
+            )
+            self._push_back(leftover)
+            if not selected:
+                wave += 1
+                empty_streak += 1
+                if empty_streak > 64:
+                    break
+                continue
+            empty_streak = 0
+            urls = [u for _, u, _ in selected]
+            hosts = [h for _, _, h in selected]
+            order.extend(urls)
+
+            tw = time.perf_counter()
+            tbl = pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "host": pa.array(hosts, pa.string()),
+                    "wave": pa.array([wave] * len(urls), pa.int32()),
+                }
+            )
+            ds = ray.data.from_arrow(tbl)
+            nblocks = max(1, min(len(urls) // cfg.fetch_batch_size + 1, 64))
+            if nblocks > 1:
+                ds = ds.repartition(nblocks)
+            ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size)
+            ds = ds.map_batches(parse_fn, batch_format="pyarrow",
+                                batch_size=cfg.parse_batch_size)
+            ds = ds.map_batches(imgfetch_fn, batch_format="pyarrow",
+                                batch_size=cfg.image_batch_size)
+            ds = ds.map_batches(decode_fn, batch_format="pyarrow",
+                                batch_size=cfg.image_batch_size)
+            wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
+            ds.write_parquet(wave_dir)
+            wave_log.append(
+                {
+                    "wave": wave,
+                    "strategy": strategy,
+                    "urls": len(urls),
+                    "sec": round(time.perf_counter() - tw, 4),
+                }
+            )
+            self._checkpoint(wave, order, wave_log)
+            wave += 1
+
+        elapsed = time.perf_counter() - t0
+        fstats = ray.get([s.stats.remote() for s in self.shards])
+        agg = {}
+        for st in fstats:
+            for k, v in st.items():
+                agg[k] = agg.get(k, 0) + v
+        result = CrawlResult(
+            order=order,
+            waves=wave - start_wave,
+            output_dir=cfg.output_dir,
+            wave_log=wave_log,
+            stats={
+                "elapsed_sec": elapsed,
+                "pages_fetched": len(order),
+                "pages_per_sec": len(order) / elapsed if elapsed > 0 else 0.0,
+                "frontier": agg,
+                "frontier_ops": agg.get("offered", 0) + agg.get("popped", 0),
+                "frontier_ops_per_sec": (
+                    (agg.get("offered", 0) + agg.get("popped", 0)) / elapsed
+                    if elapsed > 0
+                    else 0.0
+                ),
+            },
+        )
+        if self.seen_mode == "exact":
+            seen = set()
+            for items in ray.get([s.seen_items.remote() for s in self.shards]):
+                seen.update(items)
+            result.stats["seen_ids"] = seen
+        return result
+
+
+def run_crawl(corpus: CorpusData, cfg: CrawlConfig | None = None,
+              seen_mode: str = "exact", resume: bool = False,
+              max_waves: int | None = None) -> CrawlResult:
+    engine = CrawlEngine(corpus, cfg, seen_mode)
+    return engine.run(resume=resume, max_waves=max_waves)
+
+
+def load_unified(output_dir: str):
+    """Read all wave partitions back as one Dataset."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(output_dir, "wave=*", "*.parquet")))
+    return ray.data.read_parquet(files)
+
+
+def load_images(output_dir: str):
+    """The images table (BASELINE.json input_hint projection) from a
+    crawl output dir — column-pruned at the read."""
+    from ..core.schemas import IMAGES_COLUMNS
+
+    ds = load_unified(output_dir)
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")).select(
+            IMAGES_COLUMNS
+        ),
+        batch_format="pyarrow",
+    )

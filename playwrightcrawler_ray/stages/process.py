@@ -1,0 +1,295 @@
+"""Pure per-resource processing shared by the Ray parse/decode stages
+and the oracle simulator: content-type routing, HTML extraction, link
+classification + admission, content enrichment, image decode.
+
+This module is deliberately Ray-free. The golden test's independence
+comes from the *state* side (the oracle reimplements seen-set,
+scheduling, politeness and dedup sequentially); the per-record
+transforms are shared here and unit-tested against reference semantics
+on their own (tests/test_urlkit.py etc.).
+
+Reference map: fetch+extract kernel get_page_async
+(playwrightcrawler.py:4926-5207), content handlers :2420-3930,
+preprocess enrichment :1783-1946.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlsplit
+
+from ..config import CrawlConfig
+from ..core.schemas import empty_unified_row
+from ..functions.content_types import ContentTypeRouter
+from ..functions.html import extract_page
+from ..functions.opendir import is_open_directory
+from ..functions.text import extract_top_words
+from ..imaging.codec import (
+    CodecUnavailable,
+    DecompressionBombError,
+    UnidentifiedImageError,
+    decode_image,
+    dhash64,
+    pixel_hash,
+)
+from ..urlkit.canonicalize import canonicalize_url
+from ..urlkit.classify import classify_link
+from ..urlkit.filters import UrlPolicy
+from ..urlkit.ids import url_id, url_id_64
+from ..urlkit.levels import (
+    decompose_query,
+    file_extension_of,
+    get_directory_levels,
+    get_host_levels,
+)
+
+Offer = tuple[str, int, str, str, int]  # (url, id64, host, path, wave)
+
+
+@dataclass
+class ProcessContext:
+    """Per-process compiled state: router + policy + config."""
+
+    cfg: CrawlConfig
+    router: ContentTypeRouter = field(init=False)
+    policy: UrlPolicy = field(init=False)
+
+    def __post_init__(self):
+        self.router = ContentTypeRouter(use_octet_stream=True)
+        self.policy = UrlPolicy(
+            host_block=self.cfg.host_regex_block_list,
+            host_allow=self.cfg.host_regex_allow_list,
+            url_block=self.cfg.url_regex_block_list,
+            max_url_length=self.cfg.max_url_length,
+        )
+
+
+def enrich_content_row(row: dict, ctx: ProcessContext) -> dict | None:
+    """Admission-filter + enrich one content row (reference
+    preprocess_crawler_data content loop, :1875-1944). Returns None when
+    the row is dropped."""
+    url = row["url"]
+    parts = urlsplit(url)
+    host = parts.hostname
+    if not ctx.policy.admit(url, host):
+        return None
+    row["host"] = host
+    row["url_id"] = url_id(url)
+    has_q, qvars, qvals = decompose_query(parts.query)
+    row["has_query"] = has_q
+    row["query_variables"] = qvars
+    row["query_values"] = qvals
+    row.update(get_host_levels(host, ctx.cfg.max_host_levels))
+    row.update(get_directory_levels(parts.path, ctx.cfg.max_dir_levels))
+    row["file_extension"] = file_extension_of(parts.path)
+    row["node_id"] = ctx.cfg.node_id
+    return row
+
+
+def _base_row(url: str, host: str, wave: int, **kw) -> dict:
+    row = empty_unified_row()
+    row.update(
+        kind="page", url=url, host=host, wave=wave, visited=True,
+        isopendir=False, emails=[], words=[],
+    )
+    row.update(kw)
+    return row
+
+
+def process_fetched(
+    url: str,
+    host: str,
+    wave: int,
+    status: int,
+    content_type_raw: str,
+    body: bytes,
+    redirect_to: str,
+    ctx: ProcessContext,
+) -> tuple[list[dict], list[Offer], list[dict]]:
+    """Process one fetched resource.
+
+    Returns (content_rows, offers, imgrefs):
+    - content_rows: enriched page-kind rows (already admission-filtered);
+    - offers: (url, id64, host, path, wave+1) for the frontier, with
+      this page's in-wave image subresources suppressed (the reference's
+      in-batch link-vs-content suppression, :1865);
+    - imgrefs: imgref-kind rows (url, caption, parent_host, body=None —
+      the image fetch stage resolves them; for a *direct* image fetch
+      the body is carried through).
+    """
+    from ..functions.content_types import sanitize_content_type
+
+    ctype = sanitize_content_type(content_type_raw or "")
+    category = ctx.router.route_one(ctype) if ctype else "other"
+    content_rows: list[dict] = []
+    offers: list[Offer] = []
+    imgrefs: list[dict] = []
+    next_wave = wave + 1
+
+    def offer_link(link_url: str) -> None:
+        cu = canonicalize_url(link_url)
+        p = urlsplit(cu)
+        h = p.hostname
+        if not h or not ctx.policy.admit(cu, h):
+            return
+        offers.append((cu, url_id_64(cu), h, p.path or "/", next_wave))
+
+    if status != 200:
+        row = _base_row(url, host, wave, status=status, content_type=ctype,
+                        category=category, source=f"fetch_error_{status}")
+        if redirect_to:
+            row["source"] = "redirect"
+            offer_link(urljoin(url, redirect_to))
+        r = enrich_content_row(row, ctx)
+        if r:
+            content_rows.append(r)
+        return content_rows, offers, imgrefs
+
+    if category == "html":
+        text = body.decode("utf-8", errors="replace")
+        ex = extract_page(text)
+        is_od, od_pattern = is_open_directory(text, url)
+        min_web = ex.min_webcontent[: ctx.cfg.max_webcontent_size]
+        words = extract_top_words(
+            ex.min_webcontent,
+            remove_special_chars=ctx.cfg.words_remove_special_chars,
+            to_lower=ctx.cfg.words_to_lower,
+            min_len=ctx.cfg.words_min_len,
+            max_len=ctx.cfg.words_max_len,
+            max_words=ctx.cfg.words_max_words,
+        )
+        page = _base_row(
+            url, host, wave, status=status, content_type=ctype, category=category,
+            source="content_type_download", isopendir=is_od,
+            opendir_pattern=od_pattern, words=words, min_webcontent=min_web,
+        )
+        r = enrich_content_row(page, ctx)
+        if r:
+            content_rows.append(r)
+
+        # image subresources: fetched this wave; suppressed as links (J3)
+        seen_img: set[str] = set()
+        subresource_urls: set[str] = set()
+        for src, alt in ex.images:
+            img_url = canonicalize_url(urljoin(url, src))
+            ip = urlsplit(img_url)
+            if not ip.hostname or not ctx.policy.admit(img_url, ip.hostname):
+                continue
+            subresource_urls.add(img_url)
+            if img_url in seen_img:
+                continue  # one response per subresource URL per page
+            seen_img.add(img_url)
+            ir = empty_unified_row()
+            ir.update(
+                kind="imgref", url=img_url, url_id=url_id(img_url),
+                host=ip.hostname, parent_host=host, wave=wave,
+                caption=alt or "", image_id=url_id(img_url),
+            )
+            imgrefs.append(ir)
+
+        # links: classify → canonicalize → admission → offer
+        seen_email_urls: set[str] = set()
+        for raw in ex.links:
+            for rec in classify_link(raw, url):
+                if rec["source"] == "email_url":
+                    if rec["url"] in seen_email_urls:
+                        continue
+                    seen_email_urls.add(rec["url"])
+                    erow = _base_row(
+                        rec["url"], rec["host"], wave, status=status,
+                        content_type="", category="email", source="email_url",
+                        emails=rec["emails"],
+                    )
+                    er = enrich_content_row(erow, ctx)
+                    if er:
+                        er["parent_host"] = rec["parent_host"]
+                        content_rows.append(er)
+                    continue
+                cu = canonicalize_url(rec["url"])
+                if cu in subresource_urls:
+                    continue  # in-batch suppression (reference :1865)
+                offer_link(rec["url"])
+        for r in content_rows:
+            if r.get("parent_host") is None:
+                r["parent_host"] = host
+        return content_rows, offers, imgrefs
+
+    if category == "image":
+        # direct image fetch (frontier-popped image URL): decode stage
+        # emits the content doc + image row; carry the body through.
+        ir = empty_unified_row()
+        ir.update(
+            kind="imgref", url=url, url_id=url_id(url), host=host,
+            parent_host=host, wave=wave, caption="", image_id=url_id(url),
+            content_type=ctype,
+        )
+        ir["body"] = body  # transit column consumed by the decode stage
+        imgrefs.append(ir)
+        return content_rows, offers, imgrefs
+
+    # other non-HTML categories: metadata-only content doc, one per URL
+    # (reference handlers for plain text/audio/video/… produce docs with
+    # a source naming the handler, :2741-3770).
+    row = _base_row(url, host, wave, status=status, content_type=ctype,
+                    category=category, source=f"content_type_{category}",
+                    parent_host=host)
+    r = enrich_content_row(row, ctx)
+    if r:
+        content_rows.append(r)
+    return content_rows, offers, imgrefs
+
+
+def process_image_payload(
+    url: str,
+    host: str,
+    parent_host: str,
+    wave: int,
+    caption: str,
+    body: bytes,
+    ctx: ProcessContext,
+) -> tuple[dict, dict | None]:
+    """Decode one image payload → (content doc row, image row | None).
+
+    The image row carries pixel_sha1; the caller applies global dedup
+    (engine: DedupShard actors; oracle: a dict). Error taxonomy follows
+    the reference image handler (:3896-3930) plus the explicit
+    ``codec_unavailable`` stub label for formats PIL would have decoded
+    but this container cannot (module docstring in imaging/)."""
+    base = dict(status=200, category="image", content_type="",
+                parent_host=parent_host)
+    try:
+        pixels, fmt = decode_image(body)
+    except UnidentifiedImageError:
+        row = _base_row(url, host, wave, **base,
+                        source="content_type_images_unidentified_image_error")
+        return enrich_content_row(row, ctx), None
+    except DecompressionBombError:
+        row = _base_row(url, host, wave, **base,
+                        source="content_type_images_decompression_bomb_error")
+        return enrich_content_row(row, ctx), None
+    except CodecUnavailable:
+        row = _base_row(url, host, wave, **base,
+                        source="content_type_images_codec_unavailable")
+        return enrich_content_row(row, ctx), None
+    except OSError:
+        row = _base_row(url, host, wave, **base,
+                        source="content_type_images_oserror")
+        return enrich_content_row(row, ctx), None
+
+    h, w = pixels.shape[:2]
+    phash = dhash64(pixels)
+    psha = pixel_hash(pixels)
+    doc = _base_row(url, host, wave, **base,
+                    source="content_type_images_download")
+    doc["resolution"] = h * w
+    doc = enrich_content_row(doc, ctx)
+    image_row = empty_unified_row()
+    image_row.update(
+        kind="image", url=url, url_id=url_id(url), image_id=url_id(url),
+        host=host, parent_host=parent_host, wave=wave, visited=True,
+        source="image_payload", bytes=body, w=int(w), h=int(h), fmt=fmt,
+        caption=caption or "", phash=int(phash), pixel_sha1=psha,
+        resolution=int(h * w), content_type="", category="image",
+        status=200,
+    )
+    return doc, image_row

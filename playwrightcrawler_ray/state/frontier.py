@@ -132,6 +132,13 @@ class FrontierShard:
     def size(self) -> int:
         return sum(len(h) for h in self.heaps.values())
 
+    def seen_items(self) -> list[int]:
+        """All 64-bit ids in the seen set (exact mode only) — the
+        engine side of the URL-seen set-equality invariant."""
+        if self.seen.kind != "exact":
+            raise TypeError("seen_items() requires seen_mode='exact'")
+        return sorted(self.seen._s)
+
     def stats(self) -> dict:
         return dict(self.counters, queued=self.size(), hosts=len(self.heaps))
 

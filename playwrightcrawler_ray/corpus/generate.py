@@ -186,7 +186,14 @@ def build_corpus(
                 links.append("/private/secret.html")  # robots-blocked target
             body_links = "\n".join(f'<a href="{l}">link</a>' for l in links)
             imgs = ""
-            for iu, cap in img_by_host.get(host, [])[:3] if pi % 2 == 0 else []:
+            host_imgs = img_by_host.get(host, [])
+            if host_imgs and pi % 2 == 0:
+                # rotate so every image (incl. malformed ones) is referenced
+                start = (pi // 2 * 3) % len(host_imgs)
+                rotated = (host_imgs * 2)[start : start + 3]
+            else:
+                rotated = []
+            for iu, cap in rotated:
                 rel = "/" + iu.split("/", 3)[3]
                 imgs += f'<img src="{rel}" alt="{cap}">\n'
             opendir = ""

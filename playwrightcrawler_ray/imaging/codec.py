@@ -106,7 +106,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             )
     except MemoryError as e:
         raise DecompressionBombError(str(e)) from e
-    except (zlib.error, struct.error) as e:
+    except (zlib.error, struct.error, ValueError, NotImplementedError) as e:
+        # corrupt/truncated/unsupported-variant streams → the reference's
+        # OSError taxonomy bucket (:3896-3930)
         raise OSError(f"corrupt image stream: {e}") from e
     if px.shape[2] == 4:  # flatten alpha over white
         rgb = px[:, :, :3].astype(np.uint16)

@@ -20,5 +20,11 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # list<string> columns (words, emails, …) must stay plain object
+    # columns in pandas, not TensorArray casts
+    ctx.enable_tensor_extension_casting = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.WARNING)
     yield
     ray.shutdown()

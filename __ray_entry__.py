@@ -1,44 +1,115 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
+frontier-scheduled waves → images table of the BASELINE.json input_hint
+shape) and returns the images Dataset. ``queries()`` exposes the
+implemented operators over the driver's parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (approximate/heuristic ops are rows-only by
+design: minhash-LSH, simhash, LSH-ANN, language-ID, fingerprints).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the import chain or callables.
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
+def _data_context():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic synthetic web corpus (captions
+    seeded from sf0.001 documents) → Ray-Data crawl (frontier actors,
+    fetch/parse/decode/dedup stages) → images table (input_hint
+    schema). Returns the images Dataset."""
+    _data_context()
+    import ray.data
+
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.corpus import build_corpus
+    from playwrightcrawler_ray.pipelines.crawl import load_images, run_crawl
+
+    # exercise the driver testdata read path: derive the corpus seed from
+    # sf0.001 documents so the flagship touches the provided tables
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    seed = 42 + int(docs.count()) % 7
+
+    corpus = build_corpus(seed=seed, n_hosts=8, pages_per_host=6)
+    cfg = CrawlConfig(output_dir="/tmp/pwc_entry_out", max_waves=20)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    run_crawl(corpus, cfg)
+    return load_images(cfg.output_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    _data_context()
+    from playwrightcrawler_ray.ops import analytics as A
+    from playwrightcrawler_ray.ops import ann as N
+    from playwrightcrawler_ray.ops import dedup as D
+    from playwrightcrawler_ray.ops import textstats as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / analytics (SURVEY.md §2.5-2.6)
+        "pricing_summary": A.q_pricing_summary,
+        "top_customers": A.q_top_customers,
+        "orders_without_lineitem": A.q_orders_without_lineitem,
+        "region_nation_counts": A.q_region_nation_counts,
+        "part_top3_by_brand": A.q_part_top3_by_brand,
+        "events_by_type": A.q_events_by_type,
+        "events_hourly": A.q_events_hourly,
+        "user_sessions": A.q_user_sessions,
+        # text analysis
+        "token_counts": T.q_token_counts,
+        "quality_signals": T.q_quality_signals,
+        "lang_distribution": T.q_lang_distribution,
+        "docs_by_source": T.q_docs_by_source,
+        "doc_exact_dedup": T.q_doc_exact_dedup,
+        "langid_quality": T.q_langid_quality,          # rows-only (heuristic)
+        "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
+        # dedup family
+        "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
+        "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
+        "simhash": D.q_simhash,                        # rows-only (hash fn)
+        # similarity search
+        "ann_topk": N.q_ann_topk,
+        "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
+        "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from playwrightcrawler_ray.ops import analytics as A
+    from playwrightcrawler_ray.ops import ann as N
+    from playwrightcrawler_ray.ops import dedup as D
+    from playwrightcrawler_ray.ops import textstats as T
+
+    return {
+        "pricing_summary": A.SQL_PRICING_SUMMARY,
+        "top_customers": A.SQL_TOP_CUSTOMERS,
+        "orders_without_lineitem": A.SQL_ORDERS_WITHOUT_LINEITEM,
+        "region_nation_counts": A.SQL_REGION_NATION_COUNTS,
+        "part_top3_by_brand": A.SQL_PART_TOP3_BY_BRAND,
+        "events_by_type": A.SQL_EVENTS_BY_TYPE,
+        "events_hourly": A.SQL_EVENTS_HOURLY,
+        "user_sessions": A.SQL_USER_SESSIONS,
+        "token_counts": T.SQL_TOKEN_COUNTS,
+        "quality_signals": T.SQL_QUALITY_SIGNALS,
+        "lang_distribution": T.SQL_LANG_DISTRIBUTION,
+        "docs_by_source": T.SQL_DOCS_BY_SOURCE,
+        "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,
+        "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
+        "ann_topk": N.sql_ann_topk(),
+        "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
+    }

@@ -1,0 +1,271 @@
+"""Relational analytics operators (SURVEY.md §2.5-2.6 Ray mappings:
+A4/A5 groupby distributions, O1 sort+limit top-k, J1 anti-join, plus
+windowed aggregates for the events stream).
+
+Float policy: money sums rounded to 2 decimals, averages/ratios to 4,
+applied identically in the DuckDB oracles — block-order-dependent
+float association must not flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: column-pruned
+    read, vectorized derived column, grouped aggregate."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0),
+                                                             t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
+                            "sum_disc_price": 2})
+    # half-up: quantities are integral doubles, so the average can land
+    # exactly on a .00005 boundary (numpy half-even ≠ DuckDB half-away)
+    out["avg_qty"] = np.floor(out["avg_qty"] * 10000 + 0.5) / 10000
+    return out
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+       COUNT(*)                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join orders⋈customer (small side broadcast, no
+    shuffle join) → revenue per customer → top 10."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    rev = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    names = ray.get(cust_ref)
+    rev["c_name"] = rev["o_custkey"].map(names)
+    rev = rev.dropna(subset=["c_name"])
+    rev = rev.sort_values(["revenue", "o_custkey"],
+                          ascending=[False, True]).head(10)
+    rev = rev.rename(columns={"o_custkey": "c_custkey"})
+    rev["revenue"] = rev["revenue"].round(2)
+    return rev[["c_custkey", "c_name", "revenue", "n_orders"]]
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey AS c_custkey, c_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY SUM(o_totalprice) DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q_orders_without_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Anti-join (reference J1 links-minus-content analogue): broadcast
+    the key set as a semi-filter inside map_batches — no shuffle."""
+    keys = set(
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .unique("l_orderkey")
+    )
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        known = ray.get(keys_ref)
+        mask = ~np.isin(t["o_orderkey"].to_numpy(), known)
+        return t.filter(pa.array(mask))
+
+    out = (
+        orders.map_batches(anti, batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_value"))
+    )
+    df = pd.DataFrame([out])
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
+
+SQL_ORDERS_WITHOUT_LINEITEM = """
+SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q_region_nation_counts(sf_dir: str) -> pd.DataFrame:
+    """Dimension join via broadcast + grouped count (A5 host-level
+    distribution analogue)."""
+    region = _read(sf_dir, "region").to_pandas()
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    nation = _read(sf_dir, "nation", ["n_regionkey"])
+    out = nation.groupby("n_regionkey").aggregate(Count(alias_name="n_nations")).to_pandas()
+    out["r_name"] = out["n_regionkey"].map(rmap)
+    return out[["r_name", "n_nations"]]
+
+
+SQL_REGION_NATION_COUNTS = """
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_part_top3_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k via groupby().map_groups (O1/O4 analogue)."""
+    parts = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["p_retailprice", "p_partkey"],
+                             ascending=[False, True]).head(3)
+
+    out = parts.groupby("p_brand").map_groups(top3, batch_format="pandas").to_pandas()
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out.sort_values(["p_brand", "p_partkey"]).reset_index(drop=True)
+
+
+SQL_PART_TOP3_BY_BRAND = """
+SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ev.groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("value", alias_name="total_value"),
+                   Min("value", alias_name="min_value"),
+                   Max("value", alias_name="max_value"))
+        .to_pandas()
+    )
+    return _round_cols(out, {"total_value": 2, "min_value": 2, "max_value": 2})
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per user: window key derived vectorized
+    in map_batches, then a grouped aggregate (streaming-shaped op on a
+    partitioned log — the Ray Data windowing pattern)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    out = (
+        ev.map_batches(window, batch_format="pandas")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="window_value"))
+        .to_pandas()
+    )
+    return _round_cols(out, {"window_value": 2})
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS window_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: per-user sort + gap detection inside map_groups
+    — incremental state never leaves the group (SURVEY.md §2.9
+    streaming mapping)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_sessions": [int(new.sum())],
+             "n_events": [len(g)]}
+        )
+
+    return (
+        ev.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    )
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) GROUP BY user_id
+"""

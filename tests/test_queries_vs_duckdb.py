@@ -1,0 +1,107 @@
+"""Mirror of the driver's correctness gate: run each queries() entry
+and its oracle_sql() twin on the same parquet, compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("PWC_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(4)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+def _oracle_pairs():
+    import __ray_entry__ as m
+
+    qs, sqls = m.queries(), m.oracle_sql()
+    return sorted(sqls.keys()), qs
+
+
+@pytest.mark.parametrize("name", [
+    "pricing_summary", "top_customers", "orders_without_lineitem",
+    "region_nation_counts", "part_top3_by_brand", "events_by_type",
+    "events_hourly", "user_sessions", "token_counts", "quality_signals",
+    "lang_distribution", "docs_by_source", "doc_exact_dedup",
+    "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
+])
+def test_query_matches_oracle(entrymod, name):
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    got = qs[name](SF_DIR)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = _duck(sqls[name])
+    g, w = _normalize(got), _normalize(want)
+    assert list(g.columns) == list(w.columns), (g.columns, w.columns)
+    assert len(g) == len(w), (len(g), len(w))
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-9)
+
+
+def test_rows_only_queries_run(entrymod):
+    qs = entrymod.queries()
+    for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
+                 "simhash", "ann_topk_lsh"]:
+        out = qs[name](SF_DIR)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) >= 0
+        assert len(out.columns) >= 2
+
+
+def test_minhash_lsh_agrees_with_exact_on_high_jaccard(entrymod):
+    """LSH must recover every pair the exact query scores ≥ 0.5 (the
+    banding curve at 32×4 makes misses ~0 at that level)."""
+    qs = entrymod.queries()
+    exact = qs["ngram_jaccard_top_pairs"](SF_DIR)
+    lsh = qs["minhash_lsh_pairs"](SF_DIR)
+    hi = exact[exact["jaccard"] >= 0.5]
+    got = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    for a, b in zip(hi["doc_a"], hi["doc_b"]):
+        assert (a, b) in got
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    assert len(df) > 0
+    assert list(df.columns) == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ]

@@ -35,36 +35,43 @@ def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 
 def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: column-pruned
-    read, vectorized derived column, grouped aggregate."""
+    read, vectorized derived column, combiner-style partial aggregation
+    (4 group keys → no sort shuffle)."""
+    from .aggutil import partial_grouped_agg
+
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_shipdate"])
+    keys = ["l_returnflag", "l_linestatus"]
 
-    def derive(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"],
-                                   pa.scalar(pd.Timestamp("1998-09-01"))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0),
-                                                             t["l_discount"]))
-        return t.append_column("disc_price", disc)
-
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")].copy()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
         )
-        .to_pandas()
-    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            sum_disc_price=("sum_disc_price", "sum"),
+            count_order=("count_order", "sum"),
+        )
+        g["avg_qty"] = g["sum_qty"] / g["count_order"]
+        return g
+
+    out = partial_grouped_agg(ds, partial, combine)
     out = _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
                             "sum_disc_price": 2})
     # half-up: quantities are integral doubles, so the average can land
     # exactly on a .00005 boundary (numpy half-even ≠ DuckDB half-away)
     out["avg_qty"] = np.floor(out["avg_qty"] * 10000 + 0.5) / 10000
-    return out
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]]
 
 
 SQL_PRICING_SUMMARY = """
@@ -83,16 +90,23 @@ GROUP BY l_returnflag, l_linestatus
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
     """Broadcast-join orders⋈customer (small side broadcast, no
     shuffle join) → revenue per customer → top 10."""
+    from .aggutil import partial_grouped_agg, sum_count_partial
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    rev = (
-        orders.groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"),
-                   Count(alias_name="n_orders"))
-        .to_pandas()
-    )
-    names = ray.get(cust_ref)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False).agg(
+            revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+        )
+
+    rev = partial_grouped_agg(orders, partial, combine)
     rev["c_name"] = rev["o_custkey"].map(names)
     rev = rev.dropna(subset=["c_name"])
     rev = rev.sort_values(["revenue", "o_custkey"],
@@ -187,15 +201,23 @@ FROM (
 
 
 def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    from .aggutil import partial_grouped_agg
+
     ev = _read(sf_dir, "events", ["event_type", "value"])
-    out = (
-        ev.groupby("event_type")
-        .aggregate(Count(alias_name="n"),
-                   Sum("value", alias_name="total_value"),
-                   Min("value", alias_name="min_value"),
-                   Max("value", alias_name="max_value"))
-        .to_pandas()
-    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False, sort=False).agg(
+            n=("value", "size"), total_value=("value", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"),
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False, sort=False).agg(
+            n=("n", "sum"), total_value=("total_value", "sum"),
+            min_value=("min_value", "min"), max_value=("max_value", "max"),
+        )
+
+    out = partial_grouped_agg(ev, partial, combine)
     return _round_cols(out, {"total_value": 2, "min_value": 2, "max_value": 2})
 
 
@@ -212,20 +234,24 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per user: window key derived vectorized
     in map_batches, then a grouped aggregate (streaming-shaped op on a
     partitioned log — the Ray Data windowing pattern)."""
-    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    from .aggutil import partial_grouped_agg
 
-    def window(df: pd.DataFrame) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    keys = ["user_id", "window_start"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["window_start"] = df["ts"].dt.floor("h")
-        return df.drop(columns=["ts"])
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            n_events=("value", "size"), window_value=("value", "sum")
+        )
 
-    out = (
-        ev.map_batches(window, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="window_value"))
-        .to_pandas()
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            n_events=("n_events", "sum"), window_value=("window_value", "sum")
+        )
+
+    out = partial_grouped_agg(ev, partial, combine)
     return _round_cols(out, {"window_value": 2})
 
 

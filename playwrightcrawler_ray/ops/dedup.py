@@ -52,55 +52,115 @@ def _shingle_rows(df: pd.DataFrame, w: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc_ids, "shingle": hashes})
 
 
+def _doc_shingle_arrays(df: pd.DataFrame, w: int) -> list[tuple[int, np.ndarray]]:
+    out = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        sh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                for s in _shingles(text, w)
+            ),
+            dtype=np.uint64,
+        )
+        out.append((int(doc_id), np.unique(sh)))
+    return out
+
+
 def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20) -> pd.DataFrame:
     """Exact word-``w``-gram Jaccard: top-``k`` most similar pairs.
 
-    Pipeline: distinct (doc, shingle-hash) rows → per-shingle doc lists
-    → co-occurrence pair counts (intersection sizes) → Jaccard via
-    broadcast per-doc shingle counts → global top-k. Only pairs sharing
-    ≥1 shingle exist; everything else has J=0 and cannot reach top-k
-    (assuming ≥k sharing pairs, true for word-soup corpora)."""
+    Shape: one small pass builds the global shingle vocabulary + a
+    compressed (doc → shingle-index) structure, broadcast once; then a
+    single ``map_batches`` pass over doc blocks computes exact
+    intersection counts via chunked float32 GEMM against the broadcast
+    set matrix, emits each block's local top-k (a pair belongs to the
+    block of its *smaller* doc id, so the union of block top-ks
+    contains the global top-k), and the driver merges. No shuffle, no
+    quadratic materialization. At 100 TB the broadcast side no longer
+    fits — that regime is ``q_minhash_lsh_pairs`` (banded buckets); this
+    exact kernel then runs per LSH bucket instead of globally."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    shingled = ds.map_batches(
-        lambda df: _shingle_rows(df, w), batch_format="pandas"
-    )
-    # per-doc shingle counts: small (one row per doc) → broadcast
-    counts = (
-        shingled.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
-    )
-    counts_ref = ray.put(dict(zip(counts["doc_id"], counts["n_sh"])))
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
-
-    inter = (
-        shingled.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
-    )
-
-    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        n = ray.get(counts_ref)
-        na = df["a"].map(n).astype(float)
-        nb = df["b"].map(n).astype(float)
-        df = df.copy()
-        # half-up: integer-ratio jaccard values land on exact boundaries
-        df["jaccard"] = (
-            np.floor(df["inter"] / (na + nb - df["inter"]) * 10000 + 0.5) / 10000
+    # pass 1: per-doc shingle sets hashed in parallel, collected as the
+    # (small) broadcast structure: one row of int64 hashes per doc
+    def to_rows(df: pd.DataFrame) -> pd.DataFrame:
+        arr = _doc_shingle_arrays(df, w)
+        # int64-wrapped transport (Arrow list<int64>); unwrapped below
+        return pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in arr],
+                "sh": [a.astype(np.int64).tolist() for _, a in arr],
+            }
         )
-        return df
 
-    scored = inter.map_batches(jaccard, batch_format="pandas").to_pandas()
-    top = scored.sort_values(["jaccard", "a", "b"],
-                             ascending=[False, True, True]).head(k)
-    return top.rename(columns={"a": "doc_a", "b": "doc_b"})[
-        ["doc_a", "doc_b", "jaccard"]
-    ].reset_index(drop=True)
+    per_doc: list[tuple[int, np.ndarray]] = []
+    for df in ds.map_batches(to_rows, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=4096
+    ):
+        per_doc.extend(
+            (int(d), np.asarray(a, dtype=np.int64).astype(np.uint64))
+            for d, a in zip(df["doc_id"], df["sh"])
+        )
+    per_doc.sort(key=lambda t: t[0])
+    ids = np.array([d for d, _ in per_doc], dtype=np.int64)
+    vocab = np.unique(np.concatenate([a for _, a in per_doc]))
+    indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+    cols = []
+    for i, (_, a) in enumerate(per_doc):
+        idx = np.searchsorted(vocab, a)
+        cols.append(idx.astype(np.int32))
+        indptr[i + 1] = indptr[i] + len(idx)
+    col_idx = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+    set_sizes = np.diff(indptr).astype(np.float32)
+    bc = ray.put((ids, indptr, col_idx, set_sizes, vocab))
+
+    v_chunk = 8192
+    n_vocab = len(vocab)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, iptr, cidx, sizes, voc = ray.get(bc)
+        rows = _doc_shingle_arrays(df, w)
+        bids = np.array([d for d, _ in rows], dtype=np.int64)
+        nb = len(bids)
+        inter = np.zeros((nb, len(all_ids)), dtype=np.float32)
+        # densify per vocab chunk and GEMM-accumulate intersections
+        doc_of_nnz = np.repeat(np.arange(len(all_ids)), np.diff(iptr))
+        for start in range(0, n_vocab, v_chunk):
+            stop = min(start + v_chunk, n_vocab)
+            a_blk = np.zeros((nb, stop - start), dtype=np.float32)
+            for r, (_, sh) in enumerate(rows):
+                idx = np.searchsorted(voc, sh)
+                sel = idx[(idx >= start) & (idx < stop)] - start
+                a_blk[r, sel] = 1.0
+            mask = (cidx >= start) & (cidx < stop)
+            b_blk = np.zeros((len(all_ids), stop - start), dtype=np.float32)
+            b_blk[doc_of_nnz[mask], cidx[mask] - start] = 1.0
+            inter += a_blk @ b_blk.T
+        own_sizes = np.array([len(sh) for _, sh in rows], dtype=np.float32)
+        union = own_sizes[:, None] + sizes[None, :] - inter
+        jac = np.where(union > 0, inter / union, 0.0)
+        valid = (bids[:, None] < all_ids[None, :]) & (inter > 0)
+        bi, aj = np.nonzero(valid)
+        if len(bi) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        # half-up 4-decimals to match the DuckDB oracle exactly
+        jr = np.floor(jac[bi, aj].astype(np.float64) * 10000 + 0.5) / 10000
+        out = pd.DataFrame({"doc_a": bids[bi], "doc_b": all_ids[aj], "jaccard": jr})
+        return out.sort_values(["jaccard", "doc_a", "doc_b"],
+                               ascending=[False, True, True]).head(k)
+
+    parts = ds.map_batches(
+        block_topk, batch_format="pandas", batch_size=512
+    ).to_pandas()
+    return (
+        parts.sort_values(["jaccard", "doc_a", "doc_b"],
+                          ascending=[False, True, True])
+        .head(k)
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+        .reset_index(drop=True)
+    )
 
 
 def sql_ngram_jaccard_top_pairs(w: int = 3, k: int = 20) -> str:

@@ -93,19 +93,28 @@ FROM documents
 
 
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    from .aggutil import partial_grouped_agg
+
     ds = _docs(sf_dir, ["lang", "n_chars"])
-    out = (
-        ds.groupby("lang")
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("n_chars", alias_name="total_chars"),
-                   Mean("n_chars", alias_name="avg_chars"))
-        .to_pandas()
-    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False, sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+        g["avg_chars"] = g["total_chars"] / g["n_docs"]
+        return g
+
+    out = partial_grouped_agg(ds, partial, combine)
     import numpy as np
 
     # half-up: integer-sum / integer-count ratios hit rounding boundaries
     out["avg_chars"] = np.floor(out["avg_chars"] * 10000 + 0.5) / 10000
-    return out
+    return out[["lang", "n_docs", "total_chars", "avg_chars"]]
 
 
 SQL_LANG_DISTRIBUTION = """
@@ -117,12 +126,21 @@ FROM documents GROUP BY lang
 
 
 def q_docs_by_source(sf_dir: str) -> pd.DataFrame:
+    from .aggutil import partial_grouped_agg
+
     ds = _docs(sf_dir, ["source", "n_chars"])
-    return (
-        ds.groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
-        .to_pandas()
-    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+
+    return partial_grouped_agg(ds, partial, combine)
 
 
 SQL_DOCS_BY_SOURCE = """
@@ -148,15 +166,20 @@ def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Min
+    from .aggutil import partial_grouped_agg
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
-                   Count(alias_name="n_copies"))
-        .to_pandas()
-    )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False, sort=False).agg(
+            keeper_doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False, sort=False).agg(
+            keeper_doc_id=("keeper_doc_id", "min"), n_copies=("n_copies", "sum")
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    out = partial_grouped_agg(hashed, partial, combine)
     return out[["text_hash", "keeper_doc_id", "n_copies"]]
 
 

@@ -32,7 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # per-wave driver overhead and the job has parallel slack at 32 CPUs
 CRAWL_HOSTS = 192
 CRAWL_PAGES_PER_HOST = 24
-CRAWL_PER_HOST_PER_WAVE = 6
+CRAWL_PER_HOST_PER_WAVE = 12
 
 QUERY_NAMES = [
     "pricing_summary",
@@ -87,6 +87,7 @@ def run_bench() -> dict:
         per_host_per_wave=CRAWL_PER_HOST_PER_WAVE,
         wave_size=100_000,
         method_weights={"oldest": 1},  # deterministic full-throughput polling
+        checkpoint_every=5,
     )
     t0 = time.perf_counter()
     res = run_crawl(corpus, cfg, seen_mode="cuckoo")

@@ -59,6 +59,7 @@ class CrawlConfig:
     per_host_per_wave: int = 1       # reference one-URL-per-host collapse (A1)
     seed: int = 42                   # reproducible strategy choice / sampling
     respect_robots: bool = True      # capability add (absent in reference, T7)
+    checkpoint_every: int = 1        # waves between checkpoints (bench: raise)
 
     # --- Ray execution knobs (new; sized for one 32-CPU node) ---
     num_frontier_shards: int = 8     # scale with cluster size; hash(host) % shards

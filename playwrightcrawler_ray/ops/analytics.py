@@ -268,18 +268,30 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     streaming mapping)."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    n_buckets = 32
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "n_sessions": [int(new.sum())],
-             "n_events": [len(g)]}
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["user_id"] % n_buckets
+        return df
+
+    def sessions_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole bucket: sort by (user, ts, event)
+        # once, session starts = user change OR gap exceeded
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
+        g = g.assign(_new=new_session.astype(int))
+        out = g.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("_new", "sum"), n_events=("_new", "size")
         )
+        return out
 
     return (
-        ev.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions_of_bucket, batch_format="pandas")
+        .to_pandas()
     )
 
 

@@ -152,7 +152,7 @@ def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20) -> pd.DataFr
                                ascending=[False, True, True]).head(k)
 
     parts = ds.map_batches(
-        block_topk, batch_format="pandas", batch_size=512
+        block_topk, batch_format="pandas", batch_size=256
     ).to_pandas()
     return (
         parts.sort_values(["jaccard", "doc_a", "doc_b"],

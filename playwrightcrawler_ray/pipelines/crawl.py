@@ -198,6 +198,13 @@ class CrawlEngine:
             order = list(meta["order"])
             wave_log = list(meta["wave_log"])
             start_wave = meta["wave"] + 1
+            # wave outputs beyond the checkpoint are replayed — clear
+            # them so write_parquet can't append duplicates
+            import glob as _glob
+
+            for d in _glob.glob(os.path.join(cfg.output_dir, "wave=*")):
+                if int(d.rsplit("=", 1)[1]) >= start_wave:
+                    shutil.rmtree(d, ignore_errors=True)
         else:
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
@@ -259,6 +266,7 @@ class CrawlEngine:
             ds = ds.map_batches(decode_fn, batch_format="pyarrow",
                                 batch_size=cfg.image_batch_size)
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
+            shutil.rmtree(wave_dir, ignore_errors=True)
             ds.write_parquet(wave_dir)
             wave_log.append(
                 {
@@ -268,7 +276,8 @@ class CrawlEngine:
                     "sec": round(time.perf_counter() - tw, 4),
                 }
             )
-            self._checkpoint(wave, order, wave_log)
+            if wave % cfg.checkpoint_every == 0:
+                self._checkpoint(wave, order, wave_log)
             wave += 1
 
         elapsed = time.perf_counter() - t0

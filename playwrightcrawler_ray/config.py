@@ -60,14 +60,23 @@ class CrawlConfig:
     seed: int = 42                   # reproducible strategy choice / sampling
     respect_robots: bool = True      # capability add (absent in reference, T7)
     checkpoint_every: int = 1        # waves between checkpoints (bench: raise)
+    # bench realism: sleep the corpus' per-host latency_ms in the fetch
+    # stages (a batch behaves like an async client — max of the batch).
+    # Makes crawl throughput concurrency-bound, like a real crawl.
+    simulate_latency: bool = False
 
     # --- Ray execution knobs (new; sized for one 32-CPU node) ---
     num_frontier_shards: int = 8     # scale with cluster size; hash(host) % shards
     num_seen_shards: int = 8         # pixel-hash dedup shards
     fetch_concurrency: int = 8       # fetch actor pool size
-    fetch_batch_size: int = 256      # URLs per fetch batch
-    parse_batch_size: int = 256
-    image_batch_size: int = 64       # image rows are wide (binary payloads)
+    # one batch/block size for ALL wave stages: Ray fuses the stage
+    # chain into one operator whose task granularity is the largest
+    # fused batch_size — mixed sizes silently serialize the wave.
+    # Small values = high fetch concurrency (latency-bound crawls);
+    # large values amortize per-task overhead (compute-bound).
+    wave_batch_size: int = 128
+    fetch_batch_size: int = 128      # alias kept for block slicing
+    image_batch_size: int = 64       # decode memory guide (wide rows)
     decode_num_cpus: float = 1.0
 
     # --- sinks ---

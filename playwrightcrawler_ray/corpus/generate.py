@@ -42,6 +42,7 @@ class CorpusData:
     pages: dict[str, dict] = field(default_factory=dict)  # url -> {status, content_type, body, redirect_to}
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
     seeds: list[str] = field(default_factory=list)
+    latency_ms: dict[str, int] = field(default_factory=dict)  # host -> simulated fetch latency
     # ground truth for test assertions (not visible to the engine):
     truth_images: dict[str, dict] = field(default_factory=dict)  # img url -> {pixels_shape, caption, fmt}
 
@@ -67,6 +68,8 @@ def build_corpus(
     n_hosts: int = 16,
     pages_per_host: int = 12,
     img_sizes: tuple[int, ...] = (16, 24, 32, 48, 64),
+    n_seeds: int = 8,
+    text_words: int = 6,
 ) -> CorpusData:
     rng = random.Random(seed)
     nprng = np.random.default_rng(seed)
@@ -88,6 +91,10 @@ def build_corpus(
             name = f"page{p}.html"
             urls.append(f"https://{host}/{segs + '/' if segs else ''}{name}")
         page_urls[host] = urls
+
+    # per-host simulated fetch latency (FIXTURES.md §3 latency_ms) —
+    # used only when CrawlConfig.simulate_latency is on (bench realism)
+    corpus.latency_ms = {h: int(rng.uniform(50, 250)) for h in hosts}
 
     # robots: every 3rd host disallows /private/, host 1 has crawl-delay
     for i, host in enumerate(hosts):
@@ -200,7 +207,7 @@ def build_corpus(
             if hi % 8 == 0 and pi == len(urls) - 1:
                 opendir = "<title>Index of /files</title>"
             text = f"<p>Synthetic page {pi} on {host} with words "
-            text += " ".join(_caption(prng, 6).split()) + "</p>"
+            text += " ".join(_caption(prng, text_words).split()) + "</p>"
             html = (
                 f"<html><head>{opendir}<title>{host} p{pi}</title></head>"
                 f"<body><h1>{host} page {pi}</h1>\n{text}\n{body_links}\n{imgs}"
@@ -218,7 +225,9 @@ def build_corpus(
             "body": b"<html><body>secret</body></html>", "redirect_to": "",
         }
 
-    # seeds: 8 hosts incl. one deliberately malformed scheme (FIXTURES.md §2)
-    corpus.seeds = [f"https://{hosts[i]}/" for i in range(min(7, n_hosts))]
+    # seeds: n_seeds hosts incl. one deliberately malformed scheme
+    # (FIXTURES.md §2); default 8
+    k = max(1, min(n_seeds - 1, n_hosts))
+    corpus.seeds = [f"https://{hosts[i]}/" for i in range(k)]
     corpus.seeds.append("htpps://" + hosts[-1] + "/")
     return corpus

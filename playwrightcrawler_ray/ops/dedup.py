@@ -113,41 +113,49 @@ def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20) -> pd.DataFr
         cols.append(idx.astype(np.int32))
         indptr[i + 1] = indptr[i] + len(idx)
     col_idx = np.concatenate(cols) if cols else np.zeros(0, np.int32)
-    set_sizes = np.diff(indptr).astype(np.float32)
-    bc = ray.put((ids, indptr, col_idx, set_sizes, vocab))
-
-    v_chunk = 8192
-    n_vocab = len(vocab)
+    set_sizes = np.diff(indptr).astype(np.float64)
+    # inverted index: shingle-index → sorted doc positions (CSR)
+    order = np.argsort(col_idx, kind="stable")
+    inv_cols = np.repeat(np.arange(len(ids)), np.diff(indptr))[order].astype(np.int32)
+    inv_iptr = np.zeros(len(vocab) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(col_idx, minlength=len(vocab)), out=inv_iptr[1:])
+    bc = ray.put((ids, set_sizes, vocab, inv_iptr, inv_cols))
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, iptr, cidx, sizes, voc = ray.get(bc)
+        """Document-at-a-time posting counting: per doc, concatenate the
+        inverted-index postings of its shingles and bincount — cost is
+        Σ df(shingle), not |docs|² (the sparse structure the GEMM
+        alternative wastes)."""
+        all_ids, sizes, voc, iiptr, icols = ray.get(bc)
+        n_docs = len(all_ids)
         rows = _doc_shingle_arrays(df, w)
-        bids = np.array([d for d, _ in rows], dtype=np.int64)
-        nb = len(bids)
-        inter = np.zeros((nb, len(all_ids)), dtype=np.float32)
-        # densify per vocab chunk and GEMM-accumulate intersections
-        doc_of_nnz = np.repeat(np.arange(len(all_ids)), np.diff(iptr))
-        for start in range(0, n_vocab, v_chunk):
-            stop = min(start + v_chunk, n_vocab)
-            a_blk = np.zeros((nb, stop - start), dtype=np.float32)
-            for r, (_, sh) in enumerate(rows):
-                idx = np.searchsorted(voc, sh)
-                sel = idx[(idx >= start) & (idx < stop)] - start
-                a_blk[r, sel] = 1.0
-            mask = (cidx >= start) & (cidx < stop)
-            b_blk = np.zeros((len(all_ids), stop - start), dtype=np.float32)
-            b_blk[doc_of_nnz[mask], cidx[mask] - start] = 1.0
-            inter += a_blk @ b_blk.T
-        own_sizes = np.array([len(sh) for _, sh in rows], dtype=np.float32)
-        union = own_sizes[:, None] + sizes[None, :] - inter
-        jac = np.where(union > 0, inter / union, 0.0)
-        valid = (bids[:, None] < all_ids[None, :]) & (inter > 0)
-        bi, aj = np.nonzero(valid)
-        if len(bi) == 0:
+        out_a, out_b, out_j = [], [], []
+        for bid, sh in rows:
+            sidx = np.searchsorted(voc, sh)
+            postings = np.concatenate(
+                [icols[iiptr[s] : iiptr[s + 1]] for s in sidx]
+            ) if len(sidx) else np.zeros(0, np.int32)
+            cnt = np.bincount(postings, minlength=n_docs).astype(np.float64)
+            union = len(sh) + sizes - cnt
+            valid = (cnt > 0) & (bid < all_ids)
+            if not valid.any():
+                continue
+            vi = np.nonzero(valid)[0]
+            jac = cnt[vi] / union[vi]
+            out_a.append(np.full(len(vi), bid, dtype=np.int64))
+            out_b.append(all_ids[vi])
+            out_j.append(jac)
+        if not out_a:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
         # half-up 4-decimals to match the DuckDB oracle exactly
-        jr = np.floor(jac[bi, aj].astype(np.float64) * 10000 + 0.5) / 10000
-        out = pd.DataFrame({"doc_a": bids[bi], "doc_b": all_ids[aj], "jaccard": jr})
+        jr = np.floor(np.concatenate(out_j) * 10000 + 0.5) / 10000
+        out = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "jaccard": jr,
+            }
+        )
         return out.sort_values(["jaccard", "doc_a", "doc_b"],
                                ascending=[False, True, True]).head(k)
 

@@ -100,7 +100,14 @@ class CrawlEngine:
         self.dedup = [
             RemoteDedup.remote(i, "exact") for i in range(self.cfg.num_seen_shards)
         ]
-        self.corpus_ref = ray.put(corpus.pages)
+        from ..corpus.store import put_corpus_index
+
+        self.corpus_ref = put_corpus_index(corpus.pages)
+        self.latency_ref = (
+            ray.put(dict(corpus.latency_ms))
+            if self.cfg.simulate_latency and corpus.latency_ms
+            else None
+        )
         from ..stages.process import ProcessContext
 
         self._pctx = ProcessContext(self.cfg)
@@ -208,10 +215,10 @@ class CrawlEngine:
         else:
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
-        fetch_fn = make_fetch_fn(self.corpus_ref)
-        imgfetch_fn = make_imgfetch_fn(self.corpus_ref)
+        fetch_fn = make_fetch_fn(self.corpus_ref, self.latency_ref)
+        imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref)
         decode_fn = make_decode_fn(cfg, self.dedup)
-        parse_fn = make_parse_fn(cfg, self.shards)
+        parse_fn = make_parse_fn(cfg)
         limit = max_waves if max_waves is not None else cfg.max_waves
 
         t0 = time.perf_counter()
@@ -253,21 +260,40 @@ class CrawlEngine:
                     "wave": pa.array([wave] * len(urls), pa.int32()),
                 }
             )
-            ds = ray.data.from_arrow(tbl)
-            nblocks = max(1, min(len(urls) // cfg.fetch_batch_size + 1, 64))
-            if nblocks > 1:
-                ds = ds.repartition(nblocks)
-            ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size)
-            ds = ds.map_batches(parse_fn, batch_format="pyarrow",
-                                batch_size=cfg.parse_batch_size)
-            ds = ds.map_batches(imgfetch_fn, batch_format="pyarrow",
-                                batch_size=cfg.image_batch_size)
-            ds = ds.map_batches(decode_fn, batch_format="pyarrow",
-                                batch_size=cfg.image_batch_size)
+            # pre-slice into one Arrow table per wave block: from_arrow
+            # makes each a block directly (no Repartition operator), and
+            # a uniform batch_size across the fused stage chain keeps
+            # task granularity = one block (see CrawlConfig note)
+            bs = cfg.wave_batch_size
+            chunks = [tbl.slice(i, bs) for i in range(0, len(urls), bs)]
+            ds = ray.data.from_arrow(chunks)
+            for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):
+                ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=bs)
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
             shutil.rmtree(wave_dir, ignore_errors=True)
             ds.write_parquet(wave_dir)
+            # offer the wave's discovered links (in-band kind='link'
+            # rows) to the frontier: a column-pruned read of only the
+            # link keys — the wave write is the barrier, so offers are
+            # exact and deterministic. At larger-than-driver link
+            # volumes this relay becomes a map_batches pass over the
+            # link partition doing the same shard-routed offers.
+            import pyarrow.parquet as pq
+
+            link_tbl = pq.read_table(
+                wave_dir, columns=["kind", "url", "host", "wave"],
+                filters=[("kind", "=", "link")],
+            )
+            if link_tbl.num_rows:
+                items = []
+                for u, h, w in zip(
+                    link_tbl.column("url").to_pylist(),
+                    link_tbl.column("host").to_pylist(),
+                    link_tbl.column("wave").to_pylist(),
+                ):
+                    p = urlsplit(u)
+                    items.append((u, url_id_64(u), h, p.path or "/", int(w)))
+                self._offer(items)
             wave_log.append(
                 {
                     "wave": wave,

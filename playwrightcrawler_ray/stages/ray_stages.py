@@ -25,8 +25,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..config import CrawlConfig
-from ..core.schemas import UNIFIED_SCHEMA
-from ..state.frontier import shard_of
+from ..core.schemas import UNIFIED_SCHEMA, empty_unified_row
 from .process import ProcessContext, process_fetched, process_image_payload
 
 TRANSIT_SCHEMA = UNIFIED_SCHEMA.append(pa.field("body", pa.binary()))
@@ -42,6 +41,35 @@ def _cached_get(ref):
     return _OBJ_CACHE[key]
 
 
+def _wait_holding_cpu(refs, poll_s: float = 0.001):
+    """ray.get that does NOT release the task's CPU slot while waiting.
+
+    A blocking ray.get inside a task yields its CPU to the raylet,
+    which responds by starting additional worker processes — at high
+    num_cpus this becomes a worker-spawn storm (measured: 128 cold
+    workers each paying module import, 2× wall-time regression). The
+    dedup RPC completes in ~1 ms, so holding the slot and polling is
+    strictly cheaper."""
+    import time as _t
+
+    pending = list(refs)
+    while True:
+        ready, pending = ray.wait(pending, num_returns=len(pending), timeout=0)
+        if not pending:
+            break
+        _t.sleep(poll_s)
+    return ray.get(refs)
+
+
+def _corpus_reader(ref):
+    from ..corpus.store import CorpusIndexReader
+
+    key = "corpus:" + ref.hex()
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = CorpusIndexReader(ref)
+    return _OBJ_CACHE[key]
+
+
 def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     key = repr(cfg)
     if key not in _CTX_CACHE:
@@ -49,22 +77,26 @@ def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     return _CTX_CACHE[key]
 
 
-def make_fetch_fn(corpus_ref):
+def make_fetch_fn(corpus_ref, latency_ref=None):
     """Wave-input batch (url, host, wave) → + status/content_type_raw/
-    body/redirect_to, resolved against the broadcast corpus."""
+    body/redirect_to, resolved against the broadcast corpus.
+
+    With ``latency_ref`` set (bench realism), the batch sleeps the max
+    per-host latency once — modeling an async HTTP client that issues
+    the whole batch concurrently and completes with the slowest
+    response, which is what the real fetch actor would do."""
+    import time as _time
 
     def fetch(batch: pa.Table) -> pa.Table:
-        pages: dict[str, dict] = _cached_get(corpus_ref)
-        status, ctype, body, redirect = [], [], [], []
-        for u in batch.column("url").to_pylist():
-            rec = pages.get(u)
-            if rec is None:
-                status.append(404); ctype.append(""); body.append(b""); redirect.append("")
-            else:
-                status.append(rec["status"])
-                ctype.append(rec["content_type"])
-                body.append(rec["body"] if rec["status"] == 200 else b"")
-                redirect.append(rec.get("redirect_to") or "")
+        reader = _corpus_reader(corpus_ref)
+        if latency_ref is not None:
+            lat: dict[str, int] = _cached_get(latency_ref)
+            if lat:
+                hosts = set(batch.column("host").to_pylist())
+                _time.sleep(max(lat.get(h, 0) for h in hosts) / 1000.0)
+        status, ctype, body, redirect = reader.lookup(
+            batch.column("url").to_pylist()
+        )
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("content_type_raw", pa.array(ctype, pa.string()))
@@ -75,17 +107,21 @@ def make_fetch_fn(corpus_ref):
     return fetch
 
 
-def make_parse_fn(cfg: CrawlConfig, frontier_handles: list):
-    """Fetched batch → unified page/imgref rows; discovered links are
-    offered to the frontier shards from inside the task (one RPC per
-    shard per batch, awaited → the wave barrier is exact when the
-    pipeline completes)."""
-    num_shards = len(frontier_handles)
+def make_parse_fn(cfg: CrawlConfig):
+    """Fetched batch → unified page/imgref/link rows.
+
+    Discovered links are emitted IN-BAND as ``kind='link'`` rows (the
+    reference persists its links index the same way,
+    playwrightcrawler.py:1636-1651); the driver relays them to the
+    frontier after the wave's write barrier. No actor RPC happens
+    inside tasks — a blocking ray.get in a task yields its CPU and
+    triggers raylet worker-spawn storms (measured: 128 cold workers,
+    each paying module import)."""
 
     def parse(batch: pa.Table) -> pa.Table:
         ctx = _ctx_for(cfg)
         rows_out: list[dict] = []
-        offers_by_shard: dict[int, list] = defaultdict(list)
+        link_url, link_host, link_parent, link_wave = [], [], [], []
         cols = batch.select(
             ["url", "host", "wave", "status", "content_type_raw", "body",
              "redirect_to"]
@@ -97,39 +133,63 @@ def make_parse_fn(cfg: CrawlConfig, frontier_handles: list):
             )
             rows_out.extend(content_rows)
             rows_out.extend(imgrefs)
-            for off in offers:
-                offers_by_shard[shard_of(off[2], num_shards)].append(off)
-        if offers_by_shard:
-            ray.get(
-                [
-                    frontier_handles[s].offer.remote(items)
-                    for s, items in offers_by_shard.items()
-                ]
-            )
-        return pa.Table.from_pylist(rows_out, schema=TRANSIT_SCHEMA)
+            for url, _h64, host, _path, wave in offers:
+                link_url.append(url)
+                link_host.append(host)
+                link_parent.append(r["host"])
+                link_wave.append(int(wave))
+        main = pa.Table.from_pylist(rows_out, schema=TRANSIT_SCHEMA)
+        if not link_url:
+            return main
+        # link rows are ~10× the page rows: build them columnar (filled
+        # columns + null arrays), not as 40-field dicts per row
+        n = len(link_url)
+        filled = {
+            "kind": pa.array(["link"] * n, pa.string()),
+            "url": pa.array(link_url, pa.string()),
+            "host": pa.array(link_host, pa.string()),
+            "parent_host": pa.array(link_parent, pa.string()),
+            "wave": pa.array(link_wave, pa.int32()),
+            "visited": pa.array([False] * n, pa.bool_()),
+            "source": pa.array(["link"] * n, pa.string()),
+        }
+        links = pa.table(
+            {
+                f.name: filled.get(f.name, pa.nulls(n, f.type))
+                for f in TRANSIT_SCHEMA
+            },
+            schema=TRANSIT_SCHEMA,
+        )
+        return pa.concat_tables([main, links])
 
     return parse
 
 
-def make_imgfetch_fn(corpus_ref):
+def make_imgfetch_fn(corpus_ref, latency_ref=None):
     """Fill missing bodies of imgref rows from the corpus (subresource
     fetch; the reference's response-listener path, :5174-5185)."""
+    import time as _time
 
     def imgfetch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        pages: dict[str, dict] = _cached_get(corpus_ref)
+        reader = _corpus_reader(corpus_ref)
         kinds = batch.column("kind").to_pylist()
         urls = batch.column("url").to_pylist()
         bodies = batch.column("body").to_pylist()
-        changed = False
-        for i, (k, u, b) in enumerate(zip(kinds, urls, bodies)):
-            if k == "imgref" and b is None:
-                rec = pages.get(u)
-                bodies[i] = (
-                    rec["body"] if rec is not None and rec["status"] == 200 else b""
-                )
-                changed = True
+        need = [i for i, (k, b) in enumerate(zip(kinds, bodies))
+                if k == "imgref" and b is None]
+        changed = bool(need)
+        fetched_hosts = set()
+        if need:
+            _, _, fetched, _ = reader.lookup([urls[i] for i in need])
+            for i, b in zip(need, fetched):
+                bodies[i] = b
+                fetched_hosts.add(urls[i].split("/", 3)[2])
+        if changed and latency_ref is not None:
+            lat: dict[str, int] = _cached_get(latency_ref)
+            if lat:
+                _time.sleep(max(lat.get(h, 0) for h in fetched_hosts) / 1000.0)
         if not changed:
             return batch
         idx = batch.schema.get_field_index("body")
@@ -147,9 +207,9 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list):
 
     def decode(batch: pa.Table) -> pa.Table:
         ctx = _ctx_for(cfg)
-        page_mask = pc.equal(batch.column("kind"), "page")
-        passthrough = batch.filter(page_mask).drop_columns(["body"])
-        img_part = batch.filter(pc.invert(page_mask))
+        img_mask = pc.equal(batch.column("kind"), "imgref")
+        passthrough = batch.filter(pc.invert(img_mask)).drop_columns(["body"])
+        img_part = batch.filter(img_mask)
         if img_part.num_rows == 0:
             return passthrough
         docs: list[dict] = []
@@ -173,7 +233,7 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list):
                 s = h64 % num_shards
                 by_shard[s].append(h64)
                 row_pos[s].append(i)
-            masks = ray.get(
+            masks = _wait_holding_cpu(
                 [dedup_handles[s].add_many.remote(hs) for s, hs in by_shard.items()]
             )
             keep = set()

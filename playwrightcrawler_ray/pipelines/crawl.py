@@ -52,6 +52,7 @@ from ..stages.ray_stages import (
     make_decode_fn,
     make_fetch_fn,
     make_imgfetch_fn,
+    make_offer_fn,
     make_parse_fn,
 )
 from ..urlkit.canonicalize import canonicalize_url
@@ -216,9 +217,11 @@ class CrawlEngine:
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
         fetch_fn = make_fetch_fn(self.corpus_ref, self.latency_ref)
-        imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref)
+        imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref,
+                                       self.dedup)
         decode_fn = make_decode_fn(cfg, self.dedup)
         parse_fn = make_parse_fn(cfg)
+        offer_fn = make_offer_fn(self.shards)
         limit = max_waves if max_waves is not None else cfg.max_waves
 
         t0 = time.perf_counter()
@@ -272,34 +275,30 @@ class CrawlEngine:
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
             shutil.rmtree(wave_dir, ignore_errors=True)
             ds.write_parquet(wave_dir)
+            t_pipeline = time.perf_counter() - tw
             # offer the wave's discovered links (in-band kind='link'
-            # rows) to the frontier: a column-pruned read of only the
-            # link keys — the wave write is the barrier, so offers are
-            # exact and deterministic. At larger-than-driver link
-            # volumes this relay becomes a map_batches pass over the
-            # link partition doing the same shard-routed offers.
-            import pyarrow.parquet as pq
+            # rows) to the frontier via a small distributed pass: a
+            # column-pruned, predicate-filtered read of the link keys →
+            # shard-routed offers from tasks. The wave write is the
+            # barrier, so offers stay exact and deterministic.
+            import pyarrow.compute as _pc
 
-            link_tbl = pq.read_table(
-                wave_dir, columns=["kind", "url", "host", "wave"],
-                filters=[("kind", "=", "link")],
+            link_ds = ray.data.read_parquet(
+                wave_dir,
+                columns=["kind", "url", "host", "wave"],
+                filter=(_pc.field("kind") == "link"),
             )
-            if link_tbl.num_rows:
-                items = []
-                for u, h, w in zip(
-                    link_tbl.column("url").to_pylist(),
-                    link_tbl.column("host").to_pylist(),
-                    link_tbl.column("wave").to_pylist(),
-                ):
-                    p = urlsplit(u)
-                    items.append((u, url_id_64(u), h, p.path or "/", int(w)))
-                self._offer(items)
+            link_ds.map_batches(
+                offer_fn, batch_format="pyarrow", batch_size=8192
+            ).materialize()
             wave_log.append(
                 {
                     "wave": wave,
                     "strategy": strategy,
                     "urls": len(urls),
                     "sec": round(time.perf_counter() - tw, 4),
+                    "pipeline_sec": round(t_pipeline, 4),
+                    "offer_sec": round(time.perf_counter() - tw - t_pipeline, 4),
                 }
             )
             if wave % cfg.checkpoint_every == 0:

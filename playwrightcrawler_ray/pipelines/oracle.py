@@ -46,6 +46,7 @@ def run_oracle(corpus: CorpusData, cfg: CrawlConfig | None = None,
     res = OracleResult()
 
     seen: set[int] = set()
+    seen_img_urls: set[str] = set()  # engine's namespaced imgvisit dedup
     heaps: dict[str, list[tuple[int, str]]] = {}
     robots: dict[str, RobotsRules] = {
         h: RobotsRules.parse(t) for h, t in corpus.robots.items()
@@ -138,6 +139,11 @@ def run_oracle(corpus: CorpusData, cfg: CrawlConfig | None = None,
                 iurl = ir["url"]
                 ibody = ir.get("body")
                 if ibody is None:
+                    # subresource: fetched once globally (engine's
+                    # imgvisit dedup namespace)
+                    if iurl in seen_img_urls:
+                        continue
+                    seen_img_urls.add(iurl)
                     irec = corpus.pages.get(iurl)
                     ibody = (
                         irec["body"]

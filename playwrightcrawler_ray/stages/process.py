@@ -126,13 +126,15 @@ def process_fetched(
     imgrefs: list[dict] = []
     next_wave = wave + 1
 
-    def offer_link(link_url: str) -> None:
-        cu = canonicalize_url(link_url)
+    def offer_canonical(cu: str) -> None:
         p = urlsplit(cu)
         h = p.hostname
         if not h or not ctx.policy.admit(cu, h):
             return
         offers.append((cu, url_id_64(cu), h, p.path or "/", next_wave))
+
+    def offer_link(link_url: str) -> None:
+        offer_canonical(canonicalize_url(link_url))
 
     if status != 200:
         row = _base_row(url, host, wave, status=status, content_type=ctype,
@@ -208,7 +210,7 @@ def process_fetched(
                 cu = canonicalize_url(rec["url"])
                 if cu in subresource_urls:
                     continue  # in-batch suppression (reference :1865)
-                offer_link(rec["url"])
+                offer_canonical(cu)
         for r in content_rows:
             if r.get("parent_host") is None:
                 r["parent_host"] = host

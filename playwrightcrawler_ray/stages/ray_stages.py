@@ -165,10 +165,57 @@ def make_parse_fn(cfg: CrawlConfig):
     return parse
 
 
-def make_imgfetch_fn(corpus_ref, latency_ref=None):
+def make_offer_fn(frontier_handles: list):
+    """Post-wave link relay stage: batches of ``kind='link'`` rows →
+    shard-routed frontier offers. Runs as its own small Dataset pass
+    after the wave's write barrier, so offers stay exact/deterministic
+    while the relay work (sha1, urlsplit, actor RPC) is parallel
+    instead of a driver loop."""
+    from urllib.parse import urlsplit
+
+    from ..state.frontier import shard_of
+    from ..urlkit.ids import url_id_64
+
+    n = len(frontier_handles)
+
+    def offer(batch: pa.Table) -> pa.Table:
+        by_shard: dict[int, list] = defaultdict(list)
+        seen_local: set[str] = set()  # in-batch dedup: pages of one host
+        # cluster in a batch and rediscover the same URLs heavily
+        for u, h, w in zip(
+            batch.column("url").to_pylist(),
+            batch.column("host").to_pylist(),
+            batch.column("wave").to_pylist(),
+        ):
+            if u in seen_local:
+                continue
+            seen_local.add(u)
+            p = urlsplit(u)
+            by_shard[shard_of(h, n)].append(
+                (u, url_id_64(u), h, p.path or "/", int(w))
+            )
+        if by_shard:
+            _wait_holding_cpu(
+                [frontier_handles[s].offer.remote(v) for s, v in by_shard.items()]
+            )
+        return pa.table({"offered": pa.array([batch.num_rows], pa.int64())})
+
+    return offer
+
+
+def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = None):
     """Fill missing bodies of imgref rows from the corpus (subresource
-    fetch; the reference's response-listener path, :5174-5185)."""
+    fetch; the reference's response-listener path, :5174-5185).
+
+    With ``dedup_handles``, subresource URLs already fetched in ANY
+    prior wave are dropped before fetching (namespaced entry in the
+    global dedup service). The reference re-downloads subresources per
+    page visit but its ``_id`` upsert makes revisits invisible
+    (playwrightcrawler.py:1646-1651) — skipping the refetch preserves
+    final-table semantics while removing ~90% of decode work."""
     import time as _time
+
+    from ..urlkit.ids import url_id_64
 
     def imgfetch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -179,6 +226,39 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None):
         bodies = batch.column("body").to_pylist()
         need = [i for i, (k, b) in enumerate(zip(kinds, bodies))
                 if k == "imgref" and b is None]
+        if need and dedup_handles is not None:
+            n_shards = len(dedup_handles)
+            by_shard: dict[int, list[int]] = defaultdict(list)
+            pos_by_shard: dict[int, list[int]] = defaultdict(list)
+            seen_in_batch: set[str] = set()
+            keep: set[int] = set()
+            for i in need:
+                if urls[i] in seen_in_batch:
+                    continue
+                seen_in_batch.add(urls[i])
+                h = url_id_64("imgvisit:" + urls[i])
+                s = h % n_shards
+                by_shard[s].append(h)
+                pos_by_shard[s].append(i)
+            masks = _wait_holding_cpu(
+                [dedup_handles[s].add_many.remote(v) for s, v in by_shard.items()]
+            )
+            for (s, _), mask in zip(by_shard.items(), masks):
+                for pos, is_new in zip(pos_by_shard[s], mask):
+                    if is_new:
+                        keep.add(pos)
+            drop = [i for i in need if i not in keep]
+            if drop:
+                import numpy as np
+
+                sel = np.ones(batch.num_rows, dtype=bool)
+                sel[drop] = False
+                batch = batch.filter(pa.array(sel))
+                kinds = batch.column("kind").to_pylist()
+                urls = batch.column("url").to_pylist()
+                bodies = batch.column("body").to_pylist()
+                need = [i for i, (k, b) in enumerate(zip(kinds, bodies))
+                        if k == "imgref" and b is None]
         changed = bool(need)
         fetched_hosts = set()
         if need:

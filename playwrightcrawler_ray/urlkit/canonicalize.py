@@ -142,13 +142,27 @@ def canonicalize_url(url: str | None) -> str:
         return ""
 
     url = url.strip()
-    for pat, repl in _QUOTE_PAIRS:
-        url = pat.sub(repl, url)
-    for pat, repl in _SCHEME_FIXES:
-        url = pat.sub(repl, url)
-    url = _JUNK_HTTPS.sub("https://", url)
-    url = _JUNK_HTTP.sub("http://", url)
-    url = _SCHEME_SLASHES.sub(r"\1//", url)
+    # fast path: a URL already starting with exactly "http(s)://" and
+    # not followed by another slash or nested scheme cannot match any
+    # of the quote/typo/junk repair patterns (verified pattern by
+    # pattern against the tables above) — skip the ~44 regex subs the
+    # repair battery costs per call; the parse/normalize passes below
+    # still run in full.
+    clean_prefix = (
+        url.startswith("https://")
+        and not url.startswith(("https:///", "https://https://"))
+    ) or (
+        url.startswith("http://")
+        and not url.startswith(("http:///", "http://http://"))
+    )
+    if not clean_prefix:
+        for pat, repl in _QUOTE_PAIRS:
+            url = pat.sub(repl, url)
+        for pat, repl in _SCHEME_FIXES:
+            url = pat.sub(repl, url)
+        url = _JUNK_HTTPS.sub("https://", url)
+        url = _JUNK_HTTP.sub("http://", url)
+        url = _SCHEME_SLASHES.sub(r"\1//", url)
 
     try:
         parts = urlsplit(url)

@@ -1,0 +1,179 @@
+"""Post-crawl pipelines over the output tables: the downloader
+analogue, phash near-dup buckets, analytics distributions, and the
+retroactive-cleanup verifier.
+
+These operate on the crawl's parquet output (unified schema) exactly
+the way the reference's second-phase tools operate on its ES indices:
+
+- ``filtered_urls``       ← downloader.get_filtered_urls (S9,
+  downloader.py:81-164): regex include/exclude over
+  file_extension / content_type / host, shuffle, limit.
+- ``phash_buckets``       ← near-dup image buckets on the 64-bit dHash
+  (D4): groupby phash prefix bands.
+- ``host_level_counts`` / ``dir_depth_histogram`` ← README-documented
+  analytics (A5, reference README.md:21-39).
+- ``verify_admission_invariants`` ← cleanup_elasticsearch_indexes
+  (playwrightcrawler.py:3558-3730): the reference re-applies filters
+  retroactively; our admission filtering is total, so the pass is a
+  verifier that returns violations (must be empty).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import CrawlConfig
+from ..stages.process import ProcessContext
+from ..urlkit.canonicalize import canonicalize_url
+from .crawl import load_unified
+
+
+def filtered_urls(
+    output_dir: str,
+    include_ext: list[str] | None = None,
+    exclude_ext: list[str] | None = None,
+    include_ct: list[str] | None = None,
+    include_host: list[str] | None = None,
+    limit: int | None = None,
+    seed: int = 7,
+):
+    """Downloader URL selection over the pages table (reference
+    get_filtered_urls semantics: regex filters → shuffle → limit)."""
+    ds = load_unified(output_dir)
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("kind"), "page")
+        if include_ext:
+            mask = pc.and_(mask, pc.match_substring_regex(
+                t.column("file_extension"), "|".join(include_ext)))
+        if exclude_ext:
+            mask = pc.and_(mask, pc.invert(pc.match_substring_regex(
+                t.column("file_extension"), "|".join(exclude_ext))))
+        if include_ct:
+            mask = pc.and_(mask, pc.match_substring_regex(
+                t.column("content_type"), "|".join(include_ct)))
+        if include_host:
+            mask = pc.and_(mask, pc.match_substring_regex(
+                t.column("host"), "|".join(include_host)))
+        mask = pc.fill_null(mask, False)
+        return t.filter(mask).select(["url", "host", "content_type",
+                                      "file_extension"])
+
+    out = ds.map_batches(flt, batch_format="pyarrow").random_shuffle(seed=seed)
+    if limit:
+        out = out.limit(limit)
+    return out
+
+
+def phash_buckets(output_dir: str, band_bits: int = 16) -> pd.DataFrame:
+    """Near-dup image buckets: group images whose top ``band_bits`` of
+    the dHash agree AND whose full hashes are Hamming-close. Returns
+    buckets with ≥2 members (candidate near-dup sets)."""
+    ds = load_unified(output_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "image"))
+        band = pc.bit_wise_and(
+            pc.shift_right(t.column("phash"), 64 - band_bits),
+            (1 << band_bits) - 1,
+        )
+        return pa.table(
+            {"band": band, "phash": t.column("phash"),
+             "image_id": t.column("image_id"), "caption": t.column("caption")}
+        )
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"band": [], "n_members": [], "image_ids": []}
+            )
+        return pd.DataFrame(
+            {
+                "band": [int(g["band"].iloc[0])],
+                "n_members": [len(g)],
+                "image_ids": [sorted(g["image_id"].tolist())],
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(bucketize, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def host_level_counts(output_dir: str, level: int = 2) -> pd.DataFrame:
+    """Distribution over host_level_N (A5; e.g. registered domains)."""
+    col = f"host_level_{level}"
+    ds = load_unified(output_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "page"]
+        return df.groupby(col, as_index=False, sort=False).agg(
+            n_pages=(col, "size")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return (
+        parts.repartition(1)
+        .map_batches(
+            lambda d: d.groupby(col, as_index=False, sort=False).agg(
+                n_pages=("n_pages", "sum")
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+    )
+
+
+def dir_depth_histogram(output_dir: str) -> pd.DataFrame:
+    """Histogram of directory depth across crawled pages (A5)."""
+    ds = load_unified(output_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "page"].copy()
+        levels = [f"directory_level_{i}" for i in range(1, 8)]
+        depth = (df[levels].fillna("") != "").sum(axis=1)
+        out = depth.value_counts().rename_axis("depth").reset_index(name="n")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return (
+        parts.repartition(1)
+        .map_batches(
+            lambda d: d.groupby("depth", as_index=False, sort=False).agg(
+                n=("n", "sum")
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+
+
+def verify_admission_invariants(output_dir: str, cfg: CrawlConfig | None = None) -> pd.DataFrame:
+    """Retroactive-cleanup verifier: re-apply every admission rule the
+    reference's cleanup passes enforce (canonical fixed point, allow/
+    block lists, repeated segments, URL length) and return violating
+    rows — empty ⇔ admission filtering was total."""
+    ctx = ProcessContext(cfg or CrawlConfig())
+    ds = load_unified(output_dir)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "page"]
+        bad = []
+        for url, host in zip(df["url"], df["host"]):
+            u = url.split("|", 1)[0]  # email pseudo-doc urls carry |addr
+            if canonicalize_url(u) != u:
+                bad.append({"url": url, "violation": "not_canonical"})
+            elif host and not ctx.policy.admit(u, host):
+                bad.append({"url": url, "violation": "inadmissible"})
+        return pd.DataFrame(bad, columns=["url", "violation"])
+
+    return ds.map_batches(check, batch_format="pandas").to_pandas()

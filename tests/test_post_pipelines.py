@@ -1,0 +1,93 @@
+"""Post-crawl pipelines: NSFW scorer actor pool, downloader filters,
+phash buckets, analytics, admission verifier."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from playwrightcrawler_ray.config import CrawlConfig
+from playwrightcrawler_ray.corpus import build_corpus
+
+OUT = "/tmp/pwc_post_out"
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session):
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    corpus = build_corpus(seed=43, n_hosts=8, pages_per_host=6)
+    cfg = CrawlConfig(output_dir=OUT, max_waves=30)
+    shutil.rmtree(OUT, ignore_errors=True)
+    run_crawl(corpus, cfg)
+    return OUT
+
+
+def test_nsfw_scorer_actor_pool(crawl_out):
+    from playwrightcrawler_ray.pipelines.crawl import load_images
+    from playwrightcrawler_ray.stages.nsfw import NsfwScorer
+
+    ds = load_images(crawl_out)
+    scored = ds.map_batches(
+        NsfwScorer, batch_format="pyarrow", batch_size=16,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={"min_resolution": 16 * 16},
+    ).to_pandas()
+    assert "isnsfw" in scored.columns and "nsfw_flag" in scored.columns
+    big = scored[scored["w"] * scored["h"] > 16 * 16]
+    assert big["isnsfw"].notna().all()
+    assert ((big["isnsfw"] >= 0) & (big["isnsfw"] <= 1)).all()
+    # determinism: same rows → same scores
+    again = (
+        load_images(crawl_out)
+        .map_batches(
+            NsfwScorer, batch_format="pyarrow", batch_size=16,
+            concurrency=2, num_cpus=1,
+            fn_constructor_kwargs={"min_resolution": 16 * 16},
+        )
+        .to_pandas()
+    )
+    a = dict(zip(scored["image_id"], scored["isnsfw"].fillna(-1.0)))
+    b = dict(zip(again["image_id"], again["isnsfw"].fillna(-1.0)))
+    assert a == b
+
+
+def test_filtered_urls(crawl_out):
+    from playwrightcrawler_ray.pipelines.export import filtered_urls
+
+    out = filtered_urls(crawl_out, include_ext=["^html$"], limit=10).to_pandas()
+    assert 0 < len(out) <= 10
+    assert (out["file_extension"] == "html").all()
+    none = filtered_urls(crawl_out, include_host=["nonexistent\\.example"]).to_pandas()
+    assert len(none) == 0
+
+
+def test_phash_buckets(crawl_out):
+    from playwrightcrawler_ray.pipelines.export import phash_buckets
+
+    buckets = phash_buckets(crawl_out)
+    # the corpus contains near-dup pairs (same pixels re-encoded / 1-bit
+    # perturbed) whose dHashes share the top band
+    assert (buckets["n_members"] >= 2).all()
+    assert len(buckets) >= 1
+
+
+def test_analytics_distributions(crawl_out):
+    from playwrightcrawler_ray.pipelines.export import (
+        dir_depth_histogram,
+        host_level_counts,
+    )
+
+    hosts = host_level_counts(crawl_out, level=1)
+    assert hosts["n_pages"].sum() > 0
+    assert set(hosts[hosts["n_pages"] > 0][f"host_level_1"]) == {"test"}
+    depths = dir_depth_histogram(crawl_out)
+    assert depths["n"].sum() > 0
+
+
+def test_admission_verifier_empty(crawl_out):
+    from playwrightcrawler_ray.pipelines.export import verify_admission_invariants
+
+    violations = verify_admission_invariants(crawl_out)
+    assert len(violations) == 0, violations.head()

@@ -126,12 +126,20 @@ def process_fetched(
     imgrefs: list[dict] = []
     next_wave = wave + 1
 
-    def offer_canonical(cu: str) -> None:
+    def offer_canonical(cu: str, expand_tree: bool = True) -> None:
         p = urlsplit(cu)
         h = p.hostname
         if not h or not ctx.policy.admit(cu, h):
             return
         offers.append((cu, url_id_64(cu), h, p.path or "/", next_wave))
+        if expand_tree and ctx.cfg.hunt_open_directories:
+            # open-directory hunting: queue every ancestor directory of
+            # the admitted URL (reference preprocess expansion,
+            # playwrightcrawler.py:1837-1845 via get_directory_tree)
+            from ..urlkit.levels import get_directory_tree
+
+            for ancestor in get_directory_tree(cu):
+                offer_canonical(canonicalize_url(ancestor), expand_tree=False)
 
     def offer_link(link_url: str) -> None:
         offer_canonical(canonicalize_url(link_url))
@@ -188,6 +196,16 @@ def process_fetched(
                 caption=alt or "", image_id=url_id(img_url),
             )
             imgrefs.append(ir)
+
+        if ctx.cfg.hunt_open_directories:
+            # ancestors of the page itself and of its subresources
+            # (reference expands crawledcontent + crawledlinks,
+            # :1839-1845)
+            from ..urlkit.levels import get_directory_tree
+
+            for src_url in [url, *subresource_urls]:
+                for ancestor in get_directory_tree(src_url):
+                    offer_canonical(canonicalize_url(ancestor), expand_tree=False)
 
         # links: classify → canonicalize → admission → offer
         seen_email_urls: set[str] = set()

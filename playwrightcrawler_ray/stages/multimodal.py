@@ -1,0 +1,167 @@
+"""Multimodal actor-pool stages: image resize / audio features /
+video frame-sampling over opaque ``binary`` columns with typed
+metadata.
+
+The audio/video decoders (ffmpeg/librosa/PIL) are NOT in this
+container, so the decode step of each stage is stubbed behind
+``CodecUnavailable`` exactly like imaging/codec.py — for the engine's
+own formats (png/qimg) the image path is fully real, and for
+audio/video the stages process a documented deterministic fake
+container format ("QAUD"/"QVID": raw samples / concatenated qimg
+frames) so the Ray-side plumbing — schemas, actor signatures, batch
+sizing for wide binary rows, output layout — is real and tested.
+
+Wide-row guidance (SURVEY.md §7.4 item 4): binary payload rows are MBs
+— keep ``batch_size`` small (≤32), ``batch_format="pyarrow"``
+(zero-copy), and size ``concurrency × num_cpus`` to the node.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..imaging.codec import CodecUnavailable, decode_image, encode_image
+
+_QAUD_MAGIC = b"QAU1"  # int16 mono samples: magic + rate(u32) + zlib(payload)
+_QVID_MAGIC = b"QVI1"  # magic + n_frames(u32) + [len(u32) + qimg bytes]*
+
+
+def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Deterministic fake audio container (int16 mono)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    return _QAUD_MAGIC + struct.pack(">I", rate) + zlib.compress(samples.tobytes(), 6)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if not data.startswith(_QAUD_MAGIC):
+        # a real-world container (wav/mp3/ogg) → decoder not present
+        raise CodecUnavailable("no audio decoder in this container")
+    (rate,) = struct.unpack_from(">I", data, 4)
+    return np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16), rate
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    parts = [_QVID_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        payload = encode_image(f, "qimg")
+        parts.append(struct.pack(">I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def decode_video_frames(data: bytes, sample_every: int = 1) -> list[np.ndarray]:
+    if not data.startswith(_QVID_MAGIC):
+        raise CodecUnavailable("no video decoder in this container")
+    (n,) = struct.unpack_from(">I", data, 4)
+    pos = 8
+    out = []
+    for i in range(n):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if i % sample_every == 0:
+            out.append(decode_image(data[pos : pos + ln])[0])
+        pos += ln
+    return out
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → block-mean resize to ``target`` px →
+    re-encode; appends resized bytes + dims. Real for png/qimg."""
+
+    def __init__(self, target: int = 32, out_fmt: str = "png"):
+        self.target = target
+        self.out_fmt = out_fmt
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        t = self.target
+        ri = (np.arange(h) * t) // h
+        ci = (np.arange(w) * t) // w
+        sums = np.zeros((t, t, 3), np.float64)
+        cnt = np.zeros((t, t, 1), np.float64)
+        np.add.at(sums, (ri[:, None], ci[None, :]), px.astype(np.float64))
+        np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+        return (sums / np.maximum(cnt, 1)).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, out_w, out_h, err = [], [], [], []
+        for b in batch.column("bytes").to_pylist():
+            try:
+                px, _ = decode_image(b)
+                rs = self._resize(px)
+                out_bytes.append(encode_image(rs, self.out_fmt))
+                out_h.append(rs.shape[0])
+                out_w.append(rs.shape[1])
+                err.append(None)
+            except CodecUnavailable as e:
+                out_bytes.append(None); out_w.append(None); out_h.append(None)
+                err.append(f"codec_unavailable: {e}")
+            except Exception as e:
+                out_bytes.append(None); out_w.append(None); out_h.append(None)
+                err.append(str(e))
+        return (
+            batch.append_column("resized_bytes", pa.array(out_bytes, pa.binary()))
+            .append_column("resized_w", pa.array(out_w, pa.int32()))
+            .append_column("resized_h", pa.array(out_h, pa.int32()))
+            .append_column("resize_error", pa.array(err, pa.string()))
+        )
+
+
+class AudioFeaturizer:
+    """Actor-pool stage over an ``audio_bytes`` column: duration, RMS
+    energy, zero-crossing rate (the cheap librosa-style features)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, err = [], [], [], []
+        for b in batch.column("audio_bytes").to_pylist():
+            try:
+                samples, rate = decode_audio(b)
+                x = samples.astype(np.float64) / 32768.0
+                dur.append(len(samples) / rate)
+                rms.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+                zcr.append(
+                    float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                )
+                err.append(None)
+            except CodecUnavailable as e:
+                dur.append(None); rms.append(None); zcr.append(None)
+                err.append(f"codec_unavailable: {e}")
+        return (
+            batch.append_column("duration_sec", pa.array(dur, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("zcr", pa.array(zcr, pa.float64()))
+            .append_column("audio_error", pa.array(err, pa.string()))
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage over a ``video_bytes`` column: sample every
+    k-th frame, emit per-frame phash list + frame count."""
+
+    def __init__(self, sample_every: int = 2):
+        from ..imaging.codec import dhash64
+
+        self.sample_every = sample_every
+        self._dhash = dhash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts, hashes, err = [], [], []
+        for b in batch.column("video_bytes").to_pylist():
+            try:
+                frames = decode_video_frames(b, self.sample_every)
+                counts.append(len(frames))
+                hashes.append([int(self._dhash(f)) for f in frames])
+                err.append(None)
+            except CodecUnavailable as e:
+                counts.append(None); hashes.append(None)
+                err.append(f"codec_unavailable: {e}")
+        return (
+            batch.append_column("sampled_frames", pa.array(counts, pa.int32()))
+            .append_column("frame_phashes", pa.array(hashes, pa.list_(pa.int64())))
+            .append_column("video_error", pa.array(err, pa.string()))
+        )

@@ -1,0 +1,123 @@
+"""Multimodal stages, seed-file source, fast extension pass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from playwrightcrawler_ray.imaging.codec import CodecUnavailable, encode_image
+from playwrightcrawler_ray.stages.multimodal import (
+    AudioFeaturizer,
+    ImageResizer,
+    VideoFrameSampler,
+    decode_audio,
+    decode_video_frames,
+    encode_audio,
+    encode_video,
+)
+
+
+def _px(seed, size=48):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+
+
+def test_audio_codec_roundtrip_and_stub():
+    s = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+    data = encode_audio(s, 16000)
+    out, rate = decode_audio(data)
+    assert rate == 16000 and np.array_equal(out, s)
+    with pytest.raises(CodecUnavailable):
+        decode_audio(b"RIFF....WAVEfmt ")  # real wav → stubbed
+
+
+def test_video_codec_and_sampling():
+    frames = [_px(i) for i in range(6)]
+    data = encode_video(frames)
+    out = decode_video_frames(data, sample_every=2)
+    assert len(out) == 3
+    with pytest.raises(CodecUnavailable):
+        decode_video_frames(b"\x00\x00\x00\x18ftypmp42", 1)  # real mp4 → stubbed
+
+
+def test_image_resizer_stage(ray_session):
+    import ray.data
+
+    tbl = pa.table({"bytes": pa.array(
+        [encode_image(_px(i, 64), "png") for i in range(8)]
+        + [b"\xff\xd8\xffreal-jpeg"], pa.binary())})
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageResizer, batch_format="pyarrow", batch_size=4,
+                     concurrency=2, fn_constructor_kwargs={"target": 16})
+        .to_pandas()
+    )
+    ok = out[out["resize_error"].isna()]
+    assert len(ok) == 8
+    assert (ok["resized_w"] == 16).all() and (ok["resized_h"] == 16).all()
+    stub = out[out["resize_error"].notna()]
+    assert len(stub) == 1 and "codec_unavailable" in stub["resize_error"].iloc[0]
+
+
+def test_audio_video_stages(ray_session):
+    import ray.data
+
+    s = (np.sin(np.linspace(0, 50, 8000)) * 10000).astype(np.int16)
+    a_tbl = pa.table({"audio_bytes": pa.array(
+        [encode_audio(s), b"ID3realmp3data"], pa.binary())})
+    a_out = (
+        ray.data.from_arrow(a_tbl)
+        .map_batches(AudioFeaturizer, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert a_out["duration_sec"].iloc[0] == pytest.approx(0.5)
+    assert a_out["audio_error"].iloc[1] is not None
+
+    v_tbl = pa.table({"video_bytes": pa.array(
+        [encode_video([_px(i) for i in range(4)])], pa.binary())})
+    v_out = (
+        ray.data.from_arrow(v_tbl)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow", concurrency=1,
+                     fn_constructor_kwargs={"sample_every": 2})
+        .to_pandas()
+    )
+    assert v_out["sampled_frames"].iloc[0] == 2
+    assert len(v_out["frame_phashes"].iloc[0]) == 2
+
+
+def test_seeds_from_files(ray_session, tmp_path):
+    from playwrightcrawler_ray.corpus.seeds import seeds_from_files
+
+    f = tmp_path / "seeds1.txt"
+    f.write_text(
+        "https://a.test/\n# comment\n\nhtpps://b.test/x\n"
+        "https://sub.gstatic.com/blocked\nhttps://a.test/\n"
+        "data:whatever\nhttps://c.test/page\n"
+    )
+    out = seeds_from_files(str(tmp_path))
+    assert out == ["https://a.test/", "https://b.test/x", "https://c.test/page"]
+    capped = seeds_from_files(str(tmp_path), max_urls=2)
+    assert len(capped) == 2
+
+
+def test_fast_extension_pass():
+    from playwrightcrawler_ray.pipelines.fastpass import head_validate, plan_fast_pass
+
+    fast, full = plan_fast_pass([
+        "https://h.test/doc.pdf",
+        "https://h.test/pic.JPG",
+        "https://h.test/page",          # no extension → full path
+        "https://h.test/odd.xyz123",    # unknown extension → full path
+    ])
+    assert ("https://h.test/doc.pdf", "pdf") in fast
+    assert ("https://h.test/pic.JPG", "image") in fast
+    assert full == ["https://h.test/page", "https://h.test/odd.xyz123"]
+
+    served = {
+        "https://h.test/doc.pdf": "application/pdf",
+        "https://h.test/pic.JPG": "text/html",  # mismatch → fallback
+    }
+    validated, fallback = head_validate(fast, lambda u: served.get(u, ""))
+    assert validated == [("https://h.test/doc.pdf", "application/pdf", "pdf")]
+    assert fallback == ["https://h.test/pic.JPG"]

@@ -53,6 +53,57 @@ def entry() -> Any:
     return load_images(cfg.output_dir)
 
 
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_output_dir() -> str:
+    """One small deterministic crawl shared by the crawl-flavored
+    queries (rows-only checks: the crawl is verified against the
+    oracle in pytest, not against SQL)."""
+    if "dir" not in _CRAWL_CACHE:
+        from playwrightcrawler_ray.config import CrawlConfig
+        from playwrightcrawler_ray.corpus import build_corpus
+        from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+        out = "/tmp/pwc_query_crawl"
+        shutil.rmtree(out, ignore_errors=True)
+        run_crawl(
+            build_corpus(seed=42, n_hosts=8, pages_per_host=6),
+            CrawlConfig(output_dir=out, max_waves=60),
+        )
+        _CRAWL_CACHE["dir"] = out
+    return _CRAWL_CACHE["dir"]
+
+
+def _q_crawl_images(_sf_dir: str):
+    from playwrightcrawler_ray.pipelines.crawl import load_images
+
+    df = load_images(_crawl_output_dir()).to_pandas()
+    return df.drop(columns=["bytes"]).sort_values("image_id").reset_index(drop=True)
+
+
+def _q_crawl_pages_by_source(_sf_dir: str):
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+
+    df = load_unified(_crawl_output_dir()).to_pandas()
+    out = (
+        df[df["kind"] == "page"]
+        .groupby("source", as_index=False)
+        .agg(n=("url", "size"))
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _q_crawl_phash_buckets(_sf_dir: str):
+    from playwrightcrawler_ray.pipelines.export import phash_buckets
+
+    out = phash_buckets(_crawl_output_dir())
+    out["image_ids"] = out["image_ids"].map(lambda x: ",".join(x))
+    return out.sort_values("band").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     _data_context()
     from playwrightcrawler_ray.ops import analytics as A
@@ -61,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import textstats as T
 
     return {
+        # crawl-flavored pipelines (rows-only: oracle-verified in pytest)
+        "crawl_images": _q_crawl_images,
+        "crawl_pages_by_source": _q_crawl_pages_by_source,
+        "crawl_phash_buckets": _q_crawl_phash_buckets,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,
         "top_customers": A.q_top_customers,

@@ -99,6 +99,26 @@ def test_image_set_matches_oracle(engine_result, oracle, corpus):
     assert len(caps) == len(imgs)
 
 
+def test_content_rows_match_oracle(engine_result, oracle, ray_session):
+    """Multiset of (url, source) content rows equals the oracle's —
+    the pages-table conformance beyond ordering/seen/images."""
+    from collections import Counter
+
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+
+    cfg, _ = engine_result
+    pages = load_unified(cfg.output_dir).to_pandas()
+    pages = pages[pages["kind"] == "page"]
+    eng = Counter(zip(pages["url"], pages["source"]))
+    ora = Counter((r["url"], r["source"]) for r in oracle.content_rows)
+    assert eng == ora
+    # enrichment spot-check: same host_level_1/file_extension per url
+    eng_map = dict(zip(pages["url"], zip(pages["host_level_1"],
+                                         pages["file_extension"])))
+    for r in oracle.content_rows:
+        assert eng_map[r["url"]] == (r["host_level_1"], r["file_extension"])
+
+
 def test_error_taxonomy_rows_present(engine_result, ray_session):
     import pyarrow.compute as pc
 

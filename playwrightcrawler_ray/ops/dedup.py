@@ -249,16 +249,38 @@ def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5) -> pd.D
 
     banded = ds.map_batches(sig_rows, batch_format="pandas")
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc_id"].unique())
-        if len(docs) < 2:
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair generation over a whole hash partition of
+        (band, bucket) groups — one pandas sort + run detection instead
+        of one map_groups call per tiny bucket (which at 32 bands ×
+        n_docs buckets is pure per-group overhead)."""
+        g = g.sort_values(["band", "bucket", "doc_id"])
+        key = g["band"].astype(np.int64) * (1 << 32) + g["bucket"].astype(np.int64)
+        arr = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key.to_numpy()[1:] != key.to_numpy()[:-1]])
+        ends = np.r_[starts[1:], len(arr)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            run = np.unique(arr[s:e])
+            if len(run) > 1:
+                ia, ib = np.triu_indices(len(run), k=1)
+                out_a.append(run[ia])
+                out_b.append(run[ib])
+        if not out_a:
             return pd.DataFrame({"a": [], "b": []})
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = df["bucket"] % 64
+        return df
 
     cand = (
-        banded.groupby(["band", "bucket"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
+        banded.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pandas")
         .to_pandas()
     )
     if cand.empty:

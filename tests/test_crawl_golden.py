@@ -136,6 +136,18 @@ def test_error_taxonomy_rows_present(engine_result, ray_session):
     assert pages["isopendir"].fillna(False).any()
 
 
+def test_cuckoo_seen_mode_matches_oracle_ordering(ray_session, corpus, oracle):
+    """The scale-path cuckoo filter must reproduce the exact-mode crawl
+    (FP probability at this cardinality is ~1e-4 per probe; a false
+    positive would silently drop a URL and break ordering)."""
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_cuckoo", max_waves=60)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    res = run_crawl(corpus, cfg, seen_mode="cuckoo")
+    assert res.order == oracle.order
+
+
 def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
     """Kill after wave 2, restart from checkpoint → identical final
     order + seen set (SURVEY.md §5.5)."""

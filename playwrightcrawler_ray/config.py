@@ -28,6 +28,9 @@ class CrawlConfig:
     max_url_length: int = 4096                # MAX_URL_LENGTH
     max_dir_levels: int = 7                   # MAX_DIR_LEVELS
     max_host_levels: int = 7                  # MAX_HOST_LEVELS
+    # per-resource payload ceiling (reference MAX_MEMORY_MB=6000 aborts
+    # the page and persists a minimal doc, playwrightcrawler.py:5294-5307)
+    max_body_mb: int = 6000
     hunt_open_directories: bool = True        # HUNT_OPEN_DIRECTORIES
     remove_repeated_segments: bool = True     # REMOVE_REPEATED_SEGMENTS
     node_id: str = "ray-collector-01"         # NODE_ID

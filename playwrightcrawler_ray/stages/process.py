@@ -144,6 +144,17 @@ def process_fetched(
     def offer_link(link_url: str) -> None:
         offer_canonical(canonicalize_url(link_url))
 
+    if status == 200 and len(body) > ctx.cfg.max_body_mb * 1_000_000:
+        # memory guard: oversized payload → abort with a minimal doc
+        # (reference monitor_memory abort, playwrightcrawler.py:5294-5307)
+        row = _base_row(url, host, wave, status=status, content_type=ctype,
+                        category=category, source="get_page_outofmemory",
+                        parent_host=host)
+        r = enrich_content_row(row, ctx)
+        if r:
+            content_rows.append(r)
+        return content_rows, offers, imgrefs
+
     if status != 200:
         row = _base_row(url, host, wave, status=status, content_type=ctype,
                         category=category, source=f"fetch_error_{status}")

@@ -309,21 +309,33 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sim(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.split():
+        # per-batch token→±1 bit-vector cache: natural text has heavy
+        # token reuse, so hashing is amortized across the batch
+        bit_cache: dict[str, np.ndarray] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def bits_of(tok: str) -> np.ndarray:
+            v = bit_cache.get(tok)
+            if v is None:
                 h = np.uint64(
                     int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "big",
                     )
                 )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
+                v = np.where((h >> shifts) & np.uint64(1) == 1, 1, -1).astype(
+                    np.int64
+                )
+                bit_cache[tok] = v
+            return v
+
+        out = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                acc += bits_of(tok)
+            val = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             out.append({"doc_id": doc_id, "simhash": val - (1 << 63)})
         return pd.DataFrame(out)
 

@@ -288,9 +288,12 @@ class CrawlEngine:
                 columns=["kind", "url", "host", "wave"],
                 filter=(_pc.field("kind") == "link"),
             )
-            link_ds.map_batches(
-                offer_fn, batch_format="pyarrow", batch_size=8192
-            ).materialize()
+            offered_rows = (
+                link_ds.map_batches(
+                    offer_fn, batch_format="pyarrow", batch_size=8192
+                ).sum("offered")
+                or 0
+            )
             wave_log.append(
                 {
                     "wave": wave,
@@ -299,6 +302,7 @@ class CrawlEngine:
                     "sec": round(time.perf_counter() - tw, 4),
                     "pipeline_sec": round(t_pipeline, 4),
                     "offer_sec": round(time.perf_counter() - tw - t_pipeline, 4),
+                    "links_offered": int(offered_rows),
                 }
             )
             if wave % cfg.checkpoint_every == 0:

@@ -370,3 +370,14 @@ def load_images(output_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def consolidate_images(output_dir: str, dest: str | None = None) -> str:
+    """Write the final standalone images table (exactly the input_hint
+    schema) to ``<output_dir>/images/`` — the artifact a downstream
+    training pipeline consumes without knowing about waves. Streaming:
+    one pruned pass over the wave partitions."""
+    dest = dest or os.path.join(output_dir, "images")
+    shutil.rmtree(dest, ignore_errors=True)
+    load_images(output_dir).write_parquet(dest)
+    return dest

@@ -86,6 +86,19 @@ def test_analytics_distributions(crawl_out):
     assert depths["n"].sum() > 0
 
 
+def test_consolidate_images(crawl_out, ray_session):
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.core.schemas import IMAGES_COLUMNS
+    from playwrightcrawler_ray.pipelines.crawl import consolidate_images, load_images
+
+    dest = consolidate_images(crawl_out)
+    tbl = pq.read_table(dest)
+    assert tbl.schema.names == IMAGES_COLUMNS
+    assert tbl.num_rows == load_images(crawl_out).count()
+    assert tbl.num_rows > 0
+
+
 def test_admission_verifier_empty(crawl_out):
     from playwrightcrawler_ray.pipelines.export import verify_admission_invariants
 

@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": A.q_events_by_type,
         "events_hourly": A.q_events_hourly,
         "user_sessions": A.q_user_sessions,
+        "events_ts_range": A.q_events_ts_range,
+        "supplier_by_nation": A.q_supplier_by_nation,
+        "customer_segments": A.q_customer_segments,
         # text analysis
         "token_counts": T.q_token_counts,
         "quality_signals": T.q_quality_signals,
@@ -159,6 +162,9 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": A.SQL_EVENTS_BY_TYPE,
         "events_hourly": A.SQL_EVENTS_HOURLY,
         "user_sessions": A.SQL_USER_SESSIONS,
+        "events_ts_range": A.SQL_EVENTS_TS_RANGE,
+        "supplier_by_nation": A.SQL_SUPPLIER_BY_NATION,
+        "customer_segments": A.SQL_CUSTOMER_SEGMENTS,
         "token_counts": T.SQL_TOKEN_COUNTS,
         "quality_signals": T.SQL_QUALITY_SIGNALS,
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,

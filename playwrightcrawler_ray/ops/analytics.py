@@ -295,6 +295,82 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     )
 
 
+def q_events_ts_range(sf_dir: str) -> pd.DataFrame:
+    """Timestamp range + count (A4: the reference's min/max created_at
+    pivot aggregation, playwrightcrawler.py:1150-1159)."""
+    ev = _read(sf_dir, "events", ["ts"])
+    out = ev.aggregate(Min("ts", alias_name="ts_min"),
+                       Max("ts", alias_name="ts_max"),
+                       Count(alias_name="n"))
+    return pd.DataFrame([out])
+
+
+SQL_EVENTS_TS_RANGE = """
+SELECT MIN(ts) AS ts_min, MAX(ts) AS ts_max, COUNT(*) AS n FROM events
+"""
+
+
+def q_supplier_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join supplier⋈nation → per-nation counts."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_nationkey", as_index=False, sort=False).agg(
+            n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_nationkey", as_index=False, sort=False).agg(
+            n_suppliers=("n_suppliers", "sum"),
+            total_acctbal=("total_acctbal", "sum"),
+        )
+
+    from .aggutil import partial_grouped_agg
+
+    out = partial_grouped_agg(sup, partial, combine)
+    out["n_name"] = out["s_nationkey"].map(nmap)
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out[["n_name", "n_suppliers", "total_acctbal"]]
+
+
+SQL_SUPPLIER_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_segments(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False, sort=False).agg(
+            n_customers=("c_acctbal", "size"), total_acctbal=("c_acctbal", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False, sort=False).agg(
+            n_customers=("n_customers", "sum"),
+            total_acctbal=("total_acctbal", "sum"),
+        )
+
+    from .aggutil import partial_grouped_agg
+
+    out = partial_grouped_agg(cust, partial, combine)
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out
+
+
+SQL_CUSTOMER_SEGMENTS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 SQL_USER_SESSIONS = """
 SELECT user_id,
        CAST(SUM(CASE WHEN prev_ts IS NULL

@@ -58,7 +58,9 @@ def _oracle_pairs():
 @pytest.mark.parametrize("name", [
     "pricing_summary", "top_customers", "orders_without_lineitem",
     "region_nation_counts", "part_top3_by_brand", "events_by_type",
-    "events_hourly", "user_sessions", "token_counts", "quality_signals",
+    "events_hourly", "user_sessions", "events_ts_range",
+    "supplier_by_nation", "customer_segments",
+    "token_counts", "quality_signals",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
 ])

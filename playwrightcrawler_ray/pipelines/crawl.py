@@ -219,9 +219,8 @@ class CrawlEngine:
         fetch_fn = make_fetch_fn(self.corpus_ref, self.latency_ref)
         imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref,
                                        self.dedup)
-        decode_fn = make_decode_fn(cfg, self.dedup)
+        decode_fn = make_decode_fn(cfg, self.dedup, self.shards)
         parse_fn = make_parse_fn(cfg)
-        offer_fn = make_offer_fn(self.shards)
         limit = max_waves if max_waves is not None else cfg.max_waves
 
         t0 = time.perf_counter()
@@ -274,26 +273,11 @@ class CrawlEngine:
                 ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=bs)
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
             shutil.rmtree(wave_dir, ignore_errors=True)
+            # link offers happen INSIDE the decode stage (awaited per
+            # batch) — write_parquet returning is therefore the exact
+            # barrier: every link row is durable AND offered.
             ds.write_parquet(wave_dir)
             t_pipeline = time.perf_counter() - tw
-            # offer the wave's discovered links (in-band kind='link'
-            # rows) to the frontier via a small distributed pass: a
-            # column-pruned, predicate-filtered read of the link keys →
-            # shard-routed offers from tasks. The wave write is the
-            # barrier, so offers stay exact and deterministic.
-            import pyarrow.compute as _pc
-
-            link_ds = ray.data.read_parquet(
-                wave_dir,
-                columns=["kind", "url", "host", "wave"],
-                filter=(_pc.field("kind") == "link"),
-            )
-            offered_rows = (
-                link_ds.map_batches(
-                    offer_fn, batch_format="pyarrow", batch_size=8192
-                ).sum("offered")
-                or 0
-            )
             wave_log.append(
                 {
                     "wave": wave,
@@ -301,8 +285,6 @@ class CrawlEngine:
                     "urls": len(urls),
                     "sec": round(time.perf_counter() - tw, 4),
                     "pipeline_sec": round(t_pipeline, 4),
-                    "offer_sec": round(time.perf_counter() - tw - t_pipeline, 4),
-                    "links_offered": int(offered_rows),
                 }
             )
             if wave % cfg.checkpoint_every == 0:

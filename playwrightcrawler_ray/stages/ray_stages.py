@@ -278,15 +278,31 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
     return imgfetch
 
 
-def make_decode_fn(cfg: CrawlConfig, dedup_handles: list):
+def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
+                   frontier_handles: list | None = None):
     """imgref rows → decoded content doc + (if first sighting of the
     pixel hash, per the global DedupShard service) the image row; page
     rows pass through untouched. Output schema: UNIFIED (transit body
-    dropped)."""
+    dropped).
+
+    With ``frontier_handles``, the batch's link rows are ALSO offered
+    to the frontier here (awaited with the CPU-holding wait): decode is
+    the last stage before the write sink, so the wave's write barrier
+    then implies every offer was processed — same exactness as a
+    separate post-wave offer pass without a second Dataset execution
+    per wave."""
     num_shards = len(dedup_handles)
+    _offer_inline = (
+        make_offer_fn(frontier_handles) if frontier_handles is not None else None
+    )
 
     def decode(batch: pa.Table) -> pa.Table:
         ctx = _ctx_for(cfg)
+        if _offer_inline is not None:
+            link_mask = pc.equal(batch.column("kind"), "link")
+            links = batch.filter(link_mask)
+            if links.num_rows:
+                _offer_inline(links.select(["url", "host", "wave"]))
         img_mask = pc.equal(batch.column("kind"), "imgref")
         passthrough = batch.filter(pc.invert(img_mask)).drop_columns(["body"])
         img_part = batch.filter(img_mask)

@@ -72,6 +72,10 @@ class CrawlConfig:
     num_frontier_shards: int = 8     # scale with cluster size; hash(host) % shards
     num_seen_shards: int = 8         # pixel-hash dedup shards
     fetch_concurrency: int = 8       # fetch actor pool size
+    # transient-failure retry (reference downloader: 3 tries, exp
+    # backoff ×2, downloader.py:262-302); base kept tiny in-sandbox
+    fetch_retries: int = 3
+    fetch_backoff_base_s: float = 0.01
     # one batch/block size for ALL wave stages: Ray fuses the stage
     # chain into one operator whose task granularity is the largest
     # fused batch_size — mixed sizes silently serialize the wave.

@@ -43,6 +43,9 @@ class CorpusData:
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
     seeds: list[str] = field(default_factory=list)
     latency_ms: dict[str, int] = field(default_factory=dict)  # host -> simulated fetch latency
+    # failure injection for retry tests: url -> number of transient
+    # failures before success (reference downloader backoff, S10)
+    flaky: dict[str, int] = field(default_factory=dict)
     # ground truth for test assertions (not visible to the engine):
     truth_images: dict[str, dict] = field(default_factory=dict)  # img url -> {pixels_shape, caption, fmt}
 

@@ -216,7 +216,11 @@ class CrawlEngine:
         else:
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
-        fetch_fn = make_fetch_fn(self.corpus_ref, self.latency_ref)
+        flaky_ref = ray.put(dict(self.corpus.flaky)) if self.corpus.flaky else None
+        fetch_fn = make_fetch_fn(
+            self.corpus_ref, self.latency_ref, flaky_ref,
+            retries=cfg.fetch_retries, backoff_base_s=cfg.fetch_backoff_base_s,
+        )
         imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref,
                                        self.dedup)
         decode_fn = make_decode_fn(cfg, self.dedup, self.shards)

@@ -77,14 +77,20 @@ def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     return _CTX_CACHE[key]
 
 
-def make_fetch_fn(corpus_ref, latency_ref=None):
+def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
+                  retries: int = 3, backoff_base_s: float = 0.01):
     """Wave-input batch (url, host, wave) → + status/content_type_raw/
     body/redirect_to, resolved against the broadcast corpus.
 
     With ``latency_ref`` set (bench realism), the batch sleeps the max
     per-host latency once — modeling an async HTTP client that issues
     the whole batch concurrently and completes with the slowest
-    response, which is what the real fetch actor would do."""
+    response, which is what the real fetch actor would do.
+
+    Transient failures (``flaky_ref``: url → failure count) are retried
+    with exponential backoff ×2 up to ``retries`` attempts (reference
+    downloader semantics, downloader.py:262-302); exhausted retries
+    yield status 599 (→ a ``fetch_error_599`` doc, terminal)."""
     import time as _time
 
     def fetch(batch: pa.Table) -> pa.Table:
@@ -94,9 +100,21 @@ def make_fetch_fn(corpus_ref, latency_ref=None):
             if lat:
                 hosts = set(batch.column("host").to_pylist())
                 _time.sleep(max(lat.get(h, 0) for h in hosts) / 1000.0)
-        status, ctype, body, redirect = reader.lookup(
-            batch.column("url").to_pylist()
-        )
+        urls = batch.column("url").to_pylist()
+        status, ctype, body, redirect = reader.lookup(urls)
+        if flaky_ref is not None:
+            flaky: dict[str, int] = _cached_get(flaky_ref)
+            for i, u in enumerate(urls):
+                failures = flaky.get(u, 0)
+                if not failures:
+                    continue
+                attempt, backoff = 1, backoff_base_s
+                while attempt <= failures and attempt < retries:
+                    _time.sleep(backoff)
+                    backoff *= 2
+                    attempt += 1
+                if failures >= retries:  # exhausted → terminal error
+                    status[i], ctype[i], body[i], redirect[i] = 599, "", b"", ""
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("content_type_raw", pa.array(ctype, pa.string()))

@@ -66,9 +66,52 @@ CANON_CASES = [
     (None, ""),
 ]
 
+# complete scheme-typo battery (reference :2341-2358): every repair rule
+# exercised once
+SCHEME_FIX_CASES = [
+    ("ps://x.test/", "https://x.test/"),
+    ("ttps://x.test/", "https://x.test/"),
+    ("htpps://x.test/", "https://x.test/"),
+    ("httpp://x.test/", "https://x.test/"),
+    ("http:s//x.test/", "https://x.test/"),
+    ("hthttps://x.test/", "https://x.test/"),
+    ("httsp://x.test/", "https://x.test/"),
+    ("htts://x.test/", "https://x.test/"),
+    ("htttps://x.test/", "https://x.test/"),
+    ("https:https://x.test/", "https://x.test/"),
+    ("https https://x.test/", "https://x.test/"),
+    ("httpshttps://x.test/", "https://x.test/"),
+    ("https://https://x.test/", "https://x.test/"),
+    ('"https://x.test/', "https://x.test/"),
+    ("httpd://x.test/", "https://x.test/"),
+    ("htps://x.test/", "https://x.test/"),
+    ("https: //x.test/", "https://x.test/"),
+    ("https : //x.test/", "https://x.test/"),
+    ("http2://x.test/", "https://x.test/"),
+    ("https%3A//x.test/", "https://x.test/"),
+    ("%20https://x.test/", "https://x.test/"),
+    ("htto://x.test/", "http://x.test/"),
+    ("htt://x.test/", "http://x.test/"),
+    ("htp://http//x.test/", "http://x.test/"),
+    ("htp://x.test/", "http://x.test/"),
+    ("hhttp://x.test/", "http://x.test/"),
+    ("http:/http://x.test/", "http://x.test/"),
+    ("http:www.x.test/", "http://www.x.test/"),
+    ("htttp://x.test/", "http://x.test/"),
+    ("ttp://x.test/", "http://x.test/"),
+    ("%20http://x.test/", "http://x.test/"),
+    ("httpqs://x.test/", "https://www.x.test/"),
+    ("://x.test/", "https://x.test/"),
+]
+
 
 @pytest.mark.parametrize("raw,expected", CANON_CASES)
 def test_canonicalize_cases(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", SCHEME_FIX_CASES)
+def test_canonicalize_scheme_fixes(raw, expected):
     assert canonicalize_url(raw) == expected
 
 

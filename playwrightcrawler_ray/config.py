@@ -19,6 +19,9 @@ from dataclasses import dataclass, field
 @dataclass
 class CrawlConfig:
     # --- behavior parity with the reference (config.py in /root/reference) ---
+    extract_words: bool = True                # EXTRACT_WORDS
+    extract_min_webcontent: bool = True       # EXTRACT_MIN_WEBCONTENT
+    use_octet_stream: bool = True             # USE_OCTET_STREAM
     words_remove_special_chars: bool = True   # WORDS_REMOVE_SPECIAL_CHARS
     words_to_lower: bool = True               # WORDS_TO_LOWER
     words_min_len: int = 3                    # WORDS_MIN_LEN (exclusive lower bound)

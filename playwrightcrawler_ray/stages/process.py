@@ -55,7 +55,7 @@ class ProcessContext:
     policy: UrlPolicy = field(init=False)
 
     def __post_init__(self):
-        self.router = ContentTypeRouter(use_octet_stream=True)
+        self.router = ContentTypeRouter(use_octet_stream=self.cfg.use_octet_stream)
         self.policy = UrlPolicy(
             host_block=self.cfg.host_regex_block_list,
             host_allow=self.cfg.host_regex_allow_list,
@@ -170,14 +170,22 @@ def process_fetched(
         text = body.decode("utf-8", errors="replace")
         ex = extract_page(text)
         is_od, od_pattern = is_open_directory(text, url)
-        min_web = ex.min_webcontent[: ctx.cfg.max_webcontent_size]
-        words = extract_top_words(
-            ex.min_webcontent,
-            remove_special_chars=ctx.cfg.words_remove_special_chars,
-            to_lower=ctx.cfg.words_to_lower,
-            min_len=ctx.cfg.words_min_len,
-            max_len=ctx.cfg.words_max_len,
-            max_words=ctx.cfg.words_max_words,
+        min_web = (
+            ex.min_webcontent[: ctx.cfg.max_webcontent_size]
+            if ctx.cfg.extract_min_webcontent
+            else ""
+        )
+        words = (
+            extract_top_words(
+                ex.min_webcontent,
+                remove_special_chars=ctx.cfg.words_remove_special_chars,
+                to_lower=ctx.cfg.words_to_lower,
+                min_len=ctx.cfg.words_min_len,
+                max_len=ctx.cfg.words_max_len,
+                max_words=ctx.cfg.words_max_words,
+            )
+            if ctx.cfg.extract_words
+            else []
         )
         page = _base_row(
             url, host, wave, status=status, content_type=ctype, category=category,

@@ -14,11 +14,10 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -90,7 +89,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
     """Broadcast-join orders⋈customer (small side broadcast, no
     shuffle join) → revenue per customer → top 10."""
-    from .aggutil import partial_grouped_agg, sum_count_partial
+    from .aggutil import partial_grouped_agg
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     names = dict(zip(cust["c_custkey"], cust["c_name"]))

@@ -22,7 +22,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count
 
 
 def _docs(sf_dir: str, columns):

@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
 
 from ..functions.text import detect_language, fingerprint64
 

@@ -52,7 +52,6 @@ from ..stages.ray_stages import (
     make_decode_fn,
     make_fetch_fn,
     make_imgfetch_fn,
-    make_offer_fn,
     make_parse_fn,
 )
 from ..urlkit.canonicalize import canonicalize_url

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..config import CrawlConfig
-from ..core.schemas import UNIFIED_SCHEMA, empty_unified_row
+from ..core.schemas import UNIFIED_SCHEMA
 from .process import ProcessContext, process_fetched, process_image_payload
 
 TRANSIT_SCHEMA = UNIFIED_SCHEMA.append(pa.field("body", pa.binary()))

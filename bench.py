@@ -160,9 +160,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    n_lo, n_hi = 4, 16  # N and 4N (16 is this box's contention knee; see
-    # BASELINE.md "hardware ceiling" — at 32 slots memory-bandwidth
-    # contention inflates every task ~1.7x)
+    # N and 4N. Default 2/8 sits below this box's memory-contention
+    # knee (BASELINE.md "hardware ceiling": per-task work inflates
+    # 1.24x at 16 concurrent procs, 1.7x at 32 — that's the shared
+    # memory bus, not the engine). Pass --levels LO HI to override
+    # (e.g. --levels 4 16).
+    n_lo, n_hi = 2, 8
+    if "--levels" in sys.argv:
+        i = sys.argv.index("--levels")
+        n_lo, n_hi = int(sys.argv[i + 1]), int(sys.argv[i + 2])
     lo, hi = one(n_lo), one(n_hi)
     pps_lo, pps_hi = lo["crawl"]["pages_per_sec"], hi["crawl"]["pages_per_sec"]
     # the north-rule metric is sustained fetched-pages/sec on the same

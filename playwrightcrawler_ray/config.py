@@ -66,6 +66,7 @@ class CrawlConfig:
     seed: int = 42                   # reproducible strategy choice / sampling
     respect_robots: bool = True      # capability add (absent in reference, T7)
     checkpoint_every: int = 1        # waves between checkpoints (bench: raise)
+    checkpoint_retain: int = 3       # keep the last K checkpoints (0 = all)
     # bench realism: sleep the corpus' per-host latency_ms in the fetch
     # stages (a batch behaves like an async client — max of the batch).
     # Makes crawl throughput concurrency-bound, like a real crawl.

@@ -171,6 +171,12 @@ class CrawlEngine:
         if os.path.exists(ckdir):
             shutil.rmtree(ckdir)
         os.rename(tmp, ckdir)  # atomic publish
+        retain = self.cfg.checkpoint_retain
+        if retain > 0:
+            root = os.path.join(self.cfg.output_dir, "checkpoints")
+            old = sorted(d for d in os.listdir(root) if d.startswith("wave="))
+            for d in old[:-retain]:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def restore_latest_checkpoint(self) -> dict | None:
         root = os.path.join(self.cfg.output_dir, "checkpoints")
@@ -229,6 +235,7 @@ class CrawlEngine:
         t0 = time.perf_counter()
         wave = start_wave
         empty_streak = 0
+        last_wave_stats = ""
         while wave < limit:
             candidates = self._pop_merged(wave)
             if not candidates:
@@ -281,6 +288,7 @@ class CrawlEngine:
             # barrier: every link row is durable AND offered.
             ds.write_parquet(wave_dir)
             t_pipeline = time.perf_counter() - tw
+            last_wave_stats = ds.stats()
             wave_log.append(
                 {
                     "wave": wave,
@@ -311,6 +319,7 @@ class CrawlEngine:
                 "pages_per_sec": len(order) / elapsed if elapsed > 0 else 0.0,
                 "frontier": agg,
                 "frontier_ops": agg.get("offered", 0) + agg.get("popped", 0),
+                "last_wave_dataset_stats": last_wave_stats[:4000],
                 "frontier_ops_per_sec": (
                     (agg.get("offered", 0) + agg.get("popped", 0)) / elapsed
                     if elapsed > 0

@@ -307,7 +307,10 @@ class CrawlEngine:
         agg = {}
         for st in fstats:
             for k, v in st.items():
-                agg[k] = agg.get(k, 0) + v
+                if k == "max_host_queue":
+                    agg[k] = max(agg.get(k, 0), v)
+                else:
+                    agg[k] = agg.get(k, 0) + v
         result = CrawlResult(
             order=order,
             waves=wave - start_wave,

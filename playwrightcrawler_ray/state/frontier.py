@@ -140,7 +140,14 @@ class FrontierShard:
         return sorted(self.seen._s)
 
     def stats(self) -> dict:
-        return dict(self.counters, queued=self.size(), hosts=len(self.heaps))
+        # max_host_queue is the mega-host skew signal: at 10^10 scale a
+        # hot host's queue is split into (host, bucket) sub-shards with
+        # a host-global budget actor (SURVEY.md §4 "skew"); in-sandbox
+        # the per-wave budget already bounds its wave contribution, so
+        # we surface the skew metric rather than splitting.
+        max_q = max((len(h) for h in self.heaps.values()), default=0)
+        return dict(self.counters, queued=self.size(), hosts=len(self.heaps),
+                    max_host_queue=max_q)
 
     def checkpoint(self) -> bytes:
         """Serialized full shard state: heaps + seen-set + robots +

@@ -90,3 +90,48 @@ def test_dhash_nearness():
 def test_psnr_identical_inf():
     px = _pixels(7)
     assert psnr(px, px) == float("inf")
+
+
+def test_png_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    def roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(px)), px)
+        # qimg PSNR invariant holds for arbitrary content too
+        out, _ = decode_image(encode_image(px, "qimg"))
+        assert psnr(px, out) >= 40.0
+
+    roundtrip()
+
+
+def test_png_decode_foreign_filters():
+    # defilter path: synthesize filter-2 (Up) scanlines by hand
+    import struct
+    import zlib
+
+    px = _pixels(8, 8, 8)
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        raw.append(2)  # Up filter
+        raw.extend(((cur - prev) % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(png_decode(data), px)

@@ -251,6 +251,8 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         )
 
     out = partial_grouped_agg(ev, partial, combine)
+    # DuckDB timestamps are microsecond precision; match exactly
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return _round_cols(out, {"window_value": 2})
 
 
@@ -301,7 +303,10 @@ def q_events_ts_range(sf_dir: str) -> pd.DataFrame:
     out = ev.aggregate(Min("ts", alias_name="ts_min"),
                        Max("ts", alias_name="ts_max"),
                        Count(alias_name="n"))
-    return pd.DataFrame([out])
+    df = pd.DataFrame([out])
+    for c in ("ts_min", "ts_max"):
+        df[c] = df[c].astype("datetime64[us]")
+    return df
 
 
 SQL_EVENTS_TS_RANGE = """

@@ -1,0 +1,114 @@
+"""CLI — the engine's analogue of the reference's entry points
+(``python playwrightcrawler.py [--initial URL]`` and
+``python downloader.py``, reference README "Entry Point"):
+
+    python -m playwrightcrawler_ray.cli crawl   [--hosts N] [--pages N]
+        [--seed S] [--out DIR] [--max-waves K] [--seen-mode exact|cuckoo|bloom]
+        [--resume]
+    python -m playwrightcrawler_ray.cli images  --out DIR     # consolidate
+    python -m playwrightcrawler_ray.cli verify  --out DIR     # admission audit
+    python -m playwrightcrawler_ray.cli urls    --out DIR [--ext RE] [--limit N]
+
+The CLI owns its Ray session (guarded init, shutdown at exit) — library
+code never does (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="playwrightcrawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a crawl over the synthetic corpus")
+    c.add_argument("--hosts", type=int, default=16)
+    c.add_argument("--pages", type=int, default=12)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--out", default="/tmp/pwc_cli_out")
+    c.add_argument("--max-waves", type=int, default=60)
+    c.add_argument("--seen-mode", default="exact",
+                   choices=["exact", "cuckoo", "bloom"])
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--seeds-dir", default=None,
+                   help="directory of seed-list text files (S6 source)")
+
+    i = sub.add_parser("images", help="consolidate the standalone images table")
+    i.add_argument("--out", required=True)
+
+    v = sub.add_parser("verify", help="retroactive admission audit")
+    v.add_argument("--out", required=True)
+
+    u = sub.add_parser("urls", help="downloader-style URL selection")
+    u.add_argument("--out", required=True)
+    u.add_argument("--ext", default=None)
+    u.add_argument("--limit", type=int, default=100)
+
+    args = p.parse_args(argv)
+    ray = _ray_session()
+    try:
+        if args.cmd == "crawl":
+            from .config import CrawlConfig
+            from .corpus import build_corpus
+            from .pipelines.crawl import run_crawl
+
+            corpus = build_corpus(seed=args.seed, n_hosts=args.hosts,
+                                  pages_per_host=args.pages)
+            if args.seeds_dir:
+                from .corpus.seeds import seeds_from_files
+
+                corpus.seeds = seeds_from_files(args.seeds_dir)
+            cfg = CrawlConfig(output_dir=args.out, max_waves=args.max_waves)
+            res = run_crawl(corpus, cfg, seen_mode=args.seen_mode,
+                            resume=args.resume)
+            out = {k: v for k, v in res.stats.items()
+                   if k not in ("seen_ids", "last_wave_dataset_stats")}
+            print(json.dumps({"pages": len(res.order), "waves": res.waves,
+                              **{k: round(v, 2) if isinstance(v, float) else v
+                                 for k, v in out.items() if not isinstance(v, dict)},
+                              "frontier": out.get("frontier", {})}))
+        elif args.cmd == "images":
+            from .pipelines.crawl import consolidate_images
+
+            dest = consolidate_images(args.out)
+            print(json.dumps({"images_table": dest}))
+        elif args.cmd == "verify":
+            from .pipelines.export import verify_admission_invariants
+
+            bad = verify_admission_invariants(args.out)
+            print(json.dumps({"violations": len(bad)}))
+            return 1 if len(bad) else 0
+        elif args.cmd == "urls":
+            from .pipelines.export import filtered_urls
+
+            ds = filtered_urls(
+                args.out,
+                include_ext=[args.ext] if args.ext else None,
+                limit=args.limit,
+            )
+            for row in ds.take_all():
+                print(row["url"])
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -118,7 +118,8 @@ def test_canonicalize_scheme_fixes(raw, expected):
 @settings(max_examples=300, deadline=None)
 @given(
     st.text(
-        alphabet=string.ascii_letters + string.digits + ":/.?&=%#@-_ \"'",
+        alphabet=string.ascii_letters + string.digits
+        + ":/.?&=%#@-_ \"'“”‘’´(þæöü",
         max_size=120,
     )
 )

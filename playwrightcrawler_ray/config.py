@@ -58,6 +58,11 @@ class CrawlConfig:
         }
     )
     reproduce_reference_bugs: bool = True
+    # user-extension surface (§2.10): dotted module names imported once
+    # per worker process at ProcessContext build — modules call
+    # stages.process.register_content_handler at import, so handlers
+    # exist in every Ray task AND in the oracle
+    plugin_modules: tuple[str, ...] = ()
 
     # --- crawl loop ---
     wave_size: int = 10_000          # RANDOM_SITES_QUEUE (config.py:151)

@@ -45,6 +45,22 @@ from ..urlkit.levels import (
 
 Offer = tuple[str, int, str, str, int]  # (url, id64, host, path, wave)
 
+# --- user-extension surface (reference §2.10: @function_for_content_type
+# registry + README.md:203-212 extension recipe). A handler is
+# ``fn(url, body, content_type, ctx) -> dict`` of extra row fields
+# merged into the category's content doc; registering a NEW category
+# also requires a ContentTypeRouter ``extra`` pattern group (pass
+# ``extra_categories`` through CrawlConfig-derived ProcessContext
+# construction or register patterns via functions/content_types). ---
+CONTENT_HANDLERS: dict[str, "callable"] = {}
+
+
+def register_content_handler(category: str, fn) -> None:
+    """Register (or replace) the handler for a router category. Pure
+    per-record functions only — they run inside map_batches tasks and
+    inside the oracle, so they must be deterministic and Ray-free."""
+    CONTENT_HANDLERS[category] = fn
+
 
 @dataclass
 class ProcessContext:
@@ -55,6 +71,10 @@ class ProcessContext:
     policy: UrlPolicy = field(init=False)
 
     def __post_init__(self):
+        import importlib
+
+        for mod in self.cfg.plugin_modules:
+            importlib.import_module(mod)  # registers content handlers
         self.router = ContentTypeRouter(use_octet_stream=self.cfg.use_octet_stream)
         self.policy = UrlPolicy(
             host_block=self.cfg.host_regex_block_list,
@@ -268,10 +288,18 @@ def process_fetched(
 
     # other non-HTML categories: metadata-only content doc, one per URL
     # (reference handlers for plain text/audio/video/… produce docs with
-    # a source naming the handler, :2741-3770).
+    # a source naming the handler, :2741-3770). A registered custom
+    # handler (register_content_handler, §2.10) contributes extra fields.
     row = _base_row(url, host, wave, status=status, content_type=ctype,
                     category=category, source=f"content_type_{category}",
                     parent_host=host)
+    handler = CONTENT_HANDLERS.get(category)
+    if handler is not None:
+        try:
+            extra = handler(url, body, ctype, ctx) or {}
+        except Exception:
+            extra = {"source": f"content_type_{category}_handler_error"}
+        row.update(extra)
     r = enrich_content_row(row, ctx)
     if r:
         content_rows.append(r)

@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--limit", type=int, default=100)
 
     args = p.parse_args(argv)
+    if args.cmd in ("images", "verify", "urls"):
+        import glob
+        import os
+
+        if not glob.glob(os.path.join(args.out, "wave=*", "*.parquet")):
+            print(json.dumps({"error": f"no crawl output found under {args.out} "
+                              "(expected wave=*/ parquet partitions)"}),
+                  file=sys.stderr)
+            return 2
     ray = _ray_session()
     try:
         if args.cmd == "crawl":
@@ -96,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"violations": len(bad)}))
             return 1 if len(bad) else 0
         elif args.cmd == "urls":
+            import re as _re
+
+            if args.ext:
+                try:
+                    _re.compile(args.ext)
+                except _re.error as e:
+                    print(json.dumps({"error": f"invalid --ext regex: {e}"}),
+                          file=sys.stderr)
+                    return 2
             from .pipelines.export import filtered_urls
 
             ds = filtered_urls(

@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
+        "dedup_components": N.q_dedup_components,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
     }
 
@@ -173,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
+        "dedup_components": N.sql_dedup_components(),
     }

@@ -127,6 +127,59 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_dedup_components(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """Near-duplicate clusters: connected components of the cosine-≥τ
+    graph, labeled by the minimum vec_id in each component.
+
+    Pipeline: exact near-dup edges (blocked GEMM vs broadcast matrix,
+    same kernel as q_embedding_neardup_pairs) → iterated min-label
+    propagation until fixed point. The edge set is aggregate-sized
+    (result of the similarity threshold), so propagation runs over the
+    collected pairs; at 10^10-doc scale the same min-label iteration
+    is a per-round ``groupby(vertex).min(label)`` over the edge
+    Dataset (the guide's connected-components recipe), converging in
+    graph-diameter rounds."""
+    edges = q_embedding_neardup_pairs(sf_dir, threshold=threshold)
+    all_ids = _emb(sf_dir, ["vec_id"]).to_pandas()["vec_id"].to_numpy()
+    label = {int(v): int(v) for v in all_ids}
+    ea = edges["vec_a"].to_numpy()
+    eb = edges["vec_b"].to_numpy()
+    for _ in range(64):  # diameter bound; converges long before
+        changed = False
+        for a, b in zip(ea, eb):
+            la, lb = label[a], label[b]
+            if la < lb:
+                label[b] = la
+                changed = True
+            elif lb < la:
+                label[a] = lb
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(
+        {"vec_id": sorted(label), "component_id": [label[v] for v in sorted(label)]}
+    )
+    return out
+
+
+def sql_dedup_components(threshold: float = 0.3) -> str:
+    return f"""
+WITH RECURSIVE
+e AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= {threshold}
+),
+edges AS (SELECT va, vb FROM e UNION ALL SELECT vb AS va, va AS vb FROM e),
+cc(v, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT edges.va, cc.lbl FROM cc JOIN edges ON cc.v = edges.vb
+)
+SELECT v AS vec_id, MIN(lbl) AS component_id FROM cc GROUP BY v
+"""
+
+
 def q_ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10,
                    n_planes: int = 8, seed: int = 13) -> pd.DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, search the

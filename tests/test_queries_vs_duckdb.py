@@ -63,6 +63,7 @@ def _oracle_pairs():
     "token_counts", "quality_signals",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
+    "dedup_components",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()

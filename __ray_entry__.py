@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
         "dedup_components": N.q_dedup_components,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
+        "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)
     }
 
 

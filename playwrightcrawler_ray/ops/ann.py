@@ -180,6 +180,73 @@ SELECT v AS vec_id, MIN(lbl) AS component_id FROM cc GROUP BY v
 """
 
 
+def q_embedding_kmeans(sf_dir: str, k: int = 10, iters: int = 10,
+                       seed: int = 5) -> pd.DataFrame:
+    """Seeded Lloyd's k-means over the embedding column — the
+    iterative-ML pattern on Ray Data: centroids broadcast per round,
+    assignment + per-cluster partial sums computed vectorized per
+    batch, partials combined on the driver (k×dim — aggregate-sized),
+    centroids updated, repeat. Deterministic (seeded init, fixed
+    rounds) → rows-only driver check; unit test asserts determinism."""
+    ids_df = _emb(sf_dir, ["vec_id"]).to_pandas()
+    n = len(ids_df)
+    rng = np.random.default_rng(seed)
+    init_pos = np.sort(rng.choice(n, size=min(k, n), replace=False))
+    init_rows = (
+        _emb(sf_dir).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    centroids = np.stack(init_rows["embedding"].iloc[init_pos].to_numpy()).astype(
+        np.float64
+    )
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            m = _to_matrix(df)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            rows = []
+            for ci in np.unique(assign):
+                sel = m[assign == ci]
+                rows.append(
+                    {"cluster": int(ci), "count": len(sel),
+                     "vsum": sel.sum(axis=0).tolist()}
+                )
+            return pd.DataFrame(rows)
+
+        parts = (
+            _emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(partial_sums, batch_format="pandas", batch_size=2048)
+            .to_pandas()
+        )
+        new_c = centroids.copy()
+        for ci, grp in parts.groupby("cluster"):
+            total = grp["count"].sum()
+            vsum = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            if total > 0:
+                new_c[ci] = vsum / total
+        centroids = new_c
+
+    c_ref = ray.put(centroids)
+
+    def assign_final(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        m = _to_matrix(df)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"], "cluster": d2.argmin(axis=1).astype(np.int64)}
+        )
+
+    out = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(assign_final, batch_format="pandas", batch_size=2048)
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10,
                    n_planes: int = 8, seed: int = 13) -> pd.DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern, search the

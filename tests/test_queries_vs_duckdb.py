@@ -81,7 +81,7 @@ def test_query_matches_oracle(entrymod, name):
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
-                 "simhash", "ann_topk_lsh", "crawl_images",
+                 "simhash", "ann_topk_lsh", "embedding_kmeans", "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets"]:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):

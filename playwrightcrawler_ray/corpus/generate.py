@@ -124,13 +124,18 @@ def build_corpus(
         size = img_sizes[i % len(img_sizes)]
         px = _make_pixels(nprng, size)
         cap = _caption(rng)
-        if i % 3 == 0:
+        if i % 9 == 4:
+            # palette-quantized GIF (≤64 colors) through the real codec
+            px = ((px >> 6) << 6).astype(px.dtype)
+            body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
+        elif i % 3 == 0:
             body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
         else:
             # qimg bytes served with a messy real-world MIME
             body, ctype, name = encode_image(px, "qimg"), "image/jpeg", f"pic{i}.jpg"
+        fmt_truth = "gif" if i % 9 == 4 else ("png" if i % 3 == 0 else "qimg")
         url = add_image(host, name, body, ctype, cap,
-                        {"caption": cap, "fmt": "png" if i % 3 == 0 else "qimg"})
+                        {"caption": cap, "fmt": fmt_truth})
         img_truth_pixels[url] = px
         if i % 7 == 0:
             # exact duplicate: same bytes at a second URL (collapses on pixel hash)

@@ -45,7 +45,9 @@ class CodecUnavailable(NotImplementedError):
 
 
 _QIMG_MAGIC = b"QIM1"
-_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "gif", "tiff", "bmp"}
+# jpeg/webp/tiff/bmp decoders are absent in this container (stubbed);
+# PNG and GIF are real pure-Python implementations, qimg is ours.
+_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "tiff", "bmp"}
 MAX_PIXELS = 64_000_000
 
 
@@ -55,6 +57,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     fmt = fmt.lower()
     if fmt == "png":
         return png_encode(pixels)
+    if fmt == "gif":
+        from .gif import gif_encode
+
+        return gif_encode(pixels)
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -93,6 +99,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     try:
         if fmt == "png":
             px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
+        elif fmt == "gif":
+            from .gif import gif_decode
+
+            px = gif_decode(bytes(data), max_pixels=MAX_PIXELS)
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)
             if w * h > MAX_PIXELS:
@@ -106,7 +116,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             )
     except MemoryError as e:
         raise DecompressionBombError(str(e)) from e
-    except (zlib.error, struct.error, ValueError, NotImplementedError) as e:
+    except (zlib.error, struct.error, ValueError, NotImplementedError,
+            IndexError) as e:
         # corrupt/truncated/unsupported-variant streams → the reference's
         # OSError taxonomy bucket (:3896-3930)
         raise OSError(f"corrupt image stream: {e}") from e

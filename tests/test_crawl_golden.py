@@ -87,8 +87,8 @@ def test_image_set_matches_oracle(engine_result, oracle, corpus):
         # re-encoding round trip must satisfy the PSNR invariant
         from playwrightcrawler_ray.imaging import encode_image
 
-        if fmt == "png":
-            assert np.array_equal(decode_image(encode_image(engine_px, "png"))[0],
+        if fmt in ("png", "gif"):  # lossless formats: byte-exact round trip
+            assert np.array_equal(decode_image(encode_image(engine_px, fmt))[0],
                                   engine_px)
         else:
             assert psnr(engine_px, decode_image(encode_image(engine_px, "qimg"))[0]) >= 40

@@ -1,8 +1,8 @@
 """Imaging: encode/decode/hash for the ``images`` table payloads.
 
 This container has no PIL/OpenCV, so the codec layer is self-contained:
-a real PNG codec (zlib + numpy, lossless) and a deterministic quantized
-lossy format ("qimg") standing in for JPEG. Real JPEG/WebP/GIF decode is
+real PNG and GIF codecs (zlib/LZW + numpy, lossless) and a deterministic
+quantized lossy format ("qimg") standing in for JPEG. JPEG/WebP decode is
 STUBBED behind ``CodecUnavailable`` (NotImplementedError) — the Ray-side
 plumbing (schemas, batch sizes, actor signatures, error taxonomy rows)
 is real and tested either way.

@@ -15,10 +15,11 @@ Maps the reference's image handler semantics
   ``DecompressionBombError`` → content_type_images_decompression_bomb_error,
   ``OSError``/ValueError       → content_type_images_oserror.
 
-Formats: ``png`` (real, lossless), ``qimg`` (real, deterministic 6-bit
-quantized lossy stand-in for JPEG; PSNR ≈ 46 dB ≥ the 40 dB invariant).
-``jpeg``/``webp``/``gif`` raise ``CodecUnavailable`` — PIL is absent in
-this container; the stage emits a clearly-labeled stub row instead.
+Formats: ``png``/``gif``/``bmp`` (real pure-Python codecs, lossless),
+``qimg`` (real, deterministic 6-bit quantized lossy stand-in for JPEG;
+PSNR ≈ 46 dB ≥ the 40 dB invariant). ``jpeg``/``webp``/``tiff`` raise
+``CodecUnavailable`` — no DCT/VP8 decoder in this container; the stage
+emits a clearly-labeled stub row instead.
 """
 
 from __future__ import annotations
@@ -45,9 +46,9 @@ class CodecUnavailable(NotImplementedError):
 
 
 _QIMG_MAGIC = b"QIM1"
-# jpeg/webp/tiff/bmp decoders are absent in this container (stubbed);
-# PNG and GIF are real pure-Python implementations, qimg is ours.
-_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "tiff", "bmp"}
+# jpeg/webp/tiff decoders are absent in this container (stubbed);
+# PNG, GIF and BMP are real pure-Python implementations, qimg is ours.
+_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "tiff"}
 MAX_PIXELS = 64_000_000
 
 
@@ -61,6 +62,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .gif import gif_encode
 
         return gif_encode(pixels)
+    if fmt == "bmp":
+        from .bmp import bmp_encode
+
+        return bmp_encode(pixels)
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -83,6 +88,8 @@ def sniff_format(data: bytes) -> str:
         return "webp"
     if data.startswith((b"GIF87a", b"GIF89a")):
         return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
     raise UnidentifiedImageError("unrecognized image magic")
 
 
@@ -103,6 +110,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             from .gif import gif_decode
 
             px = gif_decode(bytes(data), max_pixels=MAX_PIXELS)
+        elif fmt == "bmp":
+            from .bmp import bmp_decode
+
+            px = bmp_decode(bytes(data), max_pixels=MAX_PIXELS)
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)
             if w * h > MAX_PIXELS:

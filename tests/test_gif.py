@@ -86,3 +86,15 @@ def test_codec_integration():
     # truncated gif → OSError taxonomy
     with pytest.raises(OSError):
         decode_image(data[: len(data) // 2])
+
+
+def test_bmp_roundtrip_and_integration():
+    from playwrightcrawler_ray.imaging.bmp import bmp_decode, bmp_encode
+
+    px = _palette_image(7, h=33, w=41, ncolors=200)  # odd width → row padding
+    assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+    data = encode_image(px, "bmp")
+    out, fmt = decode_image(data)
+    assert fmt == "bmp" and np.array_equal(out, px)
+    with pytest.raises(OSError):
+        decode_image(data[: len(data) // 2])  # truncated → taxonomy

@@ -52,6 +52,18 @@ UNIFIED_FIELDS: list[tuple[str, pa.DataType]] = [
     ("phash", pa.int64()),
     ("pixel_sha1", pa.string()),
     ("resolution", pa.int64()),
+    # True on rows descending from an <img>-subresource claim, False on a
+    # direct (frontier-popped) image fetch, null elsewhere. Conflict
+    # resolution drops only losing SUBRESOURCE claimants (a direct fetch
+    # always emits its doc, like the oracle).
+    ("subresource", pa.bool_()),
+    # per-wave lineage: page_ord * 2^20 + emit_seq, where page_ord is the
+    # position of the originating page in the wave's selected order and
+    # emit_seq numbers that page's emitted rows (content rows, then image
+    # refs in document order). Total order over a wave's rows — the
+    # deterministic tiebreak for in-wave dedup winner resolution (the
+    # sequential oracle's "first processed wins"). Null on link rows.
+    ("ord", pa.int64()),
 ]
 
 UNIFIED_SCHEMA = pa.schema(UNIFIED_FIELDS)

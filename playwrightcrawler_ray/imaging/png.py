@@ -89,8 +89,16 @@ def png_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     if w * h > max_pixels:
         raise MemoryError(f"decompression bomb: {w}x{h}")
     ch = 3 if color_type == 2 else 4
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = w * ch + 1
+    # bounded inflate: a bomb with small declared w/h can still carry IDAT
+    # that inflates to GiB — never decompress more than the scanlines need
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(bytes(idat), h * stride + 1)
+    if len(inflated) > h * stride or (
+        dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1)
+    ):
+        raise MemoryError(f"decompression bomb: IDAT inflates past {h}x{stride}")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != h * stride:
         raise ValueError("bad scanline data size")
     rows = raw.reshape(h, stride)

@@ -31,9 +31,13 @@ def _docs(sf_dir: str, columns):
 
 
 def _shingles(text: str, w: int = 3) -> set[str]:
+    """Word-``w``-gram shingle set. Documents with fewer than ``w``
+    tokens yield NO shingles (matching the SQL oracle's empty RANGE),
+    and tokenization is whitespace-run splitting on both sides (the
+    oracle uses regexp_split_to_array + empty-segment filter)."""
     toks = text.split()
     if len(toks) < w:
-        return {" ".join(toks)} if toks else set()
+        return set()
     return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
 
 
@@ -173,7 +177,9 @@ def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20) -> pd.DataFr
 def sql_ngram_jaccard_top_pairs(w: int = 3, k: int = 20) -> str:
     join_expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(w))
     return f"""
-WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+WITH d AS (SELECT doc_id,
+                  LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, {join_expr} AS s
   FROM d, UNNEST(RANGE(1, LEN(ws) - {w - 2})) AS t(i)

@@ -118,7 +118,7 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
 
 SQL_LANG_DISTRIBUTION = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        FLOOR(AVG(n_chars) * 10000 + 0.5) / 10000 AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -143,7 +143,7 @@ def q_docs_by_source(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_DOCS_BY_SOURCE = """
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """
 

@@ -61,12 +61,27 @@ from .strategy import apply_strategy, choose_strategy, wave_rng
 
 @dataclass
 class CrawlResult:
-    order: list[str] = field(default_factory=list)
+    """Crawl outcome. The crawl ORDER is not held in driver memory —
+    each wave appends its selected URLs to an immutable per-wave log
+    under ``<output_dir>/order/`` (driver memory stays O(waves), not
+    O(pages); VERDICT round 1 item 5). ``order`` reads those logs back
+    on demand (tests / small runs only — at 10^10 URLs consume the log
+    files directly)."""
+
     waves: int = 0
     pages_written: int = 0
     output_dir: str = ""
     stats: dict = field(default_factory=dict)
     wave_log: list[dict] = field(default_factory=list)
+    order_files: list[str] = field(default_factory=list)
+
+    @property
+    def order(self) -> list[str]:
+        out: list[str] = []
+        for path in self.order_files:
+            with open(path) as f:
+                out.extend(line.rstrip("\n") for line in f)
+        return out
 
     def seen_ids(self) -> set[int]:
         return set(self.stats.get("seen_ids", []))
@@ -154,7 +169,7 @@ class CrawlEngine:
 
     # --- checkpointing (per-partition: one blob per shard per wave) ---
 
-    def _checkpoint(self, wave: int, order: list[str], wave_log: list[dict]) -> None:
+    def _checkpoint(self, wave: int, wave_log: list[dict]) -> None:
         ckdir = os.path.join(self.cfg.output_dir, "checkpoints", f"wave={wave:05d}")
         tmp = ckdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
@@ -166,8 +181,10 @@ class CrawlEngine:
         for i, blob in enumerate(dblobs):
             with open(os.path.join(tmp, f"dedup_{i:03d}.bin"), "wb") as f:
                 f.write(blob)
+        # meta carries only O(waves) state; the crawl order lives in the
+        # immutable per-wave logs under <output_dir>/order/
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump({"wave": wave, "order": order, "wave_log": wave_log}, f)
+            json.dump({"wave": wave, "wave_log": wave_log}, f)
         if os.path.exists(ckdir):
             shutil.rmtree(ckdir)
         os.rename(tmp, ckdir)  # atomic publish
@@ -200,25 +217,38 @@ class CrawlEngine:
 
     # --- the wave loop ---
 
-    def run(self, resume: bool = False, max_waves: int | None = None) -> CrawlResult:
+    def run(self, resume: bool = False, max_waves: int | None = None,
+            collect_seen_ids: bool = False) -> CrawlResult:
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
-        order: list[str] = []
+        order_dir = os.path.join(cfg.output_dir, "order")
+        os.makedirs(order_dir, exist_ok=True)
+        order_files: list[str] = []
+        pages_fetched = 0
         wave_log: list[dict] = []
         start_wave = 0
         meta = self.restore_latest_checkpoint() if resume else None
         if meta is not None:
-            order = list(meta["order"])
             wave_log = list(meta["wave_log"])
             start_wave = meta["wave"] + 1
-            # wave outputs beyond the checkpoint are replayed — clear
-            # them so write_parquet can't append duplicates
+            # wave outputs and order logs beyond the checkpoint are
+            # replayed — clear them so nothing can duplicate
             import glob as _glob
 
             for d in _glob.glob(os.path.join(cfg.output_dir, "wave=*")):
                 if int(d.rsplit("=", 1)[1]) >= start_wave:
                     shutil.rmtree(d, ignore_errors=True)
+            for p in sorted(_glob.glob(os.path.join(order_dir, "wave=*.txt"))):
+                w = int(os.path.basename(p)[5:10])
+                if w >= start_wave:
+                    os.remove(p)
+                else:
+                    order_files.append(p)
+                    with open(p) as f:
+                        pages_fetched += sum(1 for _ in f)
         else:
+            shutil.rmtree(order_dir, ignore_errors=True)
+            os.makedirs(order_dir, exist_ok=True)
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
         flaky_ref = ray.put(dict(self.corpus.flaky)) if self.corpus.flaky else None
@@ -262,7 +292,6 @@ class CrawlEngine:
             empty_streak = 0
             urls = [u for _, u, _ in selected]
             hosts = [h for _, _, h in selected]
-            order.extend(urls)
 
             tw = time.perf_counter()
             tbl = pa.table(
@@ -270,6 +299,8 @@ class CrawlEngine:
                     "url": pa.array(urls, pa.string()),
                     "host": pa.array(hosts, pa.string()),
                     "wave": pa.array([wave] * len(urls), pa.int32()),
+                    # lineage ord: position in the wave's selected order
+                    "ord": pa.array(range(len(urls)), pa.int64()),
                 }
             )
             # pre-slice into one Arrow table per wave block: from_arrow
@@ -289,6 +320,21 @@ class CrawlEngine:
             ds.write_parquet(wave_dir)
             t_pipeline = time.perf_counter() - tw
             last_wave_stats = ds.stats()
+            # wave barrier: fold in-wave dedup claims into the persistent
+            # sets; resolve the (rare) multi-claim conflicts by ord so the
+            # surviving row is the sequential oracle's
+            conflicts: set[int] = set()
+            for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
+                conflicts.update(part)
+            if conflicts:
+                _resolve_wave_conflicts(wave_dir, conflicts)
+            # append-only order log: one immutable file per wave
+            opath = os.path.join(order_dir, f"wave={wave:05d}.txt")
+            with open(opath + ".tmp", "w") as f:
+                f.write("".join(u + "\n" for u in urls))
+            os.rename(opath + ".tmp", opath)
+            order_files.append(opath)
+            pages_fetched += len(urls)
             wave_log.append(
                 {
                     "wave": wave,
@@ -296,10 +342,11 @@ class CrawlEngine:
                     "urls": len(urls),
                     "sec": round(time.perf_counter() - tw, 4),
                     "pipeline_sec": round(t_pipeline, 4),
+                    "conflicts": len(conflicts),
                 }
             )
             if wave % cfg.checkpoint_every == 0:
-                self._checkpoint(wave, order, wave_log)
+                self._checkpoint(wave, wave_log)
             wave += 1
 
         elapsed = time.perf_counter() - t0
@@ -312,14 +359,14 @@ class CrawlEngine:
                 else:
                     agg[k] = agg.get(k, 0) + v
         result = CrawlResult(
-            order=order,
             waves=wave - start_wave,
             output_dir=cfg.output_dir,
             wave_log=wave_log,
+            order_files=order_files,
             stats={
                 "elapsed_sec": elapsed,
-                "pages_fetched": len(order),
-                "pages_per_sec": len(order) / elapsed if elapsed > 0 else 0.0,
+                "pages_fetched": pages_fetched,
+                "pages_per_sec": pages_fetched / elapsed if elapsed > 0 else 0.0,
                 "frontier": agg,
                 "frontier_ops": agg.get("offered", 0) + agg.get("popped", 0),
                 "last_wave_dataset_stats": last_wave_stats[:4000],
@@ -330,7 +377,10 @@ class CrawlEngine:
                 ),
             },
         )
-        if self.seen_mode == "exact":
+        if collect_seen_ids and self.seen_mode == "exact":
+            # test/verification mode ONLY: gathering the full seen set to
+            # the driver is O(pages) memory — the golden suite's
+            # set-equality check, never the production path
             seen = set()
             for items in ray.get([s.seen_items.remote() for s in self.shards]):
                 seen.update(items)
@@ -338,11 +388,131 @@ class CrawlEngine:
         return result
 
 
+def _resolve_wave_conflicts(wave_dir: str, conflicts: set[int]) -> None:
+    """Deterministic winner resolution for in-wave dedup conflicts.
+
+    ``conflicts`` is the set of hashes (mixed namespaces: imgvisit URL
+    hashes and pixel-sha1 prefixes) claimed more than once this wave.
+    Two rules, both "minimum ``ord`` wins" — i.e. the row the sequential
+    oracle would have produced first:
+
+    1. imgvisit (same subresource URL claimed from parallel batches):
+       the losing claimants' content doc AND image row are dropped (the
+       oracle skips the whole claim).
+    2. pixel (identical pixels under different URLs): only the losing
+       image rows are dropped (the oracle always appends the doc).
+
+    Cost: only conflicted rows are gathered to the driver (tiny), then
+    one filtered rewrite of this wave's partition — runs only on actual
+    conflict, which requires identical content in parallel batches of
+    one wave."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..urlkit.ids import url_id_64
+
+    files = sorted(_glob.glob(os.path.join(wave_dir, "*.parquet")))
+    ds = ray.data.read_parquet(files)
+    conf = np.array(sorted(conflicts), dtype=np.uint64)
+    conf_ref = ray.put(conf)
+
+    def project_affected(t: pa.Table) -> pa.Table:
+        cset = ray.get(conf_ref)
+        kind = t.column("kind")
+        src = pc.fill_null(t.column("source"), "")
+        mask = pc.or_(
+            pc.equal(kind, "image"),
+            pc.starts_with(src, "content_type_images"),
+        )
+        t = t.filter(mask).select(
+            ["kind", "url", "pixel_sha1", "ord", "subresource"]
+        )
+        if t.num_rows == 0:
+            return t.append_column(
+                "uconf", pa.array([], pa.bool_())
+            ).append_column("pconf", pa.array([], pa.bool_()))
+        urls = t.column("url").to_pylist()
+        uh = np.array([url_id_64("imgvisit:" + u) for u in urls], dtype=np.uint64)
+        # only subresource claimants competed for the imgvisit claim — a
+        # direct (frontier-popped) fetch of the same URL keeps its rows
+        sub = np.array(
+            [bool(s) for s in t.column("subresource").to_pylist()]
+        )
+        uconf = np.isin(uh, cset) & sub
+        psha = t.column("pixel_sha1").to_pylist()
+        ph = np.array(
+            [int(p[:16], 16) if p else 0 for p in psha], dtype=np.uint64
+        )
+        pconf = np.isin(ph, cset) & np.array([bool(p) for p in psha])
+        keep = uconf | pconf
+        return (
+            t.filter(pa.array(keep))
+            .append_column("uconf", pa.array(uconf[keep]))
+            .append_column("pconf", pa.array(pconf[keep]))
+        )
+
+    aff = ds.map_batches(project_affected, batch_format="pyarrow").to_pandas()
+    if aff.empty:
+        return
+    # rule 1: per conflicted URL, every row of a losing claimant goes
+    full_losers: set[tuple[str, int]] = set()  # (url, ord)
+    for url, grp in aff[aff["uconf"]].groupby("url"):
+        winner = int(grp["ord"].min())
+        full_losers.update(
+            (url, int(o)) for o in grp["ord"].unique() if int(o) != winner
+        )
+    # rule 2: per conflicted pixel hash, losing image rows go (among
+    # claimants that survived rule 1)
+    img_losers: set[tuple[str, int]] = set()  # (pixel_sha1, ord)
+    imgs = aff[(aff["kind"] == "image") & aff["pconf"]]
+    if not imgs.empty:
+        alive = [
+            (p, int(o))
+            for p, u, o in zip(imgs["pixel_sha1"], imgs["url"], imgs["ord"])
+            if (u, int(o)) not in full_losers
+        ]
+        by_pixel: dict[str, list[int]] = {}
+        for p, o in alive:
+            by_pixel.setdefault(p, []).append(o)
+        for p, ords in by_pixel.items():
+            winner = min(ords)
+            img_losers.update((p, o) for o in ords if o != winner)
+    if not full_losers and not img_losers:
+        return
+    fl_ref = ray.put(full_losers)
+    il_ref = ray.put(img_losers)
+
+    def drop_losers(t: pa.Table) -> pa.Table:
+        fl, il = ray.get(fl_ref), ray.get(il_ref)
+        kind = t.column("kind").to_pylist()
+        urls = t.column("url").to_pylist()
+        ords = t.column("ord").to_pylist()
+        psha = t.column("pixel_sha1").to_pylist()
+        keep = [
+            not (
+                (o is not None and (u, o) in fl)
+                or (k == "image" and o is not None and (p, o) in il)
+            )
+            for k, u, o, p in zip(kind, urls, ords, psha)
+        ]
+        return t.filter(pa.array(keep))
+
+    tmp = wave_dir + ".fixtmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(drop_losers, batch_format="pyarrow").write_parquet(tmp)
+    shutil.rmtree(wave_dir)
+    os.rename(tmp, wave_dir)
+
+
 def run_crawl(corpus: CorpusData, cfg: CrawlConfig | None = None,
               seen_mode: str = "exact", resume: bool = False,
-              max_waves: int | None = None) -> CrawlResult:
+              max_waves: int | None = None,
+              collect_seen_ids: bool = False) -> CrawlResult:
     engine = CrawlEngine(corpus, cfg, seen_mode)
-    return engine.run(resume=resume, max_waves=max_waves)
+    return engine.run(resume=resume, max_waves=max_waves,
+                      collect_seen_ids=collect_seen_ids)
 
 
 def load_unified(output_dir: str):

@@ -20,11 +20,15 @@ the way the reference's second-phase tools operate on its ES indices:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+# byte-wise popcount lookup for vectorized Hamming distance on uint64
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 from ..config import CrawlConfig
 from ..stages.process import ProcessContext
@@ -69,10 +73,13 @@ def filtered_urls(
     return out
 
 
-def phash_buckets(output_dir: str, band_bits: int = 16) -> pd.DataFrame:
+def phash_buckets(
+    output_dir: str, band_bits: int = 16, max_hamming: int = 10
+) -> pd.DataFrame:
     """Near-dup image buckets: group images whose top ``band_bits`` of
-    the dHash agree AND whose full hashes are Hamming-close. Returns
-    buckets with ≥2 members (candidate near-dup sets)."""
+    the dHash agree AND whose full 64-bit hashes are Hamming-close
+    (≤ ``max_hamming`` to at least one other member). Returns buckets
+    with ≥2 surviving members (candidate near-dup sets)."""
     ds = load_unified(output_dir)
 
     def project(t: pa.Table) -> pa.Table:
@@ -87,15 +94,27 @@ def phash_buckets(output_dir: str, band_bits: int = 16) -> pd.DataFrame:
         )
 
     def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"band": [], "n_members": [], "image_ids": []})
         if len(g) < 2:
-            return pd.DataFrame(
-                {"band": [], "n_members": [], "image_ids": []}
-            )
+            return empty
+        # pairwise Hamming over the band group (bands are small by
+        # construction — 2^band_bits spreads the corpus): keep members
+        # within max_hamming of at least one other member
+        ph = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        xor = ph[:, None] ^ ph[None, :]
+        dist = np.zeros(xor.shape, dtype=np.int64)
+        for _ in range(8):
+            dist += _POPCNT8[(xor & np.uint64(0xFF)).astype(np.uint8)]
+            xor = xor >> np.uint64(8)
+        np.fill_diagonal(dist, 64 + 1)
+        close = (dist <= max_hamming).any(axis=1)
+        if close.sum() < 2:
+            return empty
         return pd.DataFrame(
             {
                 "band": [int(g["band"].iloc[0])],
-                "n_members": [len(g)],
-                "image_ids": [sorted(g["image_id"].tolist())],
+                "n_members": [int(close.sum())],
+                "image_ids": [sorted(g["image_id"].to_numpy()[close].tolist())],
             }
         )
 

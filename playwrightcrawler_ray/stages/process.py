@@ -233,6 +233,7 @@ def process_fetched(
                 kind="imgref", url=img_url, url_id=url_id(img_url),
                 host=ip.hostname, parent_host=host, wave=wave,
                 caption=alt or "", image_id=url_id(img_url),
+                subresource=True,
             )
             imgrefs.append(ir)
 
@@ -280,7 +281,7 @@ def process_fetched(
         ir.update(
             kind="imgref", url=url, url_id=url_id(url), host=host,
             parent_host=host, wave=wave, caption="", image_id=url_id(url),
-            content_type=ctype,
+            content_type=ctype, subresource=False,
         )
         ir["body"] = body  # transit column consumed by the decode stage
         imgrefs.append(ir)

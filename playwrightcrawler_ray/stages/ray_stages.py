@@ -18,6 +18,7 @@ reference's hot path is the same shape (SURVEY.md §2.2 M15-M23).
 from __future__ import annotations
 
 from collections import defaultdict
+from itertools import chain
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -141,14 +142,20 @@ def make_parse_fn(cfg: CrawlConfig):
         rows_out: list[dict] = []
         link_url, link_host, link_parent, link_wave = [], [], [], []
         cols = batch.select(
-            ["url", "host", "wave", "status", "content_type_raw", "body",
-             "redirect_to"]
+            ["url", "host", "wave", "ord", "status", "content_type_raw",
+             "body", "redirect_to"]
         ).to_pylist()
         for r in cols:
             content_rows, offers, imgrefs = process_fetched(
                 r["url"], r["host"], int(r["wave"]), int(r["status"]),
                 r["content_type_raw"], r["body"] or b"", r["redirect_to"], ctx,
             )
+            # lineage ord: page_ord * 2^20 + emit_seq (schemas.py). Total
+            # order over the wave's rows matching the sequential oracle's
+            # processing order — the deterministic dedup tiebreak.
+            base_ord = int(r["ord"]) << 20
+            for seq, row in enumerate(chain(content_rows, imgrefs)):
+                row["ord"] = base_ord + seq
             rows_out.extend(content_rows)
             rows_out.extend(imgrefs)
             for url, _h64, host, _path, wave in offers:
@@ -230,7 +237,14 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
     global dedup service). The reference re-downloads subresources per
     page visit but its ``_id`` upsert makes revisits invisible
     (playwrightcrawler.py:1646-1651) — skipping the refetch preserves
-    final-table semantics while removing ~90% of decode work."""
+    final-table semantics while removing ~90% of decode work.
+
+    In-wave duplicates across parallel batches are all KEPT here
+    (``stage_many`` claims, prior-wave check only); the driver resolves
+    the few conflicts deterministically by ``ord`` at the wave barrier,
+    so RPC arrival order never picks the surviving caption/parent_host
+    (ADVICE round 1). Within one batch rows are ord-sorted, so the
+    in-batch first-wins dedup already keeps the min-ord claimant."""
     import time as _time
 
     from ..urlkit.ids import url_id_64
@@ -259,7 +273,7 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
                 by_shard[s].append(h)
                 pos_by_shard[s].append(i)
             masks = _wait_holding_cpu(
-                [dedup_handles[s].add_many.remote(v) for s, v in by_shard.items()]
+                [dedup_handles[s].stage_many.remote(v) for s, v in by_shard.items()]
             )
             for (s, _), mask in zip(by_shard.items(), masks):
                 for pos, is_new in zip(pos_by_shard[s], mask):
@@ -298,10 +312,12 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
 
 def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
                    frontier_handles: list | None = None):
-    """imgref rows → decoded content doc + (if first sighting of the
-    pixel hash, per the global DedupShard service) the image row; page
-    rows pass through untouched. Output schema: UNIFIED (transit body
-    dropped).
+    """imgref rows → decoded content doc + (if the pixel hash was not
+    seen in any PRIOR wave, per the global DedupShard service) the image
+    row; page rows pass through untouched. Output schema: UNIFIED
+    (transit body dropped). In-wave pixel-hash duplicates are all kept
+    (``stage_many``) and resolved deterministically by ``ord`` at the
+    wave barrier — see DedupShard's two-phase protocol.
 
     With ``frontier_handles``, the batch's link rows are ALSO offered
     to the frontier here (awaited with the CPU-holding wait): decode is
@@ -329,15 +345,22 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
         docs: list[dict] = []
         image_rows: list[dict] = []
         for r in img_part.select(
-            ["url", "host", "parent_host", "wave", "caption", "body"]
+            ["url", "host", "parent_host", "wave", "ord", "subresource",
+             "caption", "body"]
         ).to_pylist():
             doc, img = process_image_payload(
                 r["url"], r["host"], r["parent_host"] or r["host"],
                 int(r["wave"]), r["caption"] or "", r["body"] or b"", ctx,
             )
+            # doc + image row inherit the imgref's lineage ord: one
+            # claimant = one ord, the conflict-resolution key
             if doc:
+                doc["ord"] = r["ord"]
+                doc["subresource"] = r["subresource"]
                 docs.append(doc)
             if img:
+                img["ord"] = r["ord"]
+                img["subresource"] = r["subresource"]
                 image_rows.append(img)
         if image_rows:
             by_shard: dict[int, list[int]] = defaultdict(list)
@@ -348,7 +371,7 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
                 by_shard[s].append(h64)
                 row_pos[s].append(i)
             masks = _wait_holding_cpu(
-                [dedup_handles[s].add_many.remote(hs) for s, hs in by_shard.items()]
+                [dedup_handles[s].stage_many.remote(hs) for s, hs in by_shard.items()]
             )
             keep = set()
             for (s, _), mask in zip(by_shard.items(), masks):

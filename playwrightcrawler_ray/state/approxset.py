@@ -94,13 +94,21 @@ class CuckooFilter:
 
     def __contains__(self, h: int) -> bool:
         h = int(h)
-        if h in self._overflow:
-            return True
         fp, i1 = self._fp_index(h)
         if (self._table[i1] == fp).any():
             return True
         i2 = self._alt_index(i1, fp)
-        return bool((self._table[i2] == fp).any())
+        if (self._table[i2] == fp).any():
+            return True
+        # overflow holds synthesized (bucket<<16)|fp keys; an evicted item
+        # with our fingerprint could only have been parked at one of our
+        # two candidate buckets, so probe both.
+        if self._overflow and (
+            ((i1 << 16) | fp) in self._overflow
+            or ((i2 << 16) | fp) in self._overflow
+        ):
+            return True
+        return False
 
     def _insert(self, fp: int, i1: int) -> bool:
         for idx in (i1, self._alt_index(i1, fp)):

@@ -41,7 +41,7 @@ def engine_result(ray_session, corpus):
 
     cfg = CrawlConfig(output_dir="/tmp/pwc_golden_engine", max_waves=60)
     shutil.rmtree(cfg.output_dir, ignore_errors=True)
-    return cfg, run_crawl(corpus, cfg)
+    return cfg, run_crawl(corpus, cfg, collect_seen_ids=True)
 
 
 def test_oracle_covers_corpus(oracle, corpus):
@@ -148,6 +148,86 @@ def test_cuckoo_seen_mode_matches_oracle_ordering(ray_session, corpus, oracle):
     assert res.order == oracle.order
 
 
+def test_in_wave_dedup_conflicts_resolve_deterministically(ray_session):
+    """ADVICE round 1: the same image URL referenced with DIFFERENT
+    captions from two pages in one wave (forced into separate batches
+    via wave_batch_size=1), plus identical pixels under two different
+    URLs — the surviving rows' attributes must equal the sequential
+    oracle's, independent of RPC arrival order."""
+    from playwrightcrawler_ray.corpus.generate import CorpusData
+    from playwrightcrawler_ray.imaging.png import png_encode
+    from playwrightcrawler_ray.pipelines.crawl import load_unified, run_crawl
+
+    px_shared = np.arange(48 * 48 * 3, dtype=np.uint8).reshape(48, 48, 3)
+    px_twin = (px_shared[::-1].copy() // 2)
+    p_shared, p_twin = png_encode(px_shared), png_encode(px_twin)
+
+    def html(img_tags: str) -> bytes:
+        return f"<html><body>{img_tags}</body></html>".encode()
+
+    corpus = CorpusData()
+    corpus.seeds = ["http://a.test/", "http://b.test/"]
+    corpus.pages = {
+        "http://a.test/": {
+            "status": 200, "content_type": "text/html", "redirect_to": "",
+            "body": html(
+                '<img src="http://img.test/shared.png" alt="caption from A">'
+                '<img src="http://img.test/pix_a.png" alt="twin A">'
+            ),
+        },
+        "http://b.test/": {
+            "status": 200, "content_type": "text/html", "redirect_to": "",
+            "body": html(
+                '<img src="http://img.test/shared.png" alt="caption from B">'
+                '<img src="http://img.test/pix_b.png" alt="twin B">'
+            ),
+        },
+        "http://img.test/shared.png": {
+            "status": 200, "content_type": "image/png", "redirect_to": "",
+            "body": p_shared,
+        },
+        "http://img.test/pix_a.png": {
+            "status": 200, "content_type": "image/png", "redirect_to": "",
+            "body": p_twin,
+        },
+        "http://img.test/pix_b.png": {
+            "status": 200, "content_type": "image/png", "redirect_to": "",
+            "body": p_twin,  # identical pixels, different URL
+        },
+    }
+
+    cfg = CrawlConfig(
+        output_dir="/tmp/pwc_golden_conflict", max_waves=4,
+        wave_batch_size=1,  # every page in its own batch → real races
+        method_weights={"oldest": 1},  # deterministic selection
+        hunt_open_directories=False,
+    )
+    ora = run_oracle(corpus, cfg)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    res = run_crawl(corpus, cfg, collect_seen_ids=True)
+    # the race actually happened: ≥2 conflicted hashes (shared URL claim
+    # + identical-pixel twin) were resolved at the wave barrier
+    assert sum(w.get("conflicts", 0) for w in res.wave_log) >= 2
+    assert res.order == ora.order
+    assert res.seen_ids() == ora.seen_ids
+    rows = load_unified(cfg.output_dir).to_pandas()
+    imgs = rows[rows["kind"] == "image"]
+    # oracle winner attributes survive: caption + parent_host per pixel hash
+    eng = {r["pixel_sha1"]: (r["caption"], r["parent_host"], r["url"])
+           for _, r in imgs.iterrows()}
+    ora_imgs = {v["pixel_sha1"]: (v["caption"], v["parent_host"], v["url"])
+                for v in ora.images.values()}
+    assert eng == ora_imgs
+    # both shared-URL claims conflicted → exactly one doc row for the
+    # shared URL, matching the oracle's content-row multiset
+    from collections import Counter
+
+    pages = rows[rows["kind"] == "page"]
+    assert Counter(zip(pages["url"], pages["source"])) == Counter(
+        (r["url"], r["source"]) for r in ora.content_rows
+    )
+
+
 def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
     """Kill after wave 2, restart from checkpoint → identical final
     order + seen set (SURVEY.md §5.5)."""
@@ -159,7 +239,7 @@ def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
     assert partial.waves == 3
     assert len(partial.order) < len(oracle.order)
     # resumed.order includes the checkpoint-restored prefix
-    resumed = run_crawl(corpus, cfg, resume=True)
+    resumed = run_crawl(corpus, cfg, resume=True, collect_seen_ids=True)
     assert resumed.order[: len(partial.order)] == partial.order
     assert resumed.order == oracle.order
     assert resumed.seen_ids() == oracle.seen_ids

@@ -66,6 +66,28 @@ def test_decode_errors_taxonomy():
         decode_image(bomb)
 
 
+def test_png_idat_bomb_bounded_inflate():
+    """Small declared w/h passing the max_pixels guard, but IDAT inflates
+    to ~64 MiB: the bounded decompressobj must bail without inflating it."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # 4x4 RGB
+    idat = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # ~64 KiB packed
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises((MemoryError, ValueError)):
+        png_decode(bomb)
+
+
 def test_pixel_hash_format_independent():
     px = _pixels(5)
     # identical pixels via different wire bytes → same exact-dup key

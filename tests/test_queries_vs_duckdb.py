@@ -90,6 +90,45 @@ def test_rows_only_queries_run(entrymod):
         assert len(out.columns) >= 2
 
 
+def test_ngram_jaccard_edge_cases_match_oracle(ray_session, tmp_path):
+    """Short docs (< w tokens) and irregular whitespace (runs, tabs,
+    newlines) must score identically in the engine and the DuckDB
+    oracle (ADVICE round 1: split()-vs-STRING_SPLIT divergence)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from playwrightcrawler_ray.ops.dedup import (
+        q_ngram_jaccard_top_pairs,
+        sql_ngram_jaccard_top_pairs,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": [
+            "one two",                       # < w tokens: no shingles
+            "alpha  beta\tgamma\ndelta",     # whitespace runs
+            "alpha beta gamma delta",        # same tokens, single spaces
+            "alpha beta gamma epsilon",
+            "",                              # empty doc
+            "solo",                          # single token
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = _normalize(q_ngram_jaccard_top_pairs(str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = _normalize(con.sql(sql_ngram_jaccard_top_pairs()).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    # docs 2 and 3 tokenize identically → jaccard 1.0 on both sides
+    top = got.sort_values("jaccard", ascending=False).iloc[0]
+    assert {int(top["doc_a"]), int(top["doc_b"])} == {2, 3}
+    assert top["jaccard"] == 1.0
+
+
 def test_minhash_lsh_agrees_with_exact_on_high_jaccard(entrymod):
     """LSH must recover every pair the exact query scores ≥ 0.5 (the
     banding curve at 32×4 makes misses ~0 at that level)."""

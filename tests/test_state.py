@@ -52,6 +52,25 @@ def test_cuckoo_fp_rate_bounded():
     assert fps / len(probes) < 0.01  # 16-bit fp → theoretical ~1.2e-4
 
 
+def test_cuckoo_no_false_negatives_past_eviction_budget():
+    """Saturate a tiny filter far past its eviction budget so items land
+    in the overflow set, then verify every inserted item still reports
+    present and is refused as a dup (the no-FN-under-load invariant)."""
+    rng = random.Random(7)
+    s = CuckooFilter(capacity=64)  # 16 buckets x 4 slots
+    items = [rng.getrandbits(63) for _ in range(400)]
+    for h in items:
+        s.add_if_absent(h)
+    assert len(s._overflow) > 0  # the overflow path was actually exercised
+    missing = [h for h in items if h not in s]
+    assert missing == []
+    readds = [h for h in items if s.add_if_absent(h)]
+    assert readds == []
+    # and the overflow survives a checkpoint round-trip
+    s2 = restore_seen_set(s.state())
+    assert all(h in s2 for h in items)
+
+
 @pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
 def test_seen_set_checkpoint_roundtrip(mode):
     s = make_seen_set(mode, capacity=2048)

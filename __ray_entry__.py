@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
+        "embedding_neardup_lsh": N.q_embedding_neardup_lsh,  # rows-only (approx scale twin)
         "dedup_components": N.q_dedup_components,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
         "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)

@@ -291,20 +291,67 @@ def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5) -> pd.D
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     cand = cand.drop_duplicates()
-    # exact verify against broadcast shingle sets (candidate set is small)
-    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    shingle_sets = {d: _shingles(t, w) for d, t in zip(texts["doc_id"], texts["text"])}
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = shingle_sets[a], shingle_sets[b]
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
-        if j >= threshold:
-            rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard": round(j, 4)})
+    # exact verify WITHOUT materializing the corpus on the driver
+    # (VERDICT round 1 item 3): broadcast only the candidate id set, do
+    # a semi-filtered second pass over the documents that re-shingles
+    # just the candidate docs inside map_batches, then verify pairs
+    # against the (candidate-sized) broadcast shingle map.
+    cand_ids = np.unique(
+        np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+    ).astype(np.int64)
+    ids_ref = ray.put(cand_ids)
+
+    def shingle_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(ids_ref)
+        sel = df[df["doc_id"].isin(wanted)]
+        if sel.empty:
+            return pd.DataFrame({"doc_id": [], "sh": []})
+        return pd.DataFrame(
+            {
+                "doc_id": sel["doc_id"].to_numpy(),
+                "sh": [
+                    sorted(
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                        )
+                        - (1 << 63)
+                        for s in _shingles(t, w)
+                    )
+                    for t in sel["text"]
+                ],
+            }
+        )
+
+    cand_sh = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(shingle_candidates, batch_format="pandas")
+        .to_pandas()
+    )
+    sets_ref = ray.put(
+        {int(d): np.asarray(s, dtype=np.int64) for d, s in
+         zip(cand_sh["doc_id"], cand_sh["sh"])}
+    )
+    pairs_ds = ray.data.from_pandas(cand.reset_index(drop=True))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(sets_ref)
+        rows = []
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = ss.get(int(a)), ss.get(int(b))
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                rows.append(
+                    {"doc_a": int(a), "doc_b": int(b), "jaccard": round(j, 4)}
+                )
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    out = pairs_ds.map_batches(verify, batch_format="pandas").to_pandas()
     return (
-        pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 

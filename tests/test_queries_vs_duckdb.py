@@ -81,7 +81,8 @@ def test_query_matches_oracle(entrymod, name):
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
-                 "simhash", "ann_topk_lsh", "embedding_kmeans", "crawl_images",
+                 "simhash", "ann_topk_lsh", "embedding_kmeans",
+                 "embedding_neardup_lsh", "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets"]:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
@@ -138,6 +139,27 @@ def test_minhash_lsh_agrees_with_exact_on_high_jaccard(entrymod):
     hi = exact[exact["jaccard"] >= 0.5]
     got = set(zip(lsh["doc_a"], lsh["doc_b"]))
     for a, b in zip(hi["doc_a"], hi["doc_b"]):
+        assert (a, b) in got
+
+
+def test_embedding_neardup_lsh_recall_and_precision(entrymod):
+    """The bucketed scale twin must (a) emit ONLY pairs the exact query
+    also emits with identical cosine (precision: in-bucket scoring is
+    exact), and (b) recover every high-cosine pair (recall at the
+    banding curve's safe zone)."""
+    qs = entrymod.queries()
+    exact = qs["embedding_neardup_pairs"](SF_DIR)
+    lsh = qs["embedding_neardup_lsh"](SF_DIR)
+    exact_map = {
+        (int(a), int(b)): c
+        for a, b, c in zip(exact["vec_a"], exact["vec_b"], exact["cos_sim"])
+    }
+    for a, b, c in zip(lsh["vec_a"], lsh["vec_b"], lsh["cos_sim"]):
+        assert (int(a), int(b)) in exact_map
+        assert abs(exact_map[(int(a), int(b))] - c) < 1e-6
+    got = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    hi = exact[exact["cos_sim"] >= 0.9]
+    for a, b in zip(hi["vec_a"], hi["vec_b"]):
         assert (a, b) in got
 
 

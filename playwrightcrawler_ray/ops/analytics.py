@@ -21,9 +21,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    from .io import read_table
+
+    return read_table(sf_dir, table, columns)
 
 
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:

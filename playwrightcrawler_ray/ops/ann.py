@@ -29,9 +29,9 @@ import ray.data
 
 
 def _emb(sf_dir: str, columns=None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
-    )
+    from .io import read_table
+
+    return read_table(sf_dir, "embeddings", columns)
 
 
 def _fetch_vecs(sf_dir: str, vec_ids: list[int]) -> pd.DataFrame:
@@ -40,9 +40,10 @@ def _fetch_vecs(sf_dir: str, vec_ids: list[int]) -> pd.DataFrame:
     ``to_pandas`` (VERDICT round 1 item 3)."""
     import pyarrow.compute as pc
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
+    from .io import read_table
+
+    return read_table(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
         filter=pc.field("vec_id").isin(vec_ids),
     ).to_pandas()
 

@@ -25,9 +25,9 @@ import ray.data
 
 
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
-    )
+    from .io import read_table
+
+    return read_table(sf_dir, "documents", columns)
 
 
 def _shingles(text: str, w: int = 3) -> set[str]:

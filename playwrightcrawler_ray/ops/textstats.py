@@ -23,9 +23,9 @@ from ..functions.text import detect_language, fingerprint64
 
 
 def _docs(sf_dir: str, columns: list[str]):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
-    )
+    from .io import read_table
+
+    return read_table(sf_dir, "documents", columns)
 
 
 def q_token_counts(sf_dir: str) -> pd.DataFrame:

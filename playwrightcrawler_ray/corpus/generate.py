@@ -195,6 +195,10 @@ def build_corpus(
                 links.append("data:image/png;base64,AAAA")
                 links.append("mailto:contact@" + host)
                 links.append("maito:typo@" + host)
+            if hi == 0 and pi == 1:
+                # non-UTF-8 fixture pages (charset-tolerant decode path)
+                links.append("/latin1.html")
+                links.append("/sjis.html")
             if pi == 2:
                 links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
             if hi % 3 == 0 and pi == 3:
@@ -232,6 +236,27 @@ def build_corpus(
             "status": 200, "content_type": "text/html",
             "body": b"<html><body>secret</body></html>", "redirect_to": "",
         }
+
+    # non-UTF-8 fixture pages on host 0: Latin-1 declared in the HTTP
+    # header, Shift-JIS declared in a <meta> tag (charset-tolerant
+    # decode — reference chardet flow, playwrightcrawler.py:5091-5099)
+    latin1_html = (
+        "<html><body><p>café façade naïve entrée "
+        "résumé jalapeño</p></body></html>"
+    )
+    corpus.pages[f"https://{hosts[0]}/latin1.html"] = {
+        "status": 200, "content_type": "text/html; charset=ISO-8859-1",
+        "body": latin1_html.encode("iso8859-1"), "redirect_to": "",
+    }
+    sjis_html = (
+        '<html><head><meta charset="shift_jis"></head>'
+        "<body><p>日本語のテキスト "
+        "tokyo words page</p></body></html>"
+    )
+    corpus.pages[f"https://{hosts[0]}/sjis.html"] = {
+        "status": 200, "content_type": "text/html",
+        "body": sjis_html.encode("shift_jis"), "redirect_to": "",
+    }
 
     # seeds: n_seeds hosts incl. one deliberately malformed scheme
     # (FIXTURES.md §2); default 8

@@ -187,7 +187,11 @@ def process_fetched(
         return content_rows, offers, imgrefs
 
     if category == "html":
-        text = body.decode("utf-8", errors="replace")
+        from ..functions.charset import decode_text
+
+        # charset-tolerant decode (reference chardet flow, :5091-5099):
+        # BOM → header charset → meta charset → utf-8 → latin-1
+        text, _enc = decode_text(body, content_type_raw)
         ex = extract_page(text)
         is_od, od_pattern = is_open_directory(text, url)
         min_web = (

@@ -95,3 +95,51 @@ def test_direct_image_fetch_path():
     assert doc["source"] == "content_type_images_download"
     assert doc["resolution"] == 64
     assert img_row["w"] == 8 and img_row["fmt"] == "png"
+
+
+def test_charset_detection_unit():
+    from playwrightcrawler_ray.functions.charset import decode_text, detect_charset
+
+    # header charset wins over fallback
+    body = "café".encode("iso8859-1")
+    assert detect_charset(body, "text/html; charset=ISO-8859-1") == "iso8859-1"
+    assert decode_text(body, "text/html; charset=ISO-8859-1")[0] == "café"
+    # meta tag declaration
+    sjis = '<meta charset="shift_jis"><p>日本</p>'.encode("shift_jis")
+    assert detect_charset(sjis, "text/html") == "shift_jis"
+    assert "日本" in decode_text(sjis, "")[0]
+    # http-equiv form
+    he = ('<meta http-equiv="Content-Type" content="text/html; '
+          'charset=windows-1252"><p>“quoted”</p>').encode("cp1252")
+    assert detect_charset(he, "") == "cp1252"
+    # BOM beats everything
+    bom = "﻿hello".encode("utf-8")
+    assert detect_charset(bom, "text/html; charset=latin-1") == "utf-8-sig"
+    assert decode_text(bom, "")[0] == "hello"
+    # plain utf-8 without declaration
+    assert detect_charset("héllo".encode("utf-8"), "") == "utf-8"
+    # undecodable garbage under a bogus codec name → latin-1 fallback
+    assert detect_charset(b"\xff\xfe\x00\x01garbage" + bytes(range(128, 256)),
+                          "text/html; charset=not-a-codec") in (
+        "utf-16-le", "iso8859-1")  # \xff\xfe is a utf-16 BOM — sniffed first
+    raw = bytes(range(160, 200))
+    text, enc = decode_text(raw, "text/html; charset=bogus-name")
+    assert enc == "iso8859-1" and len(text) == len(raw)
+
+
+def test_latin1_page_words_decoded():
+    """Differential: a Latin-1 page with declared header charset must
+    produce correctly-decoded words/min_webcontent (no mojibake)."""
+    from playwrightcrawler_ray.stages.process import process_fetched
+
+    ctx = _ctx()
+    body = ("<html><body><p>café façade naïve entrée</p>"
+            "</body></html>").encode("iso8859-1")
+    rows, _, _ = process_fetched(
+        "https://h.test/l.html", "h.test", 0, 200,
+        "text/html; charset=ISO-8859-1", body, "", ctx,
+    )
+    page = rows[0]
+    assert "café" in page["min_webcontent"]
+    assert "café" in page["words"]
+    assert "caf�" not in page["min_webcontent"]

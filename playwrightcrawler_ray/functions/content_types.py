@@ -1,22 +1,27 @@
 """Content-type sanitization + routing.
 
 The reference routes every fetched resource through a first-match regex
-registry of ~15 category groups totalling ~770 patterns
+registry of 15 category groups totalling ~720 patterns
 (playwrightcrawler.py:168-958 for the tables, :2420-2455 for the
 registry, :5112-5127 for the dispatch loop). Here the same routing is a
 single **vectorized** stage: one precompiled alternation per category,
-evaluated in registry order over an Arrow string column; the first
-matching category wins. The pattern tables below are a condensed but
-functionally representative subset of the reference's groups (the full
-770-pattern battery is mostly long-tail typo variants of the same MIME
-types); ``CATEGORY_PATTERNS`` is plain data, so widening a group is a
-config change, not a code change — the same extension surface the
-reference documents in README.md:203-212.
+evaluated in the reference's HANDLER REGISTRATION order over an Arrow
+string column; the first matching category wins. The full verbatim
+pattern tables live in ``content_type_tables.py`` (data = the
+behavioral spec, cited per group); they are plain data, so widening a
+group is a config change, not a code change — the same extension
+surface the reference documents in README.md:203-212.
+
+Dispatch-order fidelity: the reference registers its catch-all
+``all_others`` group FIRST (:2640), so MIMEs that also appear in a
+specialized table (``text/css``, ``application/javascript``,
+``application/xml``…) route to ``all_others`` — reproduced here.
 
 Octet-stream handling follows USE_OCTET_STREAM (config.py:186;
 reference :940-958): the octet-stream patterns are appended to every
-*binary* category's alternation so an ``application/octet-stream``
-response claimed by an extension-mapped category routes there.
+*binary* category's alternation — with first-match dispatch this sends
+``application/octet-stream`` itself to the earliest octet-extended
+group in registration order (font), exactly as the reference does.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
+
+from .content_type_tables import OCTETSTREAM_PATTERNS, REGISTRATION_ORDER
 
 _SANITIZE_RE = re.compile(r'^\s*(?:content-type:)?\s*"?\'?', re.I)
 
@@ -39,148 +46,6 @@ def sanitize_content_type(raw: str) -> str:
     ct = ct.split(";", 1)[0].strip().strip("\"'")
     return ct
 
-
-# Octet-stream aliases (reference content_type_octetstream, :168-187).
-OCTETSTREAM_PATTERNS = [
-    r"^text/octet$",
-    r"^octet/stream$",
-    r"^application/stream$",
-    r"^binary/octet-stream$",
-    r"^application/download$",
-    r"^application/x-download$",
-    r"^application/octetstream$",
-    r"^application/octet-stream$",
-    r"^application/x-octet-stream$",
-    r"^x-application/octet-stream$",
-    r"^application/force-download$",
-]
-
-# Category → representative patterns, in the reference's registration
-# order (first match wins). Reference group tables: html :189-203, plain
-# :205-348, image :353-494, midi :496-499, audio :501-538, video
-# :540-572, pdf :574-585, comic :588-593, doc :596-630, database
-# :632-637, font :639-683, torrent :685-687, compressed :689-718,
-# catch-all :720-938.
-CATEGORY_PATTERNS: list[tuple[str, list[str]]] = [
-    (
-        "html",
-        [
-            r"^text/html$",
-            r"^application/html$",
-            r"^application/x-php$",
-            r"^text/html,.*",
-            r"^text/x-html-fragment$",
-            r"^text/fragment\+html$",
-            r"^application/xhtml\+xml$",
-            r"^text/htmltext/html.*$",
-        ],
-    ),
-    (
-        "plain_text",
-        [
-            r"^text$",
-            r"^json$",
-            r"^\.js$",
-            r"^text/plain$",
-            r"^text/\*$",
-            r"^text/js$",
-            r"^text/xml$",
-            r"^text/css$",
-            r"^text/csv$",
-            r"^text/srt$",
-            r"^text/rtf$",
-            r"^text/vtt$",
-            r"^text/markdown$",
-            r"^text/x-.*$",
-            r"^text/javascript$",
-            r"^application/json$",
-            r"^application/ld\+json$",
-            r"^application/xml$",
-            r"^application/rss\+xml$",
-            r"^application/atom\+xml$",
-            r"^application/javascript$",
-            r"^application/x-javascript$",
-            r"^application/manifest\+json$",
-        ],
-    ),
-    (
-        "image",
-        [
-            r"^image/.*$",
-            r"^img/jpeg$",
-            r"^image$",
-            r"^application/jpg$",
-            r"^application/png$",
-            r"^application/x-png$",
-            r"^application/image.*$",
-            r"^text/image/.*$",
-        ],
-    ),
-    ("midi", [r"^audio/midi$", r"^audio/x-midi$", r"^music/crescendo$"]),
-    (
-        "audio",
-        [
-            r"^audio/.*$",
-            r"^application/ogg$",
-            r"^application/x-flac$",
-            r"^application/mp3$",
-        ],
-    ),
-    (
-        "video",
-        [
-            r"^video/.*$",
-            r"^application/mp4$",
-            r"^application/x-mpegurl$",
-            r"^application/vnd\.apple\.mpegurl$",
-        ],
-    ),
-    ("pdf", [r"^application/pdf$", r"^application/x-pdf$", r"^adobe/pdf$", r"^pdf$"]),
-    (
-        "comic",
-        [r"^application/x-cbr$", r"^application/x-cbz$", r"^application/x-cb7$"],
-    ),
-    (
-        "doc",
-        [
-            r"^application/msword$",
-            r"^application/vnd\.ms-.*$",
-            r"^application/vnd\.openxmlformats-officedocument\..*$",
-            r"^application/vnd\.oasis\.opendocument\..*$",
-            r"^application/rtf$",
-            r"^application/epub\+zip$",
-        ],
-    ),
-    (
-        "database",
-        [r"^application/x-sqlite3$", r"^application/vnd\.sqlite3$", r"^application/sql$"],
-    ),
-    (
-        "font",
-        [
-            r"^font/.*$",
-            r"^application/font-.*$",
-            r"^application/x-font.*$",
-            r"^application/vnd\.ms-fontobject$",
-        ],
-    ),
-    ("torrent", [r"^application/x-bittorrent$"]),
-    (
-        "compressed",
-        [
-            r"^application/zip$",
-            r"^application/gzip$",
-            r"^application/x-gzip$",
-            r"^application/x-tar$",
-            r"^application/x-7z-compressed$",
-            r"^application/x-rar-compressed$",
-            r"^application/x-bzip2?$",
-            r"^application/x-xz$",
-            r"^application/x-zip-compressed$",
-            r"^application/vnd\.rar$",
-        ],
-    ),
-]
 
 # Binary categories that also claim octet-stream aliases when
 # USE_OCTET_STREAM is on (reference :940-958).
@@ -213,7 +78,7 @@ class ContentTypeRouter:
     def __init__(self, use_octet_stream: bool = True, extra: dict | None = None):
         self.categories: list[str] = []
         self._compiled: list[re.Pattern] = []
-        tables = list(CATEGORY_PATTERNS)
+        tables = [(name, pats) for name, pats in REGISTRATION_ORDER]
         if extra:
             tables += list(extra.items())
         for name, pats in tables:
@@ -227,6 +92,11 @@ class ContentTypeRouter:
 
     def route_one(self, content_type: str) -> str:
         ct = sanitize_content_type(content_type)
+        if not ct:
+            # reference dispatch guards `and ctype` (:5107): an empty
+            # MIME never reaches the registry (all_others lists ^$ but
+            # can only see it via a raw value that sanitizes to empty)
+            return self.OTHER
         for name, pat in zip(self.categories, self._compiled):
             if pat.match(ct):
                 return name

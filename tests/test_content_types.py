@@ -28,28 +28,93 @@ def test_sanitize_content_type():
     assert sanitize_content_type("") == ""
 
 
-# ≥1 MIME per regex group (FIXTURES.md §5 content_type_route_cases).
+# ≥5 MIMEs per reference regex group (all of them for the groups with
+# fewer patterns), using the reference's true first-match registration
+# order (playwrightcrawler.py:2640-3771): all_others registers FIRST,
+# doc before comic, video before audio — shadowing reproduced.
 ROUTE_CASES = [
+    # html (:189-203)
     ("text/html", "html"),
     ("application/xhtml+xml", "html"),
     ("text/html; charset=iso-8859-1", "html"),
+    ("application/x-php", "html"),
+    ("text/x-html-fragment", "html"),
+    ("text/fragment+html", "html"),
+    # plain_text (:205-348)
     ("text/plain", "plain_text"),
     ("application/json", "plain_text"),
-    ("text/javascript", "plain_text"),
+    ("text/markdown", "plain_text"),
+    ("text/x-python", "plain_text"),
+    ("application/ld+json", "plain_text"),
+    ("text/calendar", "plain_text"),
+    # image (:361-494)
     ("image/png", "image"),
     ("image/jpeg", "image"),
     ("IMAGE/PNG", "image"),
+    ("image/webp", "image"),
+    ("image/avif", "image"),
+    ("image/x-icon", "image"),
+    ("image/svg+xml", "image"),
+    # midi (:496-499 — both patterns)
     ("audio/midi", "midi"),
+    ("audio/sp-midi", "midi"),
+    # audio (:501-538)
     ("audio/mpeg", "audio"),
+    ("audio/flac", "audio"),
+    ("audio/x-m4a", "audio"),
+    ("audio/opus", "audio"),
+    ("audio/wav", "audio"),
+    # video (:540-572)
     ("video/mp4", "video"),
+    ("video/webm", "video"),
+    ("video/x-matroska", "video"),
+    ("video/quicktime", "video"),
+    ("application/x-shockwave-flash", "video"),
+    # pdf (:574-585)
     ("application/pdf", "pdf"),
-    ("application/x-cbz", "comic"),
+    ("adobe/pdf", "pdf"),
+    ("image/pdf", "pdf"),
+    ("application/x-pdf", "pdf"),
+    ("application/.pdf", "pdf"),
+    # comic (:588-593) — x-cbr/x-cbz are shadowed by doc (below)
+    ("application/vnd.comicbook+zip", "comic"),
+    ("application/vnd.comicbook-rar", "comic"),
+    # doc (:596-630)
     ("application/msword", "doc"),
-    ("application/x-sqlite3", "database"),
+    ("application/vnd.ms-excel", "doc"),
+    ("application/docx", "doc"),
+    ("application/vnd.oasis.opendocument.text", "doc"),
+    ("application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+     "doc"),
+    # database (:632-637 — all four patterns)
+    ("application/sql", "database"),
+    ("application/x-sql", "database"),
+    ("application/msaccess", "database"),
+    ("application/x-msaccess", "database"),
+    # font (:639-683)
     ("font/woff2", "font"),
+    ("font/ttf", "font"),
+    ("woff2", "font"),
+    ("application/x-font-woff", "font"),
+    ("application/vnd.ms-fontobject", "font"),
+    # torrent (:685-687 — its single pattern)
     ("application/x-bittorrent", "torrent"),
+    # compressed (:689-718)
     ("application/zip", "compressed"),
+    ("application/gzip", "compressed"),
+    ("application/x-7z-compressed", "compressed"),
+    ("multipart/x-zip", "compressed"),
+    ("application/vnd.rar", "compressed"),
+    # all_others catch-all (:720-938)
+    ("text/css", "all_others"),
+    ("application/javascript", "all_others"),
+    ("application/xml", "all_others"),
+    ("application/wasm", "all_others"),
+    ("multipart/form-data", "all_others"),
+    ("application/postscript", "all_others"),
+    # unmatched → other (reference found=False path)
     ("application/x-madeup-thing", "other"),
+    ("application/x-sqlite3", "other"),  # not in the reference tables
 ]
 
 
@@ -60,9 +125,20 @@ def test_route(ct, expected):
 
 
 def test_route_first_match_order():
-    # midi registers before audio: audio/midi must be midi, not audio
-    # (reference registration order, playwrightcrawler.py:496-538).
-    assert ContentTypeRouter().route_one("audio/midi") == "midi"
+    router = ContentTypeRouter()
+    # midi registers before... audio? No: audio/midi only appears in the
+    # midi table, so it routes there (reference :496-499).
+    assert router.route_one("audio/midi") == "midi"
+    # video registers before audio (:2894 vs :2942): the shared alias
+    # application/ogg (and application/mp4) resolve to video.
+    assert router.route_one("application/ogg") == "video"
+    assert router.route_one("application/mp4") == "video"
+    # all_others registers first (:2640): text/javascript is listed both
+    # there and in plain_text → all_others wins.
+    assert router.route_one("text/javascript") == "all_others"
+    # doc registers before comic (:3035 vs :3185) and lists x-cbr/x-cbz.
+    assert router.route_one("application/x-cbr") == "doc"
+    assert router.route_one("application/x-cbz") == "doc"
 
 
 def test_route_array_vectorized():
@@ -73,12 +149,16 @@ def test_route_array_vectorized():
 
 
 def test_octet_stream_patterns():
-    # octet-stream aliases join binary categories when enabled
-    # (USE_OCTET_STREAM, reference :940-958); with it disabled they fall
-    # through to "other".
+    # octet-stream aliases join every binary category when enabled
+    # (USE_OCTET_STREAM, reference :940-958); with first-match dispatch
+    # the earliest octet-extended group in registration order is FONT
+    # (:2845) — reference behavior, reproduced. Disabled → "other".
     assert ContentTypeRouter(use_octet_stream=True).route_one(
         "application/octet-stream"
-    ) == "image"
+    ) == "font"
+    assert ContentTypeRouter(use_octet_stream=True).route_one(
+        "binary/octet-stream"
+    ) == "font"
     assert ContentTypeRouter(use_octet_stream=False).route_one(
         "application/octet-stream"
     ) == "other"

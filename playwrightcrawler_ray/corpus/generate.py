@@ -130,10 +130,18 @@ def build_corpus(
             body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
         elif i % 3 == 0:
             body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
+        elif i % 3 == 1:
+            # REAL baseline JPEG through the pure-Python codec
+            body, ctype, name = encode_image(px, "jpeg"), "image/jpeg", f"pic{i}.jpg"
         else:
             # qimg bytes served with a messy real-world MIME
             body, ctype, name = encode_image(px, "qimg"), "image/jpeg", f"pic{i}.jpg"
-        fmt_truth = "gif" if i % 9 == 4 else ("png" if i % 3 == 0 else "qimg")
+        fmt_truth = (
+            "gif" if i % 9 == 4
+            else "png" if i % 3 == 0
+            else "jpeg" if i % 3 == 1
+            else "qimg"
+        )
         url = add_image(host, name, body, ctype, cap,
                         {"caption": cap, "fmt": fmt_truth})
         img_truth_pixels[url] = px
@@ -160,8 +168,16 @@ def build_corpus(
               "truncated", {"error": "oserror"})
     add_image(hosts[0], "notimage.png", b"this is not an image, honest",
               "image/png", "junk", {"error": "unidentified"})
-    add_image(hosts[0], "realjpeg.jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 64,
-              "image/jpeg", "stub", {"error": "codec_unavailable"})
+    add_image(hosts[0], "headeronly.jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 64,
+              "image/jpeg", "truncated jpeg", {"error": "oserror"})
+    # real formats this container genuinely cannot decode → stub rows
+    add_image(hosts[0], "photo.webp",
+              b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56,
+              "image/webp", "stub", {"error": "codec_unavailable"})
+    add_image(hosts[0], "progressive.jpg",
+              b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+              + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00",
+              "image/jpeg", "progressive stub", {"error": "codec_unavailable"})
 
     img_by_host: dict[str, list[tuple[str, str]]] = {}
     for url, body, ctype, cap in images:

@@ -16,10 +16,13 @@ Maps the reference's image handler semantics
   ``OSError``/ValueError       → content_type_images_oserror.
 
 Formats: ``png``/``gif``/``bmp`` (real pure-Python codecs, lossless),
-``qimg`` (real, deterministic 6-bit quantized lossy stand-in for JPEG;
-PSNR ≈ 46 dB ≥ the 40 dB invariant). ``jpeg``/``webp``/``tiff`` raise
-``CodecUnavailable`` — no DCT/VP8 decoder in this container; the stage
-emits a clearly-labeled stub row instead.
+``jpeg`` (real pure-Python baseline DCT codec, imaging/jpeg.py — 4:4:4
+and 4:2:0, restart markers; PSNR ≥ 40 dB at the corpus quality),
+``qimg`` (deterministic 6-bit quantized lossy format). ``webp`` and
+``tiff`` raise ``CodecUnavailable`` — no VP8/TIFF decoder in this
+container; the stage emits a clearly-labeled stub row instead.
+Progressive/arithmetic JPEG variants also raise ``CodecUnavailable``
+(the baseline decoder genuinely cannot decode them).
 """
 
 from __future__ import annotations
@@ -46,9 +49,9 @@ class CodecUnavailable(NotImplementedError):
 
 
 _QIMG_MAGIC = b"QIM1"
-# jpeg/webp/tiff decoders are absent in this container (stubbed);
-# PNG, GIF and BMP are real pure-Python implementations, qimg is ours.
-_STUBBED_FORMATS = {"jpeg", "jpg", "webp", "tiff"}
+# webp/tiff decoders are absent in this container (stubbed); PNG, GIF,
+# BMP and baseline JPEG are real pure-Python implementations.
+_STUBBED_FORMATS = {"webp", "tiff"}
 MAX_PIXELS = 64_000_000
 
 
@@ -66,6 +69,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .bmp import bmp_encode
 
         return bmp_encode(pixels)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_encode
+
+        # q95 4:4:4 keeps the round-trip PSNR ≥ 40 dB invariant
+        return jpeg_encode(pixels, quality=95, subsampling="444")
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -114,6 +122,15 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             from .bmp import bmp_decode
 
             px = bmp_decode(bytes(data), max_pixels=MAX_PIXELS)
+        elif fmt == "jpeg":
+            from .jpeg import jpeg_decode
+
+            try:
+                px = jpeg_decode(bytes(data), max_pixels=MAX_PIXELS)
+            except NotImplementedError as e:
+                # progressive / arithmetic / 12-bit: a real format this
+                # baseline decoder genuinely cannot decode
+                raise CodecUnavailable(str(e)) from e
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)
             if w * h > MAX_PIXELS:
@@ -127,6 +144,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             )
     except MemoryError as e:
         raise DecompressionBombError(str(e)) from e
+    except CodecUnavailable:
+        raise  # progressive/arithmetic JPEG: honest stub, not corruption
     except (zlib.error, struct.error, ValueError, NotImplementedError,
             IndexError) as e:
         # corrupt/truncated/unsupported-variant streams → the reference's

@@ -280,7 +280,7 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 raise MemoryError(f"decompression bomb: {w}x{h}")
             comps = []
             for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 3 + 3 * c)
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -452,10 +452,31 @@ def _encode_block(bw, coef, dc_t, ac_t, pred):
     return int(zz[0])
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
-    """Encode (h, w, 3) uint8 RGB → baseline JFIF (4:4:4)."""
+def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples, batched FDCT, quantize → (by, bx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    blocks = (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    co = _fdct_blocks(blocks)
+    qm = q[ZIGZAG.argsort()].reshape(8, 8)  # de-zigzag the table
+    return np.round(co / qm).astype(np.int32).reshape(ph // 8, pw // 8, 8, 8)
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 92,
+                subsampling: str = "444") -> bytes:
+    """Encode (h, w, 3) uint8 RGB → baseline JFIF.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2×2 luma
+    sampling, chroma box-averaged to half resolution — the dominant
+    real-world layout; exercises the decoder's MCU/upsampling path)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("expected (h, w, 3) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w, _ = pixels.shape
     ql = _scale_quant(_QUANT_LUMA, quality)
     qc = _scale_quant(_QUANT_CHROMA, quality)
@@ -463,30 +484,39 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
     y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
     cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128
     cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128
-    # pad to 8-multiples with edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = []
-    for plane in (y, cb, cr):
-        planes.append(np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0)
-    # batched FDCT + quantize per plane
-    qs = [ql, qc, qc]
-    quantized = []
-    for plane, q in zip(planes, qs):
-        blocks = (
-            plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        )
-        co = _fdct_blocks(blocks)
-        qm = q[ZIGZAG.argsort()].reshape(8, 8)  # de-zigzag the table
-        quantized.append(np.round(co / qm).astype(np.int32))
+    if subsampling == "420":
+        hs = vs = 2
+        # box-average chroma over 2×2 (pad odd dims by edge replication)
+        ch, cw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ch - h), (0, cw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ch - h), (0, cw - w)), mode="edge")
+        cb = cb.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+    else:
+        hs = vs = 1
+
+    qy = _plane_blocks(y, ql)
+    qcb = _plane_blocks(cb, qc)
+    qcr = _plane_blocks(cr, qc)
+    # luma grid padded to MCU multiples (420: even block counts)
+    if subsampling == "420":
+        eby, ebx = -(-qy.shape[0] // vs) * vs, -(-qy.shape[1] // hs) * hs
+        qy = np.pad(qy, ((0, eby - qy.shape[0]), (0, ebx - qy.shape[1]),
+                         (0, 0), (0, 0)), mode="edge")
+        # chroma grid must match MCU count
+        mby, mbx = eby // vs, ebx // hs
+        qcb = np.pad(qcb, ((0, mby - qcb.shape[0]), (0, mbx - qcb.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
+        qcr = np.pad(qcr, ((0, mby - qcr.shape[0]), (0, mbx - qcr.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in ((0, ql), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(v) for v in q)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack(">BBB", cid, 0x11, tq)
+    for cid, hv, tq in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack(">BBB", cid, hv, tq)
     dc_l, ac_l = _HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS), _HuffTable(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c, ac_c = _HuffTable(_DC_CHROMA_BITS, _DC_CHROMA_VALS), _HuffTable(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
     for tc, th, bits, vals in (
@@ -504,13 +534,26 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92) -> bytes:
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    n_by, n_bx = ph // 8, pw // 8
-    for bi in range(n_by * n_bx):
-        for ci in range(3):
-            preds[ci] = _encode_block(
-                bw, quantized[ci][bi], tabs[ci][0], tabs[ci][1], preds[ci]
-            )
+    if subsampling == "444":
+        n_by, n_bx = qy.shape[0], qy.shape[1]
+        for by in range(n_by):
+            for bx in range(n_bx):
+                for ci, grid in enumerate((qy, qcb, qcr)):
+                    tabs = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    preds[ci] = _encode_block(
+                        bw, grid[by, bx], tabs[0], tabs[1], preds[ci]
+                    )
+    else:  # 420: MCU = 4 Y blocks + 1 Cb + 1 Cr
+        mby, mbx = qcb.shape[0], qcb.shape[1]
+        for my in range(mby):
+            for mx in range(mbx):
+                for dy in range(2):
+                    for dx in range(2):
+                        preds[0] = _encode_block(
+                            bw, qy[my * 2 + dy, mx * 2 + dx], dc_l, ac_l, preds[0]
+                        )
+                preds[1] = _encode_block(bw, qcb[my, mx], dc_c, ac_c, preds[1])
+                preds[2] = _encode_block(bw, qcr[my, mx], dc_c, ac_c, preds[2])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

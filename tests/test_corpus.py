@@ -48,4 +48,5 @@ def test_corpus_image_payloads_decode():
         except Exception:
             failed += 1
     assert decoded > 10
-    assert failed == 3  # truncated + non-image + jpeg-stub payloads
+    # truncated png + non-image + truncated jpeg + webp stub + progressive stub
+    assert failed == 5

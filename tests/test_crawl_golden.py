@@ -90,8 +90,9 @@ def test_image_set_matches_oracle(engine_result, oracle, corpus):
         if fmt in ("png", "gif"):  # lossless formats: byte-exact round trip
             assert np.array_equal(decode_image(encode_image(engine_px, fmt))[0],
                                   engine_px)
-        else:
-            assert psnr(engine_px, decode_image(encode_image(engine_px, "qimg"))[0]) >= 40
+        else:  # lossy (jpeg / qimg): PSNR ≥ 40 dB re-encode invariant
+            assert psnr(engine_px,
+                        decode_image(encode_image(engine_px, fmt))[0]) >= 40
         checked += 1
     assert checked == len(imgs)
     # captions byte-exact against corpus truth for URL-identified rows

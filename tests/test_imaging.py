@@ -53,7 +53,16 @@ def test_decode_errors_taxonomy():
     with pytest.raises(UnidentifiedImageError):
         decode_image(b"this is not an image at all....")
     with pytest.raises(CodecUnavailable):
-        decode_image(b"\xff\xd8\xff" + b"\x00" * 64)  # real JPEG magic → stub
+        decode_image(  # WebP: genuinely no decoder in this container
+            b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56
+        )
+    with pytest.raises(CodecUnavailable):
+        decode_image(  # progressive JPEG (SOF2): baseline decoder can't
+            b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+            + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+    with pytest.raises(OSError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # truncated JPEG
     # truncated PNG → OSError family
     good = png_encode(_pixels(4))
     with pytest.raises((OSError, ValueError)):
@@ -157,3 +166,68 @@ def test_png_decode_foreign_filters():
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
     assert np.array_equal(png_decode(data), px)
+
+
+def test_jpeg_roundtrip_psnr():
+    """Pure-Python baseline JPEG codec: 4:4:4 and 4:2:0 round trips.
+    Corpus-statistics images must clear the 40 dB lossy invariant at
+    the corpus quality (q95, 4:4:4)."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    for size in (24, 48):
+        px = _make_pixels(rng, size)
+        dec = jpeg_decode(jpeg_encode(px, quality=95, subsampling="444"))
+        assert dec.shape == px.shape
+        assert psnr(px, dec) >= 40
+        d420 = jpeg_decode(jpeg_encode(px, quality=95, subsampling="420"))
+        assert d420.shape == px.shape
+        assert psnr(px, d420) >= 20  # chroma subsampling is lossy by design
+        # and the luma channel survives sharply despite 4:2:0 chroma
+        def luma(a):
+            return (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                    + 0.114 * a[:, :, 2]).astype(np.float64)
+
+        lum_mse = np.mean((luma(px) - luma(d420)) ** 2)
+        assert 10 * np.log10(255.0**2 / max(lum_mse, 1e-9)) >= 40
+
+
+def test_jpeg_420_constant_chroma_near_lossless():
+    # constant chroma: 4:2:0 subsampling loses nothing → both layouts
+    # decode to the same high-PSNR result (validates the MCU/upsample path)
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((xx + yy) * 255 / (h + w)).astype(np.uint8)
+    px = np.stack([g, g, g], axis=2)
+    p444 = psnr(px, jpeg_decode(jpeg_encode(px, 95, "444")))
+    p420 = psnr(px, jpeg_decode(jpeg_encode(px, 95, "420")))
+    assert p444 >= 45 and p420 >= 45
+    assert abs(p444 - p420) < 1.0
+
+
+def test_jpeg_odd_dimensions_and_gray():
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (7, 9), (17, 23), (8, 8)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ss in ("444", "420"):
+            dec = jpeg_decode(jpeg_encode(px, quality=97, subsampling=ss))
+            assert dec.shape == (h, w, 3)
+
+
+def test_jpeg_through_facade_and_hashes():
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.codec import (
+        decode_image, dhash64, encode_image, hamming64,
+    )
+
+    rng = np.random.default_rng(11)
+    px = _make_pixels(rng, 48)
+    dec, fmt = decode_image(encode_image(px, "jpeg"))
+    assert fmt == "jpeg"
+    # dhash of q95 decode stays Hamming-close to the original's
+    assert hamming64(dhash64(px), dhash64(dec)) <= 4

@@ -46,7 +46,8 @@ def test_image_resizer_stage(ray_session):
 
     tbl = pa.table({"bytes": pa.array(
         [encode_image(_px(i, 64), "png") for i in range(8)]
-        + [b"\xff\xd8\xffreal-jpeg"], pa.binary())})
+        + [b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56],
+            pa.binary())})
     out = (
         ray.data.from_arrow(tbl)
         .map_batches(ImageResizer, batch_format="pyarrow", batch_size=4,
@@ -57,7 +58,7 @@ def test_image_resizer_stage(ray_session):
     assert len(ok) == 8
     assert (ok["resized_w"] == 16).all() and (ok["resized_h"] == 16).all()
     stub = out[out["resize_error"].notna()]
-    assert len(stub) == 1 and "codec_unavailable" in stub["resize_error"].iloc[0]
+    assert len(stub) == 1 and "codec_unavailable" in stub["resize_error"].iloc[0]  # webp stub
 
 
 def test_audio_video_stages(ray_session):

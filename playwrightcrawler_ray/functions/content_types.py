@@ -78,6 +78,7 @@ class ContentTypeRouter:
     def __init__(self, use_octet_stream: bool = True, extra: dict | None = None):
         self.categories: list[str] = []
         self._compiled: list[re.Pattern] = []
+        self._memo: dict[str, str] = {}  # sanitized MIME → category
         tables = [(name, pats) for name, pats in REGISTRATION_ORDER]
         if extra:
             tables += list(extra.items())
@@ -97,10 +98,17 @@ class ContentTypeRouter:
             # MIME never reaches the registry (all_others lists ^$ but
             # can only see it via a raw value that sanitizes to empty)
             return self.OTHER
+        got = self._memo.get(ct)
+        if got is not None:
+            return got
+        out = self.OTHER
         for name, pat in zip(self.categories, self._compiled):
             if pat.match(ct):
-                return name
-        return self.OTHER
+                out = name
+                break
+        if len(self._memo) < 65536:  # crawls see few distinct MIMEs
+            self._memo[ct] = out
+        return out
 
     def route_array(self, content_types) -> np.ndarray:
         """Vectorized routing with a per-batch memo: real batches contain

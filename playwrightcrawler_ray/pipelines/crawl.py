@@ -314,20 +314,26 @@ class CrawlEngine:
                 ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=bs)
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
             shutil.rmtree(wave_dir, ignore_errors=True)
-            # link offers happen INSIDE the decode stage (awaited per
-            # batch) — write_parquet returning is therefore the exact
-            # barrier: every link row is durable AND offered.
+            # link offers + dedup claims happen INSIDE the decode stage
+            # (awaited per batch) — write_parquet returning is therefore
+            # the exact barrier: every link row is durable AND offered,
+            # every dedup claim staged.
             ds.write_parquet(wave_dir)
+            t_write = time.perf_counter()
+            conflicts: list[tuple[int, list[int]]] = []
+            for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
+                conflicts.extend(part)
+            if conflicts:
+                # rare-ish (stage_many_keyed prunes sure losers): the
+                # shards reported every kept claimant's ord, so loser
+                # ords are computed locally and only the files holding
+                # them are rewritten — no scan, bytes never re-read
+                full_l, img_l = _loser_ords(conflicts)
+                if full_l or img_l:
+                    _write_tombstones(wave_dir, full_l, img_l)
+            t_fixup = time.perf_counter()
             t_pipeline = time.perf_counter() - tw
             last_wave_stats = ds.stats()
-            # wave barrier: fold in-wave dedup claims into the persistent
-            # sets; resolve the (rare) multi-claim conflicts by ord so the
-            # surviving row is the sequential oracle's
-            conflicts: set[int] = set()
-            for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
-                conflicts.update(part)
-            if conflicts:
-                _resolve_wave_conflicts(wave_dir, conflicts)
             # append-only order log: one immutable file per wave
             opath = os.path.join(order_dir, f"wave={wave:05d}.txt")
             with open(opath + ".tmp", "w") as f:
@@ -341,7 +347,8 @@ class CrawlEngine:
                     "strategy": strategy,
                     "urls": len(urls),
                     "sec": round(time.perf_counter() - tw, 4),
-                    "pipeline_sec": round(t_pipeline, 4),
+                    "pipeline_sec": round(t_write - tw, 4),
+                    "fixup_sec": round(t_fixup - t_write, 4),
                     "conflicts": len(conflicts),
                 }
             )
@@ -388,122 +395,58 @@ class CrawlEngine:
         return result
 
 
-def _resolve_wave_conflicts(wave_dir: str, conflicts: set[int]) -> None:
-    """Deterministic winner resolution for in-wave dedup conflicts.
+def _loser_ords(
+    conflicts: list[tuple[int, list[int]]]
+) -> tuple[set[int], set[int]]:
+    """Resolve multi-claim conflicts to loser ord sets.
 
-    ``conflicts`` is the set of hashes (mixed namespaces: imgvisit URL
-    hashes and pixel-sha1 prefixes) claimed more than once this wave.
-    Two rules, both "minimum ``ord`` wins" — i.e. the row the sequential
-    oracle would have produced first:
+    ``conflicts``: per conflicted hash, (namespace, kept claimant ords)
+    as reported by the DedupShards — namespace 0 = imgvisit URL claims,
+    1 = pixel-hash claims. Winner = minimum ord (the row the sequential
+    oracle would have produced first). Rules:
 
-    1. imgvisit (same subresource URL claimed from parallel batches):
-       the losing claimants' content doc AND image row are dropped (the
-       oracle skips the whole claim).
-    2. pixel (identical pixels under different URLs): only the losing
-       image rows are dropped (the oracle always appends the doc).
+    1. imgvisit losers forfeit their whole claim — content doc AND
+       image row (the oracle skips the claim entirely); both rows share
+       the claim's ord, so "drop every row with a full-loser ord".
+    2. pixel losers forfeit only the image row (the oracle always
+       appends the doc) — among claimants still alive after rule 1.
+    """
+    full_losers: set[int] = set()
+    for ns, ords in conflicts:
+        if ns == 0:
+            w = min(ords)
+            full_losers.update(o for o in ords if o != w)
+    img_losers: set[int] = set()
+    for ns, ords in conflicts:
+        if ns == 1:
+            alive = [o for o in ords if o not in full_losers]
+            if len(alive) >= 2:
+                w = min(alive)
+                img_losers.update(o for o in alive if o != w)
+    return full_losers, img_losers
 
-    Cost: only conflicted rows are gathered to the driver (tiny), then
-    one filtered rewrite of this wave's partition — runs only on actual
-    conflict, which requires identical content in parallel batches of
-    one wave."""
-    import glob as _glob
 
-    import numpy as np
-    import pyarrow.compute as pc
+def _write_tombstones(
+    wave_dir: str, full_loser_ords: set[int], img_loser_ords: set[int]
+) -> None:
+    """Record conflict-loser rows as a per-wave tombstone sidecar
+    instead of rewriting parquet files.
 
-    from ..urlkit.ids import url_id_64
-
-    files = sorted(_glob.glob(os.path.join(wave_dir, "*.parquet")))
-    ds = ray.data.read_parquet(files)
-    conf = np.array(sorted(conflicts), dtype=np.uint64)
-    conf_ref = ray.put(conf)
-
-    def project_affected(t: pa.Table) -> pa.Table:
-        cset = ray.get(conf_ref)
-        kind = t.column("kind")
-        src = pc.fill_null(t.column("source"), "")
-        mask = pc.or_(
-            pc.equal(kind, "image"),
-            pc.starts_with(src, "content_type_images"),
-        )
-        t = t.filter(mask).select(
-            ["kind", "url", "pixel_sha1", "ord", "subresource"]
-        )
-        if t.num_rows == 0:
-            return t.append_column(
-                "uconf", pa.array([], pa.bool_())
-            ).append_column("pconf", pa.array([], pa.bool_()))
-        urls = t.column("url").to_pylist()
-        uh = np.array([url_id_64("imgvisit:" + u) for u in urls], dtype=np.uint64)
-        # only subresource claimants competed for the imgvisit claim — a
-        # direct (frontier-popped) fetch of the same URL keeps its rows
-        sub = np.array(
-            [bool(s) for s in t.column("subresource").to_pylist()]
-        )
-        uconf = np.isin(uh, cset) & sub
-        psha = t.column("pixel_sha1").to_pylist()
-        ph = np.array(
-            [int(p[:16], 16) if p else 0 for p in psha], dtype=np.uint64
-        )
-        pconf = np.isin(ph, cset) & np.array([bool(p) for p in psha])
-        keep = uconf | pconf
-        return (
-            t.filter(pa.array(keep))
-            .append_column("uconf", pa.array(uconf[keep]))
-            .append_column("pconf", pa.array(pconf[keep]))
-        )
-
-    aff = ds.map_batches(project_affected, batch_format="pyarrow").to_pandas()
-    if aff.empty:
-        return
-    # rule 1: per conflicted URL, every row of a losing claimant goes
-    full_losers: set[tuple[str, int]] = set()  # (url, ord)
-    for url, grp in aff[aff["uconf"]].groupby("url"):
-        winner = int(grp["ord"].min())
-        full_losers.update(
-            (url, int(o)) for o in grp["ord"].unique() if int(o) != winner
-        )
-    # rule 2: per conflicted pixel hash, losing image rows go (among
-    # claimants that survived rule 1)
-    img_losers: set[tuple[str, int]] = set()  # (pixel_sha1, ord)
-    imgs = aff[(aff["kind"] == "image") & aff["pconf"]]
-    if not imgs.empty:
-        alive = [
-            (p, int(o))
-            for p, u, o in zip(imgs["pixel_sha1"], imgs["url"], imgs["ord"])
-            if (u, int(o)) not in full_losers
-        ]
-        by_pixel: dict[str, list[int]] = {}
-        for p, o in alive:
-            by_pixel.setdefault(p, []).append(o)
-        for p, ords in by_pixel.items():
-            winner = min(ords)
-            img_losers.update((p, o) for o in ords if o != winner)
-    if not full_losers and not img_losers:
-        return
-    fl_ref = ray.put(full_losers)
-    il_ref = ray.put(img_losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        fl, il = ray.get(fl_ref), ray.get(il_ref)
-        kind = t.column("kind").to_pylist()
-        urls = t.column("url").to_pylist()
-        ords = t.column("ord").to_pylist()
-        psha = t.column("pixel_sha1").to_pylist()
-        keep = [
-            not (
-                (o is not None and (u, o) in fl)
-                or (k == "image" and o is not None and (p, o) in il)
-            )
-            for k, u, o, p in zip(kind, urls, ords, psha)
-        ]
-        return t.filter(pa.array(keep))
-
-    tmp = wave_dir + ".fixtmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.map_batches(drop_losers, batch_format="pyarrow").write_parquet(tmp)
-    shutil.rmtree(wave_dir)
-    os.rename(tmp, wave_dir)
+    Loser rows are O(conflicts) (~tens per wave) but scatter across
+    many block files whose payloads include image bytes — rewriting
+    them cost seconds per wave. The sidecar is O(conflicts) bytes,
+    written atomically; ``load_unified`` (the single read choke point
+    every consumer goes through) applies it as a vectorized filter.
+    A re-run of the wave replaces the whole directory, sidecar
+    included, so resume semantics are unchanged."""
+    payload = {
+        "full": sorted(full_loser_ords),
+        "img": sorted(img_loser_ords),
+    }
+    path = os.path.join(wave_dir, "_tombstones.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(payload, f)
+    os.replace(path + ".tmp", path)
 
 
 def run_crawl(corpus: CorpusData, cfg: CrawlConfig | None = None,
@@ -516,11 +459,58 @@ def run_crawl(corpus: CorpusData, cfg: CrawlConfig | None = None,
 
 
 def load_unified(output_dir: str):
-    """Read all wave partitions back as one Dataset."""
+    """Read all wave partitions back as one Dataset, applying each
+    wave's conflict-loser tombstones (written by ``_write_tombstones``)
+    as a vectorized filter — consumers never see loser rows."""
     import glob
 
     files = sorted(glob.glob(os.path.join(output_dir, "wave=*", "*.parquet")))
-    return ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(files)
+    tombs: dict[int, tuple] = {}
+    import numpy as np
+
+    for tpath in glob.glob(os.path.join(output_dir, "wave=*", "_tombstones.json")):
+        with open(tpath) as f:
+            payload = json.load(f)
+        w = int(os.path.basename(os.path.dirname(tpath)).split("=")[1])
+        tombs[w] = (
+            np.array(payload["full"], dtype=np.int64),
+            np.array(payload["img"], dtype=np.int64),
+        )
+    if not tombs:
+        return ds
+    t_ref = ray.put(tombs)
+
+    def drop_tombstoned(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tb = ray.get(t_ref)
+        waves = pc.fill_null(t.column("wave"), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ords = pc.fill_null(t.column("ord"), -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        mask = np.zeros(len(ords), dtype=bool)
+        kinds = None
+        for w in np.unique(waves):
+            ent = tb.get(int(w))
+            if ent is None:
+                continue
+            fl, il = ent
+            inw = waves == w
+            mask |= inw & np.isin(ords, fl)
+            if len(il):
+                if kinds is None:
+                    kinds = np.asarray(
+                        t.column("kind").to_pylist(), dtype=object
+                    )
+                mask |= inw & np.isin(ords, il) & (kinds == "image")
+        if not mask.any():
+            return t
+        return t.filter(pa.array(~mask))
+
+    return ds.map_batches(drop_tombstoned, batch_format="pyarrow")
 
 
 def load_images(output_dir: str):

@@ -240,7 +240,7 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
     final-table semantics while removing ~90% of decode work.
 
     In-wave duplicates across parallel batches are all KEPT here
-    (``stage_many`` claims, prior-wave check only); the driver resolves
+    (``stage_many_keyed`` claims, prior-wave check only); the driver resolves
     the few conflicts deterministically by ``ord`` at the wave barrier,
     so RPC arrival order never picks the surviving caption/parent_host
     (ADVICE round 1). Within one batch rows are ord-sorted, so the
@@ -259,8 +259,9 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
         need = [i for i, (k, b) in enumerate(zip(kinds, bodies))
                 if k == "imgref" and b is None]
         if need and dedup_handles is not None:
+            ords = batch.column("ord").to_pylist()
             n_shards = len(dedup_handles)
-            by_shard: dict[int, list[int]] = defaultdict(list)
+            by_shard: dict[int, list[tuple[int, int]]] = defaultdict(list)
             pos_by_shard: dict[int, list[int]] = defaultdict(list)
             seen_in_batch: set[str] = set()
             keep: set[int] = set()
@@ -270,10 +271,11 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
                 seen_in_batch.add(urls[i])
                 h = url_id_64("imgvisit:" + urls[i])
                 s = h % n_shards
-                by_shard[s].append(h)
+                by_shard[s].append((h, int(ords[i])))
                 pos_by_shard[s].append(i)
             masks = _wait_holding_cpu(
-                [dedup_handles[s].stage_many.remote(v) for s, v in by_shard.items()]
+                [dedup_handles[s].stage_many_keyed.remote(v, 0)
+                 for s, v in by_shard.items()]
             )
             for (s, _), mask in zip(by_shard.items(), masks):
                 for pos, is_new in zip(pos_by_shard[s], mask):
@@ -316,7 +318,7 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
     seen in any PRIOR wave, per the global DedupShard service) the image
     row; page rows pass through untouched. Output schema: UNIFIED
     (transit body dropped). In-wave pixel-hash duplicates are all kept
-    (``stage_many``) and resolved deterministically by ``ord`` at the
+    (``stage_many_keyed``) and resolved deterministically by ``ord`` at the
     wave barrier — see DedupShard's two-phase protocol.
 
     With ``frontier_handles``, the batch's link rows are ALSO offered
@@ -363,15 +365,16 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
                 img["subresource"] = r["subresource"]
                 image_rows.append(img)
         if image_rows:
-            by_shard: dict[int, list[int]] = defaultdict(list)
+            by_shard: dict[int, list[tuple[int, int]]] = defaultdict(list)
             row_pos: dict[int, list[int]] = defaultdict(list)
             for i, row in enumerate(image_rows):
                 h64 = int(row["pixel_sha1"][:16], 16)
                 s = h64 % num_shards
-                by_shard[s].append(h64)
+                by_shard[s].append((h64, int(row["ord"])))
                 row_pos[s].append(i)
             masks = _wait_holding_cpu(
-                [dedup_handles[s].stage_many.remote(hs) for s, hs in by_shard.items()]
+                [dedup_handles[s].stage_many_keyed.remote(hs, 1)
+                 for s, hs in by_shard.items()]
             )
             keep = set()
             for (s, _), mask in zip(by_shard.items(), masks):

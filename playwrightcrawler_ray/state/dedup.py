@@ -8,15 +8,19 @@ image hot path (SURVEY.md §2.7 D4). Shard routing is
 ``hash % num_shards`` on the hash itself.
 
 Two-phase wave protocol (deterministic winners): within a wave, tasks
-call ``stage_many`` which answers "was this hash seen in any PRIOR
-wave?" and records the claim — every in-wave claimant of a new hash is
-kept provisionally, so parallel-batch RPC arrival order never decides
-the surviving row. At the wave's write barrier the driver calls
-``commit_wave``, which folds the claims into the persistent set and
-returns the hashes claimed more than once this wave; the driver then
-resolves those few conflicts deterministically by the rows' ``ord``
-lineage key (pipelines/crawl.py). ``add_many`` (claim-wins-immediately)
-remains for callers that only need the hash set, not row attributes.
+call ``stage_many_keyed`` which answers "was this hash seen in any
+PRIOR wave?" and records the claim with the row's ``ord`` lineage key —
+a claimant at or above the smallest ord claimed so far is a sure loser
+and is dropped immediately (skipping its fetch/decode work), while a
+smaller-ord claimant is kept even though a larger-ord row is already in
+flight, so parallel-batch RPC arrival order never decides the surviving
+row. At the wave's write barrier the driver calls ``commit_wave``,
+which folds the claims into the persistent set and returns the kept
+claimant ords of every multi-claim hash; the driver resolves winners by
+minimum ord and rewrites only the files holding loser rows
+(pipelines/crawl.py) — no data scan. ``add_many``
+(claim-wins-immediately) remains for callers that only need the hash
+set, not row attributes.
 """
 
 from __future__ import annotations
@@ -37,23 +41,45 @@ class DedupShard:
         """True per item ⇔ first sighting (caller keeps those rows)."""
         return self.seen.add_many(hashes)
 
-    def stage_many(self, hashes: list[int]) -> list[bool]:
-        """Wave-scoped claim: True ⇔ not seen in any PRIOR wave. All
-        in-wave claimants of a new hash get True; duplicates are
-        resolved at commit_wave by the driver."""
+    def stage_many_keyed(
+        self, pairs: list[tuple[int, int]], ns: int = 0
+    ) -> list[bool]:
+        """Wave-scoped claim keyed by the row's ``ord`` lineage value,
+        tagged with a caller namespace (0 = imgvisit URL claims, 1 =
+        pixel-hash claims). Returns keep-flags: False for hashes seen
+        in a PRIOR wave and for claimants whose ord is not below the
+        smallest ord claimed so far this wave (they can never be the
+        deterministic winner, so their fetch/decode work is skipped
+        immediately). A claimant with a smaller ord than the current
+        minimum must be kept — the earlier-arriving larger-ord row is
+        already in flight; commit_wave reports every kept claimant so
+        the driver can drop the losers."""
         out = []
-        for h in hashes:
-            h = int(h)
-            self.pending[h] = self.pending.get(h, 0) + 1
-            out.append(h not in self.seen)
+        for h, o in pairs:
+            h, o = int(h), int(o)
+            if h in self.seen:
+                out.append(False)
+                continue
+            ent = self.pending.get(h)
+            if ent is not None and o >= ent[1][-1]:
+                out.append(False)  # sure loser: a smaller ord already claimed
+                continue
+            if ent is None:
+                self.pending[h] = (ns, [o])
+            else:
+                ent[1].append(o)  # strictly decreasing kept-ord list
+            out.append(True)
         return out
 
-    def commit_wave(self) -> list[int]:
-        """Fold this wave's claims into the persistent set; return the
-        hashes that were claimed ≥2 times AND were new this wave (the
-        only ones whose surviving row is ambiguous)."""
+    def commit_wave(self) -> list[tuple[int, list[int]]]:
+        """Fold this wave's claims into the persistent set; return, for
+        every hash with ≥2 KEPT claimants new this wave, its namespace
+        tag and the kept claimant ords (the driver resolves winners by
+        minimum ord — no data scan needed)."""
         conflicts = [
-            h for h, c in self.pending.items() if c >= 2 and h not in self.seen
+            (ns, list(ords))
+            for h, (ns, ords) in self.pending.items()
+            if len(ords) >= 2 and h not in self.seen
         ]
         for h in self.pending:
             self.seen.add_if_absent(h)

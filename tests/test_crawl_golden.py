@@ -168,6 +168,11 @@ def test_in_wave_dedup_conflicts_resolve_deterministically(ray_session):
 
     corpus = CorpusData()
     corpus.seeds = ["http://a.test/", "http://b.test/"]
+    # force OUT-OF-ORD arrival: a.test (ord 0) is slow, so b.test's
+    # claims land first and a.test's smaller-ord claims arrive second —
+    # the exact race stage_many_keyed cannot prune, exercising the
+    # commit_wave conflict resolution
+    corpus.latency_ms = {"a.test": 400, "b.test": 0, "img.test": 0}
     corpus.pages = {
         "http://a.test/": {
             "status": 200, "content_type": "text/html", "redirect_to": "",
@@ -202,31 +207,34 @@ def test_in_wave_dedup_conflicts_resolve_deterministically(ray_session):
         wave_batch_size=1,  # every page in its own batch → real races
         method_weights={"oldest": 1},  # deterministic selection
         hunt_open_directories=False,
+        simulate_latency=True,
     )
     ora = run_oracle(corpus, cfg)
-    shutil.rmtree(cfg.output_dir, ignore_errors=True)
-    res = run_crawl(corpus, cfg, collect_seen_ids=True)
-    # the race actually happened: ≥2 conflicted hashes (shared URL claim
-    # + identical-pixel twin) were resolved at the wave barrier
-    assert sum(w.get("conflicts", 0) for w in res.wave_log) >= 2
-    assert res.order == ora.order
-    assert res.seen_ids() == ora.seen_ids
-    rows = load_unified(cfg.output_dir).to_pandas()
-    imgs = rows[rows["kind"] == "image"]
-    # oracle winner attributes survive: caption + parent_host per pixel hash
-    eng = {r["pixel_sha1"]: (r["caption"], r["parent_host"], r["url"])
-           for _, r in imgs.iterrows()}
-    ora_imgs = {v["pixel_sha1"]: (v["caption"], v["parent_host"], v["url"])
-                for v in ora.images.values()}
-    assert eng == ora_imgs
-    # both shared-URL claims conflicted → exactly one doc row for the
-    # shared URL, matching the oracle's content-row multiset
     from collections import Counter
 
-    pages = rows[rows["kind"] == "page"]
-    assert Counter(zip(pages["url"], pages["source"])) == Counter(
-        (r["url"], r["source"]) for r in ora.content_rows
-    )
+    ora_imgs = {v["pixel_sha1"]: (v["caption"], v["parent_host"], v["url"])
+                for v in ora.images.values()}
+    ora_pages = Counter((r["url"], r["source"]) for r in ora.content_rows)
+    # which interleaving occurs is inherently racy (that's the point):
+    # run several trials — EVERY one must match the oracle exactly, and
+    # at least one must have actually exercised the conflict-resolution
+    # path (the latency skew makes ord-0 arrive late with overwhelming
+    # probability in most trials)
+    conflicts_seen = 0
+    for trial in range(4):
+        shutil.rmtree(cfg.output_dir, ignore_errors=True)
+        res = run_crawl(corpus, cfg, collect_seen_ids=True)
+        conflicts_seen += sum(w.get("conflicts", 0) for w in res.wave_log)
+        assert res.order == ora.order
+        assert res.seen_ids() == ora.seen_ids
+        rows = load_unified(cfg.output_dir).to_pandas()
+        imgs = rows[rows["kind"] == "image"]
+        eng = {r["pixel_sha1"]: (r["caption"], r["parent_host"], r["url"])
+               for _, r in imgs.iterrows()}
+        assert eng == ora_imgs, f"trial {trial} image attrs diverge"
+        pages = rows[rows["kind"] == "page"]
+        assert Counter(zip(pages["url"], pages["source"])) == ora_pages
+    assert conflicts_seen >= 1  # resolution path exercised
 
 
 def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):

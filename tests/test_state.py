@@ -184,3 +184,110 @@ def test_dedup_shard():
     d2 = DedupShard(1)
     d2.restore(blob)
     assert d2.add_many([11, 12]) == [False, True]
+
+
+def test_stage_many_keyed_protocol():
+    """Deterministic unit battery for the ord-keyed two-phase claims:
+    prior-wave drops, sure-loser pruning, out-of-ord keeps, conflict
+    reporting at commit."""
+    from playwrightcrawler_ray.state.dedup import DedupShard
+
+    d = DedupShard(0, "exact")
+    # wave 1: hash 10 claimed at ord 5 then ord 9 (sure loser) then
+    # ord 2 (possible winner — kept), hash 11 once
+    assert d.stage_many_keyed([(10, 5)], ns=1) == [True]
+    assert d.stage_many_keyed([(10, 9)], ns=1) == [False]   # 9 >= min(5)
+    assert d.stage_many_keyed([(10, 2)], ns=1) == [True]    # 2 < 5: may win
+    assert d.stage_many_keyed([(11, 0)], ns=0) == [True]
+    conflicts = d.commit_wave()
+    assert conflicts == [(1, [5, 2])]  # two kept claimants; 11 had one
+    # wave 2: both hashes now persistent → all claims dropped
+    assert d.stage_many_keyed([(10, 0), (11, 0), (12, 1)]) == [
+        False, False, True]
+    assert d.commit_wave() == []
+    # checkpoint round trip preserves the persistent set
+    d2 = DedupShard(0)
+    d2.restore(d.checkpoint())
+    assert d2.stage_many_keyed([(12, 0)]) == [False]
+
+
+def test_drop_conflict_losers_rules(ray_session, tmp_path):
+    """tombstone resolution: rule 1 (imgvisit losers lose doc+image),
+    rule 2 (pixel losers lose only the image row), direct fetches are
+    never rule-1 victims — on a constructed wave partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from playwrightcrawler_ray.core.schemas import UNIFIED_SCHEMA
+    from playwrightcrawler_ray.pipelines.crawl import (
+        _write_tombstones, load_unified,
+    )
+    from playwrightcrawler_ray.urlkit.ids import url_id_64
+
+    def row(kind, url, source, ord_, sub, psha=None):
+        r = {f.name: None for f in UNIFIED_SCHEMA}
+        r.update(kind=kind, url=url, source=source, ord=ord_, wave=0,
+                 subresource=sub, pixel_sha1=psha)
+        return r
+
+    u = "https://img.test/shared.png"
+    psha = "ab" * 20
+    twin = "cd" * 20
+    rows = [
+        # claimant A (ord 100): doc + image
+        row("page", u, "content_type_images_download", 100, True),
+        row("image", u, "image_payload", 100, True, psha),
+        # claimant B (ord 300): doc + image — rule-1 loser
+        row("page", u, "content_type_images_download", 300, True),
+        row("image", u, "image_payload", 300, True, psha),
+        # direct fetch of the same URL (ord 50): never a rule-1 victim
+        row("page", u, "content_type_images_download", 50, False),
+        row("image", u, "image_payload", 50, False, psha),
+        # pixel twin under a different URL (ord 200): rule-2 loser of
+        # the twin-pixel conflict with ord-150 below
+        row("image", "https://img.test/t1.png", "image_payload", 200,
+            True, twin),
+        row("page", "https://img.test/t1.png",
+            "content_type_images_download", 200, True),
+        row("image", "https://img.test/t2.png", "image_payload", 150,
+            True, twin),
+        # unrelated page row — untouched
+        row("page", "https://a.test/", "content_type_download", 0, None),
+    ]
+    wave_dir = str(tmp_path / "wave=00000")
+    import os
+
+    os.makedirs(wave_dir)
+    tbl = pa.Table.from_pylist(rows, schema=UNIFIED_SCHEMA)
+    # split across two files: losers and winners in separate files
+    pq.write_table(tbl.slice(0, 5), os.path.join(wave_dir, "a.parquet"))
+    pq.write_table(tbl.slice(5), os.path.join(wave_dir, "b.parquet"))
+    from playwrightcrawler_ray.pipelines.crawl import _loser_ords
+
+    # shard-reported conflicts: (namespace, kept claimant ords)
+    conflicts = [
+        (0, [100, 300]),        # imgvisit claims on the shared URL
+        (1, [50, 100, 300]),    # pixel claims on psha (direct + 2 subs)
+        (1, [150, 200]),        # pixel claims on the twin
+    ]
+    full_l, img_l = _loser_ords(conflicts)
+    assert full_l == {300}
+    assert img_l == {100, 200}  # 300 already dies by rule 1
+    _write_tombstones(wave_dir, full_l, img_l)
+    out = load_unified(str(tmp_path)).to_pandas()
+    kept = set(zip(out["kind"], out["url"], out["ord"].fillna(-1).astype(int)))
+    # rule 1: claimant B (ord 300) fully dropped; A (100) keeps doc+img
+    assert ("page", u, 300) not in kept and ("image", u, 300) not in kept
+    assert ("page", u, 100) in kept
+    # rule 2 within shared URL: among surviving image rows of psha
+    # (ords 50 direct + 100 winner), min ord 50 keeps the image row
+    assert ("image", u, 50) in kept
+    assert ("image", u, 100) not in kept
+    # direct fetch doc untouched
+    assert ("page", u, 50) in kept
+    # twin pixels: ord 150 image kept, ord 200 image dropped, its doc stays
+    assert ("image", "https://img.test/t2.png", 150) in kept
+    assert ("image", "https://img.test/t1.png", 200) not in kept
+    assert ("page", "https://img.test/t1.png", 200) in kept
+    assert ("page", "https://a.test/", 0) in kept

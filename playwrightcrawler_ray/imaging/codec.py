@@ -113,7 +113,11 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         raise CodecUnavailable(f"no {fmt} decoder in this container")
     try:
         if fmt == "png":
-            px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
+            try:
+                px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
+            except NotImplementedError as e:
+                # Adam7 interlace: a real variant this decoder can't do
+                raise CodecUnavailable(str(e)) from e
         elif fmt == "gif":
             from .gif import gif_decode
 

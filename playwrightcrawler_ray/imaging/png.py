@@ -1,10 +1,13 @@
-"""Minimal pure-Python PNG codec (RGB/RGBA, 8-bit, non-interlaced).
+"""Pure-Python PNG codec.
 
-Implements the public PNG spec (RFC 2083): IHDR/IDAT/IEND chunks,
-zlib-compressed scanlines with per-row filter bytes. The encoder always
-writes filter 0 (None); the decoder reconstructs filters 0–4 so it can
-also read PNGs produced elsewhere. numpy for the pixel math, zlib from
-the stdlib — no third-party imaging dependency.
+Implements the public PNG spec (RFC 2083): IHDR/PLTE/tRNS/IDAT/IEND
+chunks, zlib-compressed scanlines with per-row filter bytes. The
+encoder writes 8-bit RGB/RGBA with filter 0 (None); the decoder reads
+every non-interlaced variant — grayscale, RGB, palette (with tRNS
+transparency), gray+alpha, RGBA at depths 1/2/4/8/16 — reconstructing
+filters 0–4. numpy for the pixel math, zlib from the stdlib — no
+third-party imaging dependency. Adam7 interlace is the one unsupported
+variant (NotImplementedError → the codec facade's CodecUnavailable).
 """
 
 from __future__ import annotations
@@ -51,11 +54,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def png_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode a PNG byte string to an (h, w, 3|4) uint8 array.
 
-    Raises ValueError for malformed streams, NotImplementedError for
-    unsupported PNG variants (palette, 16-bit, interlace), and
+    Supports every non-interlaced PNG color type: grayscale (0),
+    RGB (2), palette (3, with tRNS transparency), gray+alpha (4),
+    RGBA (6), at bit depths 1/2/4/8/16 (16-bit samples are reduced to
+    their high byte, like PIL's default I;16→L path). Raises ValueError
+    for malformed streams, NotImplementedError for Adam7 interlace, and
     MemoryError when w*h exceeds ``max_pixels`` (the decompression-bomb
     guard mirroring PIL's, used for the reference's
     ``content_type_images_decompression_bomb_error`` taxonomy)."""
@@ -65,6 +74,8 @@ def png_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     w = h = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -76,20 +87,33 @@ def png_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"unsupported PNG: depth={bit_depth} color={color_type} interlace={interlace}"
-        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }[color_type]
+    if bit_depth not in valid_depths:
+        raise ValueError(f"bad depth {bit_depth} for color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
     if w * h > max_pixels:
         raise MemoryError(f"decompression bomb: {w}x{h}")
-    ch = 3 if color_type == 2 else 4
-    stride = w * ch + 1
+    nch = _CHANNELS[color_type]
+    row_bytes = (w * nch * bit_depth + 7) // 8
+    stride = row_bytes + 1
     # bounded inflate: a bomb with small declared w/h can still carry IDAT
     # that inflates to GiB — never decompress more than the scanlines need
     dec = zlib.decompressobj()
@@ -103,32 +127,81 @@ def png_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         raise ValueError("bad scanline data size")
     rows = raw.reshape(h, stride)
     filters = rows[:, 0]
-    out = np.zeros((h, w * ch), dtype=np.uint8)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    bpp = max(1, (nch * bit_depth) // 8)  # filter distance, in bytes
     if not filters.any():
         out[:] = rows[:, 1:]
-        return out.reshape(h, w, ch)
-    bpp = ch
-    for y in range(h):
-        f = filters[y]
-        cur = rows[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w * ch, np.int32)
-        if f == 0:
-            rec = cur
-        elif f == 2:  # Up
-            rec = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential along the row
-            rec = np.zeros(w * ch, np.int32)
-            for i in range(w * ch):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    rec[i] = (cur[i] + a) & 0xFF
-                elif f == 3:
-                    rec[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    rec[i] = (cur[i] + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {f}")
-        out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, ch)
+    else:
+        for y in range(h):
+            f = filters[y]
+            cur = rows[y, 1:].astype(np.int32)
+            prev = (
+                out[y - 1].astype(np.int32) if y > 0
+                else np.zeros(row_bytes, np.int32)
+            )
+            if f == 0:
+                rec = cur
+            elif f == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
+                rec = np.zeros(row_bytes, np.int32)
+                for i in range(row_bytes):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    if f == 1:
+                        rec[i] = (cur[i] + a) & 0xFF
+                    elif f == 3:
+                        rec[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                    else:
+                        rec[i] = (cur[i] + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {f}")
+            out[y] = rec.astype(np.uint8)
+    return _samples_to_pixels(out, w, h, bit_depth, color_type, nch, plte, trns)
+
+
+def _samples_to_pixels(
+    rows: np.ndarray, w: int, h: int, depth: int, color_type: int,
+    nch: int, plte: bytes | None, trns: bytes | None,
+) -> np.ndarray:
+    """Defiltered scanline bytes → (h, w, 3|4) uint8 pixels."""
+    if depth == 16:
+        # big-endian 16-bit samples → high byte (PIL's 8-bit reduction)
+        sam = rows.reshape(h, -1)[:, 0::2][:, : w * nch]
+    elif depth == 8:
+        sam = rows[:, : w * nch]
+    else:
+        bits = np.unpackbits(rows, axis=1)
+        per = bits.shape[1] // depth
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        packed = bits.reshape(h, per, depth) @ weights
+        sam = packed[:, : w * nch].astype(np.uint8)
+    if color_type == 2:
+        return sam.reshape(h, w, 3)
+    if color_type == 6:
+        return sam.reshape(h, w, 4)
+    if color_type == 0:
+        g = sam.reshape(h, w)
+        if depth < 8:  # scale to full range (e.g. 1-bit: 0/1 → 0/255)
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    if color_type == 4:
+        ga = sam.reshape(h, w, 2)
+        g, a = ga[:, :, 0], ga[:, :, 1]
+        return np.stack([g, g, g, a], axis=2)
+    # palette
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    if pal.size % 3:
+        raise ValueError("bad PLTE size")
+    pal = pal.reshape(-1, 3)
+    idx = sam.reshape(h, w)
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    alpha_tab = np.full(len(pal), 255, dtype=np.uint8)
+    tr = np.frombuffer(trns, dtype=np.uint8)[: len(pal)]
+    alpha_tab[: len(tr)] = tr
+    return np.dstack([rgb, alpha_tab[idx]])

@@ -231,3 +231,65 @@ def test_jpeg_through_facade_and_hashes():
     assert fmt == "jpeg"
     # dhash of q95 decode stays Hamming-close to the original's
     assert hamming64(dhash64(px), dhash64(dec)) <= 4
+
+
+def test_png_palette_gray_variants():
+    """Decoder reads every non-interlaced PNG color type: palette (with
+    and without tRNS), grayscale at sub-byte depths, gray+alpha, and
+    16-bit — hand-crafted streams, verified against known pixels."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    def make(w, h, depth, ctype, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(scanlines))
+                + chunk(b"IEND", b""))
+
+    from playwrightcrawler_ray.imaging.png import png_decode
+
+    # palette 8-bit, 2x2: indexes 0,1,2,3
+    plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+    img = make(2, 2, 8, 3, b"\x00\x00\x01\x00\x02\x03",
+               chunk(b"PLTE", plte))
+    px = png_decode(img)
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[1, 1].tolist() == [9, 9, 9]
+    # palette + tRNS → RGBA with per-index alpha
+    img_t = make(2, 2, 8, 3, b"\x00\x00\x01\x00\x02\x03",
+                 chunk(b"PLTE", plte) + chunk(b"tRNS", bytes([0, 128])))
+    px = png_decode(img_t)
+    assert px.shape == (2, 2, 4)
+    assert px[0, 0, 3] == 0 and px[0, 1, 3] == 128 and px[1, 0, 3] == 255
+    # 1-bit grayscale 8x1: bits 10110001 → 255/0 scaling
+    img_g1 = make(8, 1, 1, 0, b"\x00\xb1")
+    px = png_decode(img_g1)
+    assert px.shape == (1, 8, 3)
+    assert px[0, 0, 0] == 255 and px[0, 1, 0] == 0 and px[0, 7, 0] == 255
+    # 4-bit palette 2x1: indexes 1,2 packed in one byte
+    img_p4 = make(2, 1, 4, 3, b"\x00\x12", chunk(b"PLTE", plte))
+    px = png_decode(img_p4)
+    assert px[0, 0].tolist() == [0, 255, 0] and px[0, 1].tolist() == [0, 0, 255]
+    # gray+alpha 8-bit 1x2
+    img_ga = make(2, 1, 8, 4, b"\x00\x10\xff\x80\x40")
+    px = png_decode(img_ga)
+    assert px.shape == (1, 2, 4)
+    assert px[0, 0].tolist() == [16, 16, 16, 255]
+    assert px[0, 1].tolist() == [128, 128, 128, 64]
+    # 16-bit RGB 1x1: high bytes kept
+    img_16 = make(1, 1, 16, 2, b"\x00\xab\xcd\x12\x34\x56\x78")
+    px = png_decode(img_16)
+    assert px[0, 0].tolist() == [0xAB, 0x12, 0x56]
+    # interlaced → NotImplementedError → facade CodecUnavailable
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    img_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        png_decode(img_i)
+    with pytest.raises(CodecUnavailable):
+        decode_image(img_i)

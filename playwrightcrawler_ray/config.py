@@ -21,6 +21,11 @@ class CrawlConfig:
     # --- behavior parity with the reference (config.py in /root/reference) ---
     extract_words: bool = True                # EXTRACT_WORDS
     extract_min_webcontent: bool = True       # EXTRACT_MIN_WEBCONTENT
+    # JS-render hook before parsing (reference renders EVERY page via
+    # Playwright, :4926-5207; here the deterministic stand-in in
+    # functions/render.py — document.write literals + lazy-load
+    # promotion). Off = static fetch only.
+    render_js: bool = True
     use_octet_stream: bool = True             # USE_OCTET_STREAM
     words_remove_special_chars: bool = True   # WORDS_REMOVE_SPECIAL_CHARS
     words_to_lower: bool = True               # WORDS_TO_LOWER

@@ -215,6 +215,8 @@ def build_corpus(
                 # non-UTF-8 fixture pages (charset-tolerant decode path)
                 links.append("/latin1.html")
                 links.append("/sjis.html")
+            if hi == 1 and pi == 1:
+                links.append("/dynamic.html")  # JS-rendered fixture
             if pi == 2:
                 links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
             if hi % 3 == 0 and pi == 3:
@@ -273,6 +275,31 @@ def build_corpus(
         "status": 200, "content_type": "text/html",
         "body": sjis_html.encode("shift_jis"), "redirect_to": "",
     }
+
+    # JS-rendered fixture on host 1 (the render hook's golden path): a
+    # link and a lazy-loaded image exist ONLY after rendering
+    if n_hosts > 1:
+        h1 = hosts[1]
+        h1_imgs = img_by_host.get(h1, [])
+        lazy_img = (
+            f'<img data-src="/{h1_imgs[0][0].split("/", 3)[3]}" '
+            f'alt="{h1_imgs[0][1]}">' if h1_imgs else ""
+        )
+        dynamic_html = (
+            "<html><body><p>static shell content here</p>\n"
+            "<script>document.write('<a href=\"/jsonly.html\">late</a>');"
+            "</script>\n" + lazy_img + "</body></html>"
+        )
+        corpus.pages[f"https://{h1}/dynamic.html"] = {
+            "status": 200, "content_type": "text/html",
+            "body": dynamic_html.encode(), "redirect_to": "",
+        }
+        corpus.pages[f"https://{h1}/jsonly.html"] = {
+            "status": 200, "content_type": "text/html",
+            "body": b"<html><body><p>only reachable through the "
+                    b"rendered DOM</p></body></html>",
+            "redirect_to": "",
+        }
 
     # seeds: n_seeds hosts incl. one deliberately malformed scheme
     # (FIXTURES.md §2); default 8

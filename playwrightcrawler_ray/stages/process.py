@@ -192,6 +192,12 @@ def process_fetched(
         # charset-tolerant decode (reference chardet flow, :5091-5099):
         # BOM → header charset → meta charset → utf-8 → latin-1
         text, _enc = decode_text(body, content_type_raw)
+        if ctx.cfg.render_js:
+            # JS-render hook (reference Playwright navigation,
+            # :4926-5207): deterministic stand-in — see functions/render
+            from ..functions.render import render_html
+
+            text = render_html(text)
         ex = extract_page(text)
         is_od, od_pattern = is_open_directory(text, url)
         min_web = (

@@ -50,6 +50,10 @@ def test_oracle_covers_corpus(oracle, corpus):
     assert len(oracle.images) > 5
     private = [u for u in oracle.order if "/private/" in u]
     assert private == []  # robots Disallow respected
+    # the JS-render hook fired: /jsonly.html is reachable only through a
+    # document.write'd link on the dynamic fixture page
+    assert any(u.endswith("/dynamic.html") for u in oracle.order)
+    assert any(u.endswith("/jsonly.html") for u in oracle.order)
 
 
 def test_crawl_ordering_matches_oracle(engine_result, oracle):

@@ -143,3 +143,52 @@ def test_latin1_page_words_decoded():
     assert "café" in page["min_webcontent"]
     assert "café" in page["words"]
     assert "caf�" not in page["min_webcontent"]
+
+
+def test_render_js_hook():
+    from playwrightcrawler_ray.functions.render import render_html
+
+    html = (
+        "<html><body><p>shell</p>"
+        "<script>var x = 1; document.write('<a href=\"/late.html\">L</a>');"
+        "document.writeln(\"<img src='/w.png'>\");</script>"
+        '<img data-src="/lazy.png" alt="z">'
+        "</body></html>"
+    )
+    out = render_html(html)
+    assert '<a href="/late.html">' in out
+    assert "<img src='/w.png'>" in out
+    assert '<img src="/lazy.png"' in out          # data-src promoted
+    # static content untouched; idempotent on static pages
+    static = "<html><body><a href='/x'>x</a></body></html>"
+    assert render_html(static) == static
+    # no JS is evaluated: computed strings are NOT extracted
+    evil = "<script>document.write('<a href=\"/'+secret+'\">x</a>')</script>"
+    assert "/secret" not in render_html(evil)
+
+
+def test_render_hook_reaches_parse():
+    """process_fetched with render_js on discovers document.write links
+    and lazy-load images; with it off, neither exists (static fetch)."""
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.stages.process import (
+        ProcessContext, process_fetched,
+    )
+
+    body = (
+        b"<html><body>"
+        b"<script>document.write('<a href=\"/late.html\">l</a>');</script>"
+        b'<img data-src="/lazy.png" alt="zz">'
+        b"</body></html>"
+    )
+    on = ProcessContext(CrawlConfig(render_js=True,
+                                    hunt_open_directories=False))
+    rows, offers, imgs = process_fetched(
+        "https://h.test/", "h.test", 0, 200, "text/html", body, "", on)
+    assert any(u.endswith("/late.html") for u, *_ in offers)
+    assert any(i["url"].endswith("/lazy.png") for i in imgs)
+    off = ProcessContext(CrawlConfig(render_js=False,
+                                     hunt_open_directories=False))
+    rows, offers, imgs = process_fetched(
+        "https://h.test/", "h.test", 0, 200, "text/html", body, "", off)
+    assert not offers and not imgs

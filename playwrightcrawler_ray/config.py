@@ -89,6 +89,10 @@ class CrawlConfig:
     # transient-failure retry (reference downloader: 3 tries, exp
     # backoff ×2, downloader.py:262-302); base kept tiny in-sandbox
     fetch_retries: int = 3
+    # HTTP Range-resume for truncated downloads (reference
+    # downloader.py:212-302); off = a naive client that stores the
+    # first (truncated) response
+    range_resume: bool = True
     fetch_backoff_base_s: float = 0.01
     # one batch/block size for ALL wave stages: Ray fuses the stage
     # chain into one operator whose task granularity is the largest

@@ -46,6 +46,10 @@ class CorpusData:
     # failure injection for retry tests: url -> number of transient
     # failures before success (reference downloader backoff, S10)
     flaky: dict[str, int] = field(default_factory=dict)
+    # url → max bytes served per request: the server truncates every
+    # response, forcing the fetch stage's HTTP Range-resume loop
+    # (reference downloader.py:212-302) to reassemble the payload
+    partial: dict[str, int] = field(default_factory=dict)
     # ground truth for test assertions (not visible to the engine):
     truth_images: dict[str, dict] = field(default_factory=dict)  # img url -> {pixels_shape, caption, fmt}
 
@@ -178,6 +182,14 @@ def build_corpus(
               b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
               + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00",
               "image/jpeg", "progressive stub", {"error": "codec_unavailable"})
+    # a large-ish image served in ~3 chunks: only a fetch stage that
+    # implements Range-resume reassembles it (the oracle reads the full
+    # body directly, so golden equality proves the resume path)
+    rng_px = _make_pixels(nprng, 64)
+    ranged_body = encode_image(rng_px, "png")
+    ranged_url = add_image(hosts[0], "ranged.png", ranged_body, "image/png",
+                           "ranged download", {"caption": "ranged download"})
+    corpus.partial[ranged_url] = max(1, len(ranged_body) // 3 + 1)
 
     img_by_host: dict[str, list[tuple[str, str]]] = {}
     for url, body, ctype, cap in images:

@@ -252,12 +252,17 @@ class CrawlEngine:
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
         flaky_ref = ray.put(dict(self.corpus.flaky)) if self.corpus.flaky else None
+        partial_ref = (
+            ray.put(dict(self.corpus.partial)) if self.corpus.partial else None
+        )
         fetch_fn = make_fetch_fn(
             self.corpus_ref, self.latency_ref, flaky_ref,
             retries=cfg.fetch_retries, backoff_base_s=cfg.fetch_backoff_base_s,
+            partial_ref=partial_ref, range_resume=cfg.range_resume,
         )
         imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref,
-                                       self.dedup)
+                                       self.dedup, partial_ref=partial_ref,
+                                       range_resume=cfg.range_resume)
         decode_fn = make_decode_fn(cfg, self.dedup, self.shards)
         parse_fn = make_parse_fn(cfg)
         limit = max_waves if max_waves is not None else cfg.max_waves

@@ -78,8 +78,26 @@ def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     return _CTX_CACHE[key]
 
 
+def _range_resume(full: bytes, chunk: int, enabled: bool) -> bytes:
+    """Simulated ranged download (reference downloader.py:212-302): the
+    server truncates every response at ``chunk`` bytes; the client
+    re-requests with ``Range: bytes=<assembled>-`` until the payload is
+    complete. With resume disabled, only the first response survives —
+    a truncated body (what a naive client would store)."""
+    assembled = full[:chunk]
+    if not enabled:
+        return assembled
+    while len(assembled) < len(full):
+        nxt = full[len(assembled): len(assembled) + chunk]
+        if not nxt:  # server stopped serving: give up with what we have
+            break
+        assembled += nxt
+    return assembled
+
+
 def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
-                  retries: int = 3, backoff_base_s: float = 0.01):
+                  retries: int = 3, backoff_base_s: float = 0.01,
+                  partial_ref=None, range_resume: bool = True):
     """Wave-input batch (url, host, wave) → + status/content_type_raw/
     body/redirect_to, resolved against the broadcast corpus.
 
@@ -116,6 +134,12 @@ def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
                     attempt += 1
                 if failures >= retries:  # exhausted → terminal error
                     status[i], ctype[i], body[i], redirect[i] = 599, "", b"", ""
+        if partial_ref is not None:
+            part: dict[str, int] = _cached_get(partial_ref)
+            for i, u in enumerate(urls):
+                n = part.get(u)
+                if n and body[i]:
+                    body[i] = _range_resume(body[i], n, range_resume)
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("content_type_raw", pa.array(ctype, pa.string()))
@@ -228,7 +252,8 @@ def make_offer_fn(frontier_handles: list):
     return offer
 
 
-def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = None):
+def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = None,
+                     partial_ref=None, range_resume: bool = True):
     """Fill missing bodies of imgref rows from the corpus (subresource
     fetch; the reference's response-listener path, :5174-5185).
 
@@ -297,7 +322,11 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
         fetched_hosts = set()
         if need:
             _, _, fetched, _ = reader.lookup([urls[i] for i in need])
+            part = _cached_get(partial_ref) if partial_ref is not None else {}
             for i, b in zip(need, fetched):
+                n = part.get(urls[i])
+                if n and b:
+                    b = _range_resume(b, n, range_resume)
                 bodies[i] = b
                 fetched_hosts.add(urls[i].split("/", 3)[2])
         if changed and latency_ref is not None:

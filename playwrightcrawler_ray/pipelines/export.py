@@ -196,3 +196,42 @@ def verify_admission_invariants(output_dir: str, cfg: CrawlConfig | None = None)
         return pd.DataFrame(bad, columns=["url", "violation"])
 
     return ds.map_batches(check, batch_format="pandas").to_pandas()
+
+
+def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
+    """Write every stored image payload to a file tree under ``dest``
+    using the reference downloader's traversal-proof URL→path mapping
+    (downloader.py:167-209 / :255-300 via urlkit.filepath). Distributed:
+    each batch writes its own rows; a shared filesystem (as on a real
+    cluster) receives one file per URL, overwrite-idempotent. Returns a
+    small manifest (url, path, n_bytes)."""
+    import os
+
+    from ..urlkit.filepath import safe_filepath_from_url
+
+    ds = load_unified(output_dir)
+
+    def write_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "image"))
+        urls = t.column("url").to_pylist()
+        bodies = t.column("bytes").to_pylist()
+        paths, sizes = [], []
+        for u, b in zip(urls, bodies):
+            path = safe_filepath_from_url(u, dest)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(b or b"")
+            paths.append(os.path.relpath(path, dest))
+            sizes.append(len(b or b""))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(write_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )

@@ -20,16 +20,28 @@ import ray
 
 class CorpusFetcher:
     """``map_batches`` callable: input batch needs a ``url`` column;
-    appends status/content_type/body/redirect_to."""
+    appends status/content_type/body/redirect_to.
+
+    Requests carry a rotated User-Agent (reference T2: ``ua.random``
+    per context/request, playwrightcrawler.py:4996/:4785/:5063) chosen
+    deterministically per URL — ``functions/uapool.pick_user_agent`` —
+    so reruns are reproducible. The corpus "server" ignores the header;
+    ``ua_counts`` exposes the rotation for observability/tests."""
 
     def __init__(self, corpus_ref):
+        from collections import Counter
+
         # one object-store read per actor, zero-copy shared on the node
         self.pages: dict[str, dict] = ray.get(corpus_ref)
+        self.ua_counts: Counter[str] = Counter()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.uapool import pick_user_agent
+
         urls = batch.column("url").to_pylist()
         status, ctype, body, redirect = [], [], [], []
         for u in urls:
+            self.ua_counts[pick_user_agent(u)] += 1  # request header
             rec = self.pages.get(u)
             if rec is None:
                 status.append(404)

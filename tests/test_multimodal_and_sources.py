@@ -122,3 +122,39 @@ def test_fast_extension_pass():
     validated, fallback = head_validate(fast, lambda u: served.get(u, ""))
     assert validated == [("https://h.test/doc.pdf", "application/pdf", "pdf")]
     assert fallback == ["https://h.test/pic.JPG"]
+
+
+def test_ua_pool_rotation():
+    """T2: deterministic UA rotation — stable per URL, spread across
+    the pool over many URLs."""
+    from collections import Counter
+
+    from playwrightcrawler_ray.functions.uapool import (
+        USER_AGENTS, pick_user_agent,
+    )
+
+    assert pick_user_agent("https://a.test/x") == pick_user_agent(
+        "https://a.test/x")
+    # retry attempts may rotate to a different agent
+    assert isinstance(pick_user_agent("https://a.test/x", attempt=1), str)
+    counts = Counter(
+        pick_user_agent(f"https://h{i}.test/p{i}") for i in range(600)
+    )
+    assert set(counts) <= set(USER_AGENTS)
+    assert len(counts) == len(USER_AGENTS)      # every agent used
+    assert max(counts.values()) < 600 * 0.5     # no degenerate skew
+
+
+def test_corpus_fetcher_actor_counts_uas(ray_session):
+    import pyarrow as pa
+    import ray as _ray
+
+    from playwrightcrawler_ray.stages.fetch import CorpusFetcher
+
+    ref = _ray.put({"https://a.test/": {
+        "status": 200, "content_type": "text/html", "body": b"<html></html>",
+        "redirect_to": ""}})
+    f = CorpusFetcher(ref)
+    out = f(pa.table({"url": ["https://a.test/", "https://b.test/x"]}))
+    assert out.column("status").to_pylist() == [200, 404]
+    assert sum(f.ua_counts.values()) == 2

@@ -257,3 +257,58 @@ def test_extract_email_validation():
     assert extract_email("mailto:a.b-c@x-y.example.org") == "a.b-c@x-y.example.org"
     assert extract_email("mailto:@bad.com") is None
     assert extract_email("gopher://x") is None
+
+
+def test_safe_filepath_from_url():
+    """Reference downloader.py:167-209 parity battery."""
+    from playwrightcrawler_ray.urlkit.filepath import safe_filepath_from_url
+
+    out = "/tmp/media_out"
+    # directory → index.html under host dir
+    p = safe_filepath_from_url("https://a.test/dir/", out)
+    assert p == "/tmp/media_out/a.test/dir/index.html"
+    # plain file
+    assert safe_filepath_from_url("https://a.test/x/y.png", out).endswith(
+        "a.test/x/y.png")
+    # query folded into the name, percent-encoded, before the extension
+    q = safe_filepath_from_url("https://a.test/img.png?v=1&s=a/b", out)
+    assert q.endswith("a.test/img_v%3D1%26s%3Da%2Fb.png")
+    # query on an extension-less path gains .html
+    q2 = safe_filepath_from_url("https://a.test/page?id=2", out)
+    assert q2.endswith("a.test/page_id%3D2.html")
+    # unsafe characters replaced
+    u = safe_filepath_from_url('https://a.test/we<ird>:"n|ame', out)
+    assert "<" not in u and ">" not in u and "|" not in u and '"' not in u
+    # traversal attempts stay inside the root (flattened if escaping)
+    t = safe_filepath_from_url("https://a.test/../../etc/passwd", out)
+    assert t.startswith(out + "/")
+    import os as _os
+
+    assert _os.path.commonpath([t, out]) == out
+
+
+def test_export_media_files(tmp_path):
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        _ray.init(address="local", num_cpus=4, include_dashboard=False)
+    import shutil as _sh
+
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.corpus import build_corpus
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+    from playwrightcrawler_ray.pipelines.export import export_media_files
+
+    out = str(tmp_path / "crawl")
+    _sh.rmtree(out, ignore_errors=True)
+    run_crawl(build_corpus(seed=42, n_hosts=4, pages_per_host=4),
+              CrawlConfig(output_dir=out, max_waves=20))
+    dest = str(tmp_path / "media")
+    manifest = export_media_files(out, dest)
+    assert len(manifest) > 3
+    import os as _os
+
+    for _, r in manifest.iterrows():
+        full = _os.path.join(dest, r["path"])
+        assert _os.path.isfile(full)
+        assert _os.path.getsize(full) == r["n_bytes"]

@@ -7,9 +7,11 @@ its METHOD_WEIGHTS (config.py:154-159):
 
 - ``oldest``       — created_at-asc order (here: (wave, url) asc, :1360-1428)
 - ``random``       — uniform sample of candidates (:1265-1357)
-- ``host_prefix``  — random [a-z0-9] host prefix filter, ≤20 attempts
-  (:1119-1220; the random-timestamp pivot is dropped — candidates here
-  are already one-per-host heap heads)
+- ``host_prefix``  — ONE random [a-z0-9] host prefix char, ≤20 random
+  time-pivot attempts accumulating one URL per host (:1119-1220; the
+  reference pivots on ``created_at``, here the discovery wave — the
+  engine's time axis; result kept in ascending order instead of the
+  reference's shuffle, a documented adaptation)
 - ``fewest_urls``  — a *ghost* strategy: the reference registers its
   weight but no function, so choosing it raises KeyError into a broad
   except and yields an empty round (:4482-4503). With
@@ -61,13 +63,33 @@ def apply_strategy(
         leftover = pool[size:]
         return selected, leftover
     if strategy == "host_prefix":
-        for _ in range(_MAX_PREFIX_ATTEMPTS):
-            c = rng.choice(_PREFIX_ALPHABET)
-            matches = [cand for cand in candidates if cand[2].startswith(c)]
-            if matches:
-                selected = matches[:size]
-                chosen = {cand[1] for cand in selected}  # urls are unique
-                leftover = [cand for cand in candidates if cand[1] not in chosen]
-                return selected, leftover
-        return [], list(candidates)
+        # reference get_urls_by_random_timestamp_and_prefix (:1119-1220):
+        # ONE random [a-z0-9] prefix char, then ≤20 random TIME pivots —
+        # each attempt pages candidates with created_at ≥ pivot in
+        # (created_at, url) asc order, collecting one URL per host,
+        # accumulating ACROSS attempts until `size` hosts. Our time axis
+        # is the discovery wave. Adaptation (documented): the reference
+        # shuffles its result; we keep ascending order so wave
+        # processing stays deterministic.
+        c = rng.choice(_PREFIX_ALPHABET)
+        prefixed = [cand for cand in candidates if cand[2].startswith(c)]
+        host_to_cand: dict[str, Candidate] = {}
+        if prefixed:
+            min_w = min(cand[0] for cand in prefixed)
+            max_w = max(cand[0] for cand in prefixed)
+            for _ in range(_MAX_PREFIX_ATTEMPTS):
+                pivot = int(rng.uniform(min_w, max_w))
+                for cand in prefixed:  # already (wave, url) ascending
+                    if cand[0] >= pivot and cand[2] not in host_to_cand:
+                        host_to_cand[cand[2]] = cand
+                        if len(host_to_cand) >= size:
+                            break
+                if len(host_to_cand) >= size:
+                    break
+        if not host_to_cand:
+            return [], list(candidates)
+        selected = sorted(host_to_cand.values())
+        chosen = {cand[1] for cand in selected}  # urls are unique
+        leftover = [cand for cand in candidates if cand[1] not in chosen]
+        return selected, leftover
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -31,7 +31,7 @@ def corpus():
 
 @pytest.fixture(scope="module")
 def oracle(corpus):
-    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_oracle", max_waves=60)
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_oracle", max_waves=100)
     return run_oracle(corpus, cfg)
 
 
@@ -39,7 +39,7 @@ def oracle(corpus):
 def engine_result(ray_session, corpus):
     from playwrightcrawler_ray.pipelines.crawl import run_crawl
 
-    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_engine", max_waves=60)
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_engine", max_waves=100)
     shutil.rmtree(cfg.output_dir, ignore_errors=True)
     return cfg, run_crawl(corpus, cfg, collect_seen_ids=True)
 
@@ -147,7 +147,7 @@ def test_cuckoo_seen_mode_matches_oracle_ordering(ray_session, corpus, oracle):
     positive would silently drop a URL and break ordering)."""
     from playwrightcrawler_ray.pipelines.crawl import run_crawl
 
-    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_cuckoo", max_waves=60)
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_cuckoo", max_waves=100)
     shutil.rmtree(cfg.output_dir, ignore_errors=True)
     res = run_crawl(corpus, cfg, seen_mode="cuckoo")
     assert res.order == oracle.order
@@ -246,7 +246,7 @@ def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
     order + seen set (SURVEY.md §5.5)."""
     from playwrightcrawler_ray.pipelines.crawl import run_crawl
 
-    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_resume", max_waves=60)
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_resume", max_waves=100)
     shutil.rmtree(cfg.output_dir, ignore_errors=True)
     partial = run_crawl(corpus, cfg, max_waves=3)
     assert partial.waves == 3

@@ -311,8 +311,17 @@ class CrawlEngine:
             # pre-slice into one Arrow table per wave block: from_arrow
             # makes each a block directly (no Repartition operator), and
             # a uniform batch_size across the fused stage chain keeps
-            # task granularity = one block (see CrawlConfig note)
-            bs = cfg.wave_batch_size
+            # task granularity = one block (see CrawlConfig note).
+            # Adaptive: small waves shrink the batch so every CPU gets
+            # ~4 tasks of slack (a 1k-URL wave at batch 256 is only 4
+            # tasks — idle cores on an 8-CPU cluster); large waves cap
+            # at wave_batch_size.
+            try:
+                ncpu = max(1, int(ray.cluster_resources().get("CPU", 1)))
+            except Exception:  # pragma: no cover - resources always known
+                ncpu = 1
+            bs = min(cfg.wave_batch_size,
+                     max(32, -(-len(urls) // (ncpu * 4))))
             chunks = [tbl.slice(i, bs) for i in range(0, len(urls), bs)]
             ds = ray.data.from_arrow(chunks)
             for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segments": A.q_customer_segments,
         # text analysis
         "token_counts": T.q_token_counts,
+        "token_counts_bpe": T.q_token_counts_bpe,
         "quality_signals": T.q_quality_signals,
         "lang_distribution": T.q_lang_distribution,
         "docs_by_source": T.q_docs_by_source,
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": N.q_embedding_neardup_lsh,  # rows-only (approx scale twin)
         "dedup_components": N.q_dedup_components,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
+        "ann_topk_ivf": N.q_ann_topk_ivf,              # rows-only (approx)
         "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)
     }
 
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_by_nation": A.SQL_SUPPLIER_BY_NATION,
         "customer_segments": A.SQL_CUSTOMER_SEGMENTS,
         "token_counts": T.SQL_TOKEN_COUNTS,
+        "token_counts_bpe": T.SQL_TOKEN_COUNTS_BPE,
         "quality_signals": T.SQL_QUALITY_SIGNALS,
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,

@@ -349,19 +349,11 @@ SELECT v AS vec_id, MIN(lbl) AS component_id FROM cc GROUP BY v
 """
 
 
-def q_embedding_kmeans(sf_dir: str, k: int = 10, iters: int = 10,
-                       seed: int = 5) -> pd.DataFrame:
-    """Seeded Lloyd's k-means over the embedding column — the
-    iterative-ML pattern on Ray Data: centroids broadcast per round,
-    assignment + per-cluster partial sums computed vectorized per
-    batch, partials combined on the driver (k×dim — aggregate-sized),
-    centroids updated, repeat. Deterministic (seeded init, fixed
-    rounds) → rows-only driver check; unit test asserts determinism.
-
-    Seed selection is a distributed hash-order top-k: each batch emits
-    its k rows with the smallest ``mix64(vec_id ^ seed)``, the driver
-    merges — a seeded uniform pseudo-random sample of k rows in ONE
-    pruned pass, no full-table materialization (VERDICT round 1)."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Shared coarse-quantizer trainer (q_embedding_kmeans and the IVF
+    ANN variant): distributed seeded init + Lloyd rounds with broadcast
+    centroids and per-batch partial sums."""
     mult = np.uint64(0x9E3779B97F4A7C15)
     seed64 = np.uint64(seed * 0x2545F4914F6CDD1D & 0xFFFFFFFFFFFFFFFF)
 
@@ -417,6 +409,23 @@ def q_embedding_kmeans(sf_dir: str, k: int = 10, iters: int = 10,
             if total > 0:
                 new_c[ci] = vsum / total
         centroids = new_c
+    return centroids
+
+
+def q_embedding_kmeans(sf_dir: str, k: int = 10, iters: int = 10,
+                       seed: int = 5) -> pd.DataFrame:
+    """Seeded Lloyd's k-means over the embedding column — the
+    iterative-ML pattern on Ray Data: centroids broadcast per round,
+    assignment + per-cluster partial sums computed vectorized per
+    batch, partials combined on the driver (k×dim — aggregate-sized),
+    centroids updated, repeat. Deterministic (seeded init, fixed
+    rounds) → rows-only driver check; unit test asserts determinism.
+
+    Seed selection is a distributed hash-order top-k: each batch emits
+    its k rows with the smallest ``mix64(vec_id ^ seed)``, the driver
+    merges — a seeded uniform pseudo-random sample of k rows in ONE
+    pruned pass, no full-table materialization (VERDICT round 1)."""
+    centroids = _kmeans_centroids(sf_dir, k, iters, seed)
 
     c_ref = ray.put(centroids)
 
@@ -474,5 +483,52 @@ def q_ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     return (
         out.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
         .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q_ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                   n_clusters: int = 16, nprobe: int = 4,
+                   iters: int = 5, seed: int = 5) -> pd.DataFrame:
+    """IVF ANN: a k-means coarse quantizer partitions the vectors; the
+    query scans only its ``nprobe`` nearest clusters (the classic
+    inverted-file index — at 100 TB each cluster is a partition and the
+    scan touches nprobe/n_clusters of the data). Approximate → rows-only
+    check; the recall test pins overlap against the exact top-k."""
+    centroids = _kmeans_centroids(sf_dir, n_clusters, iters, seed)
+    qdf = _fetch_vecs(sf_dir, [query_vec_id])
+    q = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(d2, kind="stable")[:nprobe].tolist())
+    refs = ray.put((centroids, probe, qn))
+
+    def probe_scan(df: pd.DataFrame) -> pd.DataFrame:
+        c, probe_set, qv = ray.get(refs)
+        m = _to_matrix(df)
+        assign = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        mask = np.isin(assign, list(probe_set)) & (
+            df["vec_id"].to_numpy() != query_vec_id
+        )
+        if not mask.any():
+            return pd.DataFrame({"vec_id": [], "cos_sim": []})
+        sub = m[mask]
+        norms = np.linalg.norm(sub, axis=1)
+        cos = (sub @ qv) / np.where(norms == 0, 1.0, norms)
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy()[mask], "cos_sim": np.round(cos, 4)}
+        )
+        return out.sort_values(["cos_sim", "vec_id"],
+                               ascending=[False, True]).head(k)
+
+    out = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(probe_scan, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .astype({"vec_id": "int64"})
         .reset_index(drop=True)
     )

@@ -235,3 +235,30 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         )
 
     return ds.map_batches(fp, batch_format="pandas").to_pandas()
+
+
+def q_token_counts_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish subword-boundary token count: alphanumeric runs plus
+    individual punctuation marks (the pre-tokenization split every
+    byte-pair tokenizer starts from). Vectorized pyarrow kernel; the
+    pattern is RE2/Python-re agreeing, so it has a DuckDB oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pattern = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+    def count(t: pa.Table) -> pa.Table:
+        # pyarrow's count_substring_regex runs RE2 — the same engine
+        # DuckDB's regexp_extract_all uses, so counts agree exactly
+        n = pc.count_substring_regex(t["text"], pattern=pattern)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow").to_pandas()
+
+
+SQL_TOKEN_COUNTS_BPE = r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""

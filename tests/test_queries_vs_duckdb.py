@@ -60,7 +60,7 @@ def _oracle_pairs():
     "region_nation_counts", "part_top3_by_brand", "events_by_type",
     "events_hourly", "user_sessions", "events_ts_range",
     "supplier_by_nation", "customer_segments",
-    "token_counts", "quality_signals",
+    "token_counts", "token_counts_bpe", "quality_signals",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components",
@@ -81,7 +81,7 @@ def test_query_matches_oracle(entrymod, name):
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
-                 "simhash", "ann_topk_lsh", "embedding_kmeans",
+                 "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets"]:
         out = qs[name](SF_DIR)
@@ -161,6 +161,21 @@ def test_embedding_neardup_lsh_recall_and_precision(entrymod):
     hi = exact[exact["cos_sim"] >= 0.9]
     for a, b in zip(hi["vec_a"], hi["vec_b"]):
         assert (a, b) in got
+
+
+def test_ann_topk_ivf_recall(entrymod):
+    """IVF must score its hits exactly (in-cluster cosine is exact) and
+    recover most of the true top-k at nprobe=4/16 on the test data."""
+    qs = entrymod.queries()
+    exact = qs["ann_topk"](SF_DIR)
+    ivf = qs["ann_topk_ivf"](SF_DIR)
+    exact_map = dict(zip(exact["vec_id"].astype(int), exact["cos_sim"]))
+    hits = 0
+    for v, c in zip(ivf["vec_id"].astype(int), ivf["cos_sim"]):
+        if v in exact_map:
+            assert abs(exact_map[v] - c) < 1e-6
+            hits += 1
+    assert hits >= len(exact) // 2  # recall@10 >= 0.5 at these params
 
 
 def test_entry_smoke(entrymod):

@@ -2,11 +2,13 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the
+shape) and returns the images Dataset. ``queries()`` exposes the 31
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (approximate/heuristic ops are rows-only by
-design: minhash-LSH, simhash, LSH-ANN, language-ID, fingerprints).
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 21
+SQL-expressible ones (approximate/heuristic ops are rows-only by
+design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
+language-ID, fingerprints, and the oracle-verified-in-pytest crawl
+queries).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() anywhere in the import chain or callables.

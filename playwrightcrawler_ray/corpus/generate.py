@@ -132,6 +132,9 @@ def build_corpus(
             # palette-quantized GIF (≤64 colors) through the real codec
             px = ((px >> 6) << 6).astype(px.dtype)
             body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
+        elif i % 9 == 7:
+            # uncompressed baseline TIFF through the real codec
+            body, ctype, name = encode_image(px, "tiff"), "image/tiff", f"pic{i}.tiff"
         elif i % 3 == 0:
             body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
         elif i % 3 == 1:
@@ -142,6 +145,7 @@ def build_corpus(
             body, ctype, name = encode_image(px, "qimg"), "image/jpeg", f"pic{i}.jpg"
         fmt_truth = (
             "gif" if i % 9 == 4
+            else "tiff" if i % 9 == 7
             else "png" if i % 3 == 0
             else "jpeg" if i % 3 == 1
             else "qimg"

@@ -15,14 +15,14 @@ Maps the reference's image handler semantics
   ``DecompressionBombError`` → content_type_images_decompression_bomb_error,
   ``OSError``/ValueError       → content_type_images_oserror.
 
-Formats: ``png``/``gif``/``bmp`` (real pure-Python codecs, lossless),
-``jpeg`` (real pure-Python baseline DCT codec, imaging/jpeg.py — 4:4:4
-and 4:2:0, restart markers; PSNR ≥ 40 dB at the corpus quality),
-``qimg`` (deterministic 6-bit quantized lossy format). ``webp`` and
-``tiff`` raise ``CodecUnavailable`` — no VP8/TIFF decoder in this
-container; the stage emits a clearly-labeled stub row instead.
-Progressive/arithmetic JPEG variants also raise ``CodecUnavailable``
-(the baseline decoder genuinely cannot decode them).
+Formats: ``png``/``gif``/``bmp``/``tiff`` (real pure-Python codecs,
+lossless), ``jpeg`` (real pure-Python baseline DCT codec,
+imaging/jpeg.py — 4:4:4 and 4:2:0, restart markers; PSNR ≥ 40 dB at
+the corpus quality), ``qimg`` (deterministic 6-bit quantized lossy
+format). Only ``webp`` raises ``CodecUnavailable`` (no VP8 decoder in
+this container; the stage emits a clearly-labeled stub row instead),
+plus the genuinely-undecodable variants of the real codecs
+(progressive/arithmetic JPEG, Adam7 PNG, LZW/tiled TIFF).
 """
 
 from __future__ import annotations
@@ -49,9 +49,9 @@ class CodecUnavailable(NotImplementedError):
 
 
 _QIMG_MAGIC = b"QIM1"
-# webp/tiff decoders are absent in this container (stubbed); PNG, GIF,
-# BMP and baseline JPEG are real pure-Python implementations.
-_STUBBED_FORMATS = {"webp", "tiff"}
+# Only the WebP (VP8) decoder is absent (stubbed); PNG, GIF, BMP,
+# baseline JPEG and baseline TIFF are real pure-Python implementations.
+_STUBBED_FORMATS = {"webp"}
 MAX_PIXELS = 64_000_000
 
 
@@ -74,6 +74,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         # q95 4:4:4 keeps the round-trip PSNR ≥ 40 dB invariant
         return jpeg_encode(pixels, quality=95, subsampling="444")
+    if fmt == "tiff":
+        from .tiff import tiff_encode
+
+        return tiff_encode(pixels)
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -96,6 +100,8 @@ def sniff_format(data: bytes) -> str:
         return "webp"
     if data.startswith((b"GIF87a", b"GIF89a")):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:2] == b"BM":
         return "bmp"
     raise UnidentifiedImageError("unrecognized image magic")
@@ -134,6 +140,14 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             except NotImplementedError as e:
                 # progressive / arithmetic / 12-bit: a real format this
                 # baseline decoder genuinely cannot decode
+                raise CodecUnavailable(str(e)) from e
+        elif fmt == "tiff":
+            from .tiff import tiff_decode
+
+            try:
+                px = tiff_decode(bytes(data), max_pixels=MAX_PIXELS)
+            except NotImplementedError as e:
+                # LZW/tiled/planar/16-bit TIFF: beyond the baseline
                 raise CodecUnavailable(str(e)) from e
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)

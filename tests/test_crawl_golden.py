@@ -91,7 +91,7 @@ def test_image_set_matches_oracle(engine_result, oracle, corpus):
         # re-encoding round trip must satisfy the PSNR invariant
         from playwrightcrawler_ray.imaging import encode_image
 
-        if fmt in ("png", "gif"):  # lossless formats: byte-exact round trip
+        if fmt in ("png", "gif", "tiff"):  # lossless: byte-exact round trip
             assert np.array_equal(decode_image(encode_image(engine_px, fmt))[0],
                                   engine_px)
         else:  # lossy (jpeg / qimg): PSNR ≥ 40 dB re-encode invariant

@@ -293,3 +293,58 @@ def test_png_palette_gray_variants():
         png_decode(img_i)
     with pytest.raises(CodecUnavailable):
         decode_image(img_i)
+
+
+def test_tiff_roundtrip_and_variants():
+    """Baseline TIFF: uncompressed RGB round trip, PackBits + grayscale
+    + bilevel decode, big-endian, unsupported variants → stub."""
+    import struct
+
+    from playwrightcrawler_ray.imaging.tiff import (
+        _unpackbits, tiff_decode, tiff_encode,
+    )
+
+    px = _pixels(13, 24, 40)
+    enc = tiff_encode(px)
+    dec, fmt = decode_image(enc)
+    assert fmt == "tiff" and np.array_equal(dec, px)
+
+    # PackBits: literal run + repeat run
+    assert _unpackbits(bytes([2, 1, 2, 3, 254, 9]), 6) == bytes(
+        [1, 2, 3, 9, 9, 9])
+
+    def mk(entries, pixel_data, extra=b""):
+        # tiny hand-rolled little-endian TIFF writer for variants
+        out = bytearray(b"II*\x00")
+        ifd_off = 8 + len(pixel_data)
+        out += struct.pack("<I", ifd_off) + pixel_data
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, val in entries:
+            out += struct.pack("<HHII", tag, typ, count, val)
+        out += struct.pack("<I", 0)
+        return bytes(out + extra)
+
+    # 8-bit grayscale 4x2, BlackIsZero
+    gray = bytes(range(8))
+    g = mk([(256, 3, 1, 4), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+            (279, 4, 1, 8)], gray)
+    out = tiff_decode(g)
+    assert out.shape == (2, 4, 3) and out[0, 1, 0] == 1
+    # WhiteIsZero inverts
+    g0 = mk([(256, 3, 1, 4), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+             (262, 3, 1, 0), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+             (279, 4, 1, 8)], gray)
+    assert tiff_decode(g0)[0, 1, 0] == 254
+    # bilevel 8x1: 0xB1 → bits 10110001
+    b = mk([(256, 3, 1, 8), (257, 3, 1, 1), (258, 3, 1, 1), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 1),
+            (279, 4, 1, 1)], b"\xb1")
+    bl = tiff_decode(b)
+    assert bl[0, 0, 0] == 255 and bl[0, 1, 0] == 0
+    # LZW compression (5) → CodecUnavailable via facade
+    lzw = mk([(256, 3, 1, 2), (257, 3, 1, 1), (258, 3, 1, 8), (259, 3, 1, 5),
+              (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 1),
+              (279, 4, 1, 2)], b"\x00\x00")
+    with pytest.raises(CodecUnavailable):
+        decode_image(lzw)

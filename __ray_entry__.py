@@ -98,6 +98,22 @@ def _q_crawl_pages_by_source(_sf_dir: str):
     return out
 
 
+def _q_crawl_trainset(_sf_dir: str):
+    """End-to-end composition: crawl output → quality-gated,
+    near-dup-collapsed, band-partitioned training table (rows-only;
+    the underlying crawl is oracle-verified in pytest)."""
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.pipelines.trainset import build_trainset
+
+    dest = "/tmp/pwc_query_trainset"
+    build_trainset(_crawl_output_dir(), dest)
+    df = pq.read_table(
+        dest, columns=["image_id", "w", "h", "fmt", "caption", "phash"]
+    ).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def _q_crawl_phash_buckets(_sf_dir: str):
     from playwrightcrawler_ray.pipelines.export import phash_buckets
 
@@ -118,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": _q_crawl_images,
         "crawl_pages_by_source": _q_crawl_pages_by_source,
         "crawl_phash_buckets": _q_crawl_phash_buckets,
+        "crawl_trainset": _q_crawl_trainset,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,
         "top_customers": A.q_top_customers,

@@ -104,3 +104,32 @@ def test_admission_verifier_empty(crawl_out):
 
     violations = verify_admission_invariants(crawl_out)
     assert len(violations) == 0, violations.head()
+
+
+def test_build_trainset(crawl_out, tmp_path):
+    """End-to-end: crawl output → quality-gated, near-dup-collapsed,
+    band-partitioned training table."""
+    from playwrightcrawler_ray.pipelines.crawl import load_images
+    from playwrightcrawler_ray.pipelines.trainset import build_trainset
+
+    dest = str(tmp_path / "trainset")
+    stats = build_trainset(crawl_out, dest, near_dup_hamming=4)
+    assert stats["rows"] > 0 and stats["partitions"] >= 1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dest)
+    df = t.to_pandas()
+    # schema: training columns + the band partition key
+    assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "wave", "ord", "band"} <= set(df.columns)
+    # strictly fewer-or-equal rows than the raw images table (near-dup
+    # collapse: the corpus ships phash-close perturbed/alt-format pairs)
+    raw = load_images(crawl_out).to_pandas()
+    assert len(df) <= len(raw)
+    # captions all pass the token gate
+    assert df["caption"].str.split().str.len().between(1, 64).all()
+    # determinism: rebuilding produces the identical id set
+    dest2 = str(tmp_path / "trainset2")
+    build_trainset(crawl_out, dest2, near_dup_hamming=4)
+    df2 = pq.read_table(dest2).to_pandas()
+    assert sorted(df["image_id"]) == sorted(df2["image_id"])

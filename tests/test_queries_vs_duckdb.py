@@ -83,7 +83,7 @@ def test_rows_only_queries_run(entrymod):
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "crawl_images",
-                 "crawl_pages_by_source", "crawl_phash_buckets"]:
+                 "crawl_pages_by_source", "crawl_phash_buckets", "crawl_trainset"]:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()

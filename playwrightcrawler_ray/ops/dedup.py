@@ -41,34 +41,56 @@ def _shingles(text: str, w: int = 3) -> set[str]:
     return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
 
 
+_MIX = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for shingle mixing
+
+
+def _shingle_hash_arrays(texts, w: int, tok_cache: dict[str, int] | None = None
+                         ) -> list[np.ndarray]:
+    """Vectorized distinct-shingle hashes per text: each UNIQUE token is
+    blake2b-hashed once (cached — natural text reuses tokens heavily),
+    then every w-gram hash is a positional multiply-xor mix of the token
+    hashes, computed with w numpy ops over the whole token array instead
+    of one digest per shingle string. Equality of shingle hashes ≡
+    equality of shingle strings modulo ~2^-64 collisions, which is all
+    the Jaccard/minhash kernels observe."""
+    cache = tok_cache if tok_cache is not None else {}
+
+    def tok_hash(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = cache[tok] = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+        return v
+
+    out = []
+    for text in texts:
+        toks = text.split()
+        n = len(toks) - w + 1
+        if n <= 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        th = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(w):
+            acc = (acc * _MIX) ^ th[j : j + n]
+        out.append(np.unique(acc))
+    return out
+
+
 def _shingle_rows(df: pd.DataFrame, w: int) -> pd.DataFrame:
     doc_ids, hashes = [], []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        for s in _shingles(text, w):
-            doc_ids.append(doc_id)
-            hashes.append(
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                - (1 << 63)
-            )
+    for doc_id, sh in zip(df["doc_id"],
+                          _shingle_hash_arrays(df["text"], w)):
+        doc_ids.extend([doc_id] * len(sh))
+        hashes.extend(sh.view(np.int64).tolist())
     return pd.DataFrame({"doc_id": doc_ids, "shingle": hashes})
 
 
 def _doc_shingle_arrays(df: pd.DataFrame, w: int) -> list[tuple[int, np.ndarray]]:
-    out = []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        sh = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                )
-                for s in _shingles(text, w)
-            ),
-            dtype=np.uint64,
-        )
-        out.append((int(doc_id), np.unique(sh)))
-    return out
+    arrays = _shingle_hash_arrays(df["text"], w)
+    return [(int(d), a) for d, a in zip(df["doc_id"], arrays)]
 
 
 def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20) -> pd.DataFrame:
@@ -231,16 +253,8 @@ def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5) -> pd.D
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_id": [], "band": [], "bucket": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sh = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    for s in _shingles(text, w)
-                ),
-                dtype=np.uint64,
-            )
+        arrays = _shingle_hash_arrays(df["text"], w)
+        for doc_id, sh in zip(df["doc_id"], arrays):
             if sh.size == 0:
                 continue
             sig = _minhash_sig(sh, a_par, b_par)
@@ -310,15 +324,8 @@ def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5) -> pd.D
             {
                 "doc_id": sel["doc_id"].to_numpy(),
                 "sh": [
-                    sorted(
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "big",
-                        )
-                        - (1 << 63)
-                        for s in _shingles(t, w)
-                    )
-                    for t in sel["text"]
+                    a.view(np.int64).tolist()
+                    for a in _shingle_hash_arrays(sel["text"], w)
                 ],
             }
         )

@@ -256,3 +256,28 @@ def test_resume_from_checkpoint_equivalent(ray_session, corpus, oracle):
     assert resumed.order[: len(partial.order)] == partial.order
     assert resumed.order == oracle.order
     assert resumed.seen_ids() == oracle.seen_ids
+
+
+def test_resume_after_crash_mid_wave(ray_session, corpus, oracle):
+    """Simulate a crash AFTER wave output was written but BEFORE its
+    checkpoint survived: the stale wave partition and order log must be
+    discarded and re-crawled, converging to the oracle exactly."""
+    import glob
+    import os
+
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_crash", max_waves=100,
+                      checkpoint_retain=50)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    partial = run_crawl(corpus, cfg, max_waves=8)
+    # "crash": drop the newest checkpoint so the latest written wave is
+    # ahead of the recoverable state
+    cks = sorted(glob.glob(os.path.join(cfg.output_dir, "checkpoints", "wave=*")))
+    assert len(cks) >= 2
+    shutil.rmtree(cks[-1])
+    stale_wave = int(os.path.basename(cks[-1]).split("=")[1])
+    assert os.path.isdir(os.path.join(cfg.output_dir, f"wave={stale_wave:05d}"))
+    resumed = run_crawl(corpus, cfg, resume=True, collect_seen_ids=True)
+    assert resumed.order == oracle.order
+    assert resumed.seen_ids() == oracle.seen_ids

@@ -84,6 +84,9 @@ class CrawlConfig:
 
     # --- Ray execution knobs (new; sized for one 32-CPU node) ---
     num_frontier_shards: int = 8     # scale with cluster size; hash(host) % shards
+    # mega-host skew: a host heap above this spills its larger half as a
+    # sorted run to disk (state/frontier.py); 0 = unlimited resident
+    host_queue_cap: int = 8192
     num_seen_shards: int = 8         # pixel-hash dedup shards
     fetch_concurrency: int = 8       # fetch actor pool size
     # transient-failure retry (reference downloader: 3 tries, exp

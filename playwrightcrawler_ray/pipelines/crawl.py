@@ -26,7 +26,9 @@ Scale notes (100 TB / 10^10 URLs):
   waves); Lance is the intended table format on a real deployment —
   parquet-per-wave keeps the same append/versioned layout contract;
 - politeness is enforced at pop time, so fetch tasks need no cross-task
-  coordination; mega-host skew is bounded by ``per_host_per_wave``.
+  coordination; mega-host skew is bounded by ``per_host_per_wave`` at
+  pop time and by ``host_queue_cap`` in memory (sorted-run disk spill
+  on the owning shard, state/frontier.py).
 """
 
 from __future__ import annotations
@@ -109,8 +111,14 @@ class CrawlEngine:
         self.seen_mode = seen_mode
         RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
         RemoteDedup = ray.remote(num_cpus=0)(DedupShard)
+        spill_root = os.path.join(self.cfg.output_dir, "spill")
         self.shards = [
-            RemoteShard.remote(i, seen_mode) for i in range(self.cfg.num_frontier_shards)
+            RemoteShard.remote(
+                i, seen_mode,
+                host_queue_cap=self.cfg.host_queue_cap,
+                spill_dir=os.path.join(spill_root, f"shard_{i:03d}"),
+            )
+            for i in range(self.cfg.num_frontier_shards)
         ]
         self.dedup = [
             RemoteDedup.remote(i, "exact") for i in range(self.cfg.num_seen_shards)

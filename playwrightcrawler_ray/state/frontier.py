@@ -7,9 +7,14 @@ explicit frontier service. ``FrontierShard`` is a plain Python class —
 Ray-agnostic so the oracle simulator and unit tests drive it directly;
 the crawl pipeline wraps it with ``ray.remote``. Sharding key is
 ``hash(host) % num_shards`` so one host's politeness state lives on
-exactly one shard (SURVEY.md §7.3); skew is handled at pop time — a
-mega-host still yields only ``per_host_per_wave`` URLs per wave, so hot
-hosts bound wave contribution rather than wave latency.
+exactly one shard (SURVEY.md §7.3). Mega-host skew is handled twice:
+at pop time a hot host still yields only ``per_host_per_wave`` URLs
+per wave (bounding wave contribution, not wave latency), and in MEMORY
+by ``host_queue_cap`` — a host heap that outgrows the cap spills its
+larger half as a sorted run to disk (LSM-style), so a 10^8-URL
+mega-host costs the owning shard O(cap) resident memory; runs merge
+back lazily only when their keys become poppable. Pop order is
+IDENTICAL with and without spilling (equivalence-tested).
 
 Determinism: the priority of a URL is ``(wave_discovered, url)`` — the
 Ray-native analogue of the reference's ``created_at asc + url
@@ -42,7 +47,8 @@ def shard_of(host: str, num_shards: int) -> int:
 
 class FrontierShard:
     def __init__(self, shard_id: int = 0, seen_mode: str = "exact",
-                 seen_capacity: int = 1 << 16):
+                 seen_capacity: int = 1 << 16, host_queue_cap: int = 0,
+                 spill_dir: str | None = None):
         self.shard_id = shard_id
         self.seen = make_seen_set(seen_mode, seen_capacity)
         self.heaps: dict[str, list[tuple[int, str]]] = defaultdict(list)
@@ -51,7 +57,70 @@ class FrontierShard:
         self.counters = {
             "offered": 0, "admitted": 0, "dup": 0,
             "robots_denied": 0, "popped": 0, "pushed_back": 0,
+            "spilled": 0, "spill_merges": 0,
         }
+        # mega-host skew: per-host sorted runs spilled to disk
+        # (host → list of [min_key, count, path]); 0 = unlimited
+        self.host_queue_cap = int(host_queue_cap)
+        self._spill_dir = spill_dir
+        self._spill_seq = 0
+        self.runs: dict[str, list[list]] = defaultdict(list)
+
+    # --- mega-host spill (LSM-style sorted runs) ---
+
+    def _spill_path(self) -> str:
+        import os
+        import tempfile
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(
+                prefix=f"pwc_frontier_spill_{self.shard_id}_"
+            )
+        os.makedirs(self._spill_dir, exist_ok=True)
+        self._spill_seq += 1
+        return f"{self._spill_dir}/run_{self._spill_seq:08d}.bin"
+
+    def _maybe_spill(self, host: str) -> None:
+        cap = self.host_queue_cap
+        heap = self.heaps[host]
+        if not cap or len(heap) <= cap:
+            return
+        # keep the SMALLEST half resident (only those are poppable
+        # soon); the larger half becomes an immutable sorted run
+        ordered = sorted(heap)
+        keep = ordered[: cap // 2]
+        run = ordered[cap // 2 :]
+        path = self._spill_path()
+        with open(path, "wb") as f:
+            pickle.dump(run, f, protocol=pickle.HIGHEST_PROTOCOL)
+        self.heaps[host] = keep  # sorted list IS a valid heap
+        self.runs[host].append([run[0], len(run), path])
+        self.counters["spilled"] += len(run)
+
+    def _merge_due_runs(self, host: str) -> None:
+        """Load every run whose min key is ≤ the resident heap's head
+        (or any run, if the heap is empty) — afterwards the global
+        minimum for ``host`` is guaranteed to sit at heap[0]."""
+        import os
+
+        runs = self.runs.get(host)
+        if not runs:
+            return
+        heap = self.heaps[host]
+        while runs:
+            runs.sort(key=lambda r: r[0])
+            if heap and runs[0][0] >= heap[0]:
+                break
+            _, _, path = runs.pop(0)
+            with open(path, "rb") as f:
+                items = pickle.load(f)
+            os.remove(path)
+            for it in items:
+                heapq.heappush(heap, tuple(it))
+            self.counters["spill_merges"] += 1
+        if not runs:
+            self.runs.pop(host, None)
+        self._maybe_spill(host)
 
     # --- robots ---
 
@@ -80,6 +149,7 @@ class FrontierShard:
                 delta["robots_denied"] += 1
                 continue
             heapq.heappush(self.heaps[host], (int(wave), url))
+            self._maybe_spill(host)
             delta["admitted"] += 1
         for k, v in delta.items():
             self.counters[k] += v
@@ -109,7 +179,11 @@ class FrontierShard:
                 continue
             heap = self.heaps[host]
             took = 0
-            while heap and took < per_host:
+            while took < per_host:
+                self._merge_due_runs(host)
+                heap = self.heaps[host]
+                if not heap:
+                    break
                 w, url = heapq.heappop(heap)
                 out.append((w, url, host))
                 took += 1
@@ -120,7 +194,7 @@ class FrontierShard:
                     # politeness mapping: crawl-delay seconds → whole
                     # waves of cooldown (documented approximation)
                     self.host_cooldown_until[host] = wave + 1 + int(cd)
-            if not heap:
+            if not self.heaps[host] and host not in self.runs:
                 del self.heaps[host]
         self.counters["popped"] += len(out)
         return out
@@ -130,12 +204,15 @@ class FrontierShard:
         no seen-check (they are already seen)."""
         for w, url, host in items:
             heapq.heappush(self.heaps[host], (int(w), url))
+            self._maybe_spill(host)
         self.counters["pushed_back"] += len(items)
 
     # --- introspection / checkpoint ---
 
     def size(self) -> int:
-        return sum(len(h) for h in self.heaps.values())
+        return sum(len(h) for h in self.heaps.values()) + sum(
+            r[1] for rs in self.runs.values() for r in rs
+        )
 
     def seen_items(self) -> list[int]:
         """All 64-bit ids in the seen set (exact mode only) — the
@@ -150,7 +227,14 @@ class FrontierShard:
         # a host-global budget actor (SURVEY.md §4 "skew"); in-sandbox
         # the per-wave budget already bounds its wave contribution, so
         # we surface the skew metric rather than splitting.
-        max_q = max((len(h) for h in self.heaps.values()), default=0)
+        run_counts = {
+            h: sum(r[1] for r in rs) for h, rs in self.runs.items()
+        }
+        max_q = max(
+            (len(h) + run_counts.get(host, 0)
+             for host, h in self.heaps.items()),
+            default=0,
+        )
         return dict(self.counters, queued=self.size(), hosts=len(self.heaps),
                     max_host_queue=max_q)
 
@@ -163,6 +247,14 @@ class FrontierShard:
                 "shard_id": self.shard_id,
                 "seen": self.seen.state(),
                 "heaps": {h: list(q) for h, q in self.heaps.items()},
+                # spilled runs are INLINED into the checkpoint blob here;
+                # a real deployment snapshots the immutable run files
+                # (hard links) instead of reading them back
+                "runs": {
+                    h: [self._read_run(r[2]) for r in rs]
+                    for h, rs in self.runs.items()
+                },
+                "host_queue_cap": self.host_queue_cap,
                 "robots": {h: r.state() for h, r in self.robots.items()},
                 "cooldown": dict(self.host_cooldown_until),
                 "counters": dict(self.counters),
@@ -170,15 +262,28 @@ class FrontierShard:
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
+    def _read_run(self, path: str) -> list:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
     def restore(self, blob: bytes) -> None:
         st = pickle.loads(blob)
         self.shard_id = st["shard_id"]
         self.seen = restore_seen_set(st["seen"])
         self.heaps = defaultdict(list)
         for h, q in st["heaps"].items():
-            heap = list(q)
+            heap = [tuple(it) for it in q]
             heapq.heapify(heap)
             self.heaps[h] = heap
+        self.host_queue_cap = int(st.get("host_queue_cap", 0))
+        self.runs = defaultdict(list)
+        for h, run_lists in st.get("runs", {}).items():
+            for items in run_lists:
+                items = [tuple(it) for it in items]
+                path = self._spill_path()
+                with open(path, "wb") as f:
+                    pickle.dump(items, f, protocol=pickle.HIGHEST_PROTOCOL)
+                self.runs[h].append([items[0], len(items), path])
         self.robots = {h: RobotsRules.from_state(r) for h, r in st["robots"].items()}
         self.host_cooldown_until = dict(st["cooldown"])
         self.counters = dict(st["counters"])

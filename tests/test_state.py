@@ -291,3 +291,52 @@ def test_drop_conflict_losers_rules(ray_session, tmp_path):
     assert ("image", "https://img.test/t1.png", 200) not in kept
     assert ("page", "https://img.test/t1.png", 200) in kept
     assert ("page", "https://a.test/", 0) in kept
+
+
+def test_frontier_megahost_spill_equivalence(tmp_path):
+    """Skew handling: with a tiny host_queue_cap a mega-host's queue
+    spills sorted runs to disk, yet every pop sequence is IDENTICAL to
+    the unbounded shard's; checkpoint/restore carries the runs."""
+    import os
+    import random as _r
+
+    rng = _r.Random(5)
+    urls = [f"https://mega.test/p{rng.getrandbits(40):011d}" for i in range(2000)]
+    waves = [rng.randrange(6) for _ in urls]
+
+    def mk(cap, sd):
+        f = FrontierShard(0, host_queue_cap=cap, spill_dir=sd)
+        f.offer(_mk_items_waves(urls, waves))
+        return f
+
+    def _mk_items_waves(us, ws):
+        from playwrightcrawler_ray.urlkit.ids import url_id_64
+
+        return [(u, url_id_64(u), "mega.test", "/p", w) for u, w in zip(us, ws)]
+
+    unbounded = FrontierShard(0)
+    unbounded.offer(_mk_items_waves(urls, waves))
+    capped = FrontierShard(0, host_queue_cap=64,
+                           spill_dir=str(tmp_path / "spill"))
+    capped.offer(_mk_items_waves(urls, waves))
+    # spill actually happened and memory is bounded
+    assert capped.counters["spilled"] > 0
+    assert len(capped.heaps["mega.test"]) <= 64
+    assert capped.size() == unbounded.size() == 2000
+    # interleave pops with new offers; sequences must match exactly
+    extra = [f"https://mega.test/zz{i}" for i in range(300)]
+    wave = 0
+    while unbounded.size() or capped.size():
+        a = unbounded.pop_candidates(wave, per_host=17)
+        b = capped.pop_candidates(wave, per_host=17)
+        assert a == b
+        if wave == 3:  # mid-stream offers (some keys below spilled runs)
+            unbounded.offer(_mk_items_waves(extra, [0] * len(extra)))
+            capped.offer(_mk_items_waves(extra, [0] * len(extra)))
+        if wave == 5:  # checkpoint round trip mid-stream, runs included
+            blob = capped.checkpoint()
+            capped = FrontierShard(9, spill_dir=str(tmp_path / "spill2"))
+            capped.restore(blob)
+        wave += 1
+        assert wave < 500
+    assert unbounded.size() == capped.size() == 0

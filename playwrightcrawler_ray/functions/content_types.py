@@ -1,27 +1,31 @@
 """Content-type sanitization + routing.
 
-The reference routes every fetched resource through a first-match regex
-registry of 15 category groups totalling ~720 patterns
+The reference routes every fetched resource through a regex registry
+of 15 category groups totalling ~720 patterns
 (playwrightcrawler.py:168-958 for the tables, :2420-2455 for the
-registry, :5112-5127 for the dispatch loop). Here the same routing is a
+registry, :5112-5131 for the dispatch loop). Here the same routing is a
 single **vectorized** stage: one precompiled alternation per category,
-evaluated in the reference's HANDLER REGISTRATION order over an Arrow
-string column; the first matching category wins. The full verbatim
-pattern tables live in ``content_type_tables.py`` (data = the
-behavioral spec, cited per group); they are plain data, so widening a
-group is a config change, not a code change — the same extension
-surface the reference documents in README.md:203-212.
+evaluated over an Arrow string column. The full verbatim pattern tables
+live in ``content_type_tables.py`` (data = the behavioral spec, cited
+per group); they are plain data, so widening a group is a config
+change, not a code change — the same extension surface the reference
+documents in README.md:203-212.
 
-Dispatch-order fidelity: the reference registers its catch-all
-``all_others`` group FIRST (:2640), so MIMEs that also appear in a
-specialized table (``text/css``, ``application/javascript``,
-``application/xml``…) route to ``all_others`` — reproduced here.
+Dispatch-order fidelity: the reference's dispatch loop (:5112-5131)
+has NO break — every matching handler runs, and
+``page_data["crawledcontent"].update(urlresult)`` lets the
+LAST-registered matching handler's record win. The effective category
+is therefore the LAST match in handler registration order, reproduced
+here by scanning ``REGISTRATION_ORDER`` reversed. The catch-all
+``all_others`` group, registered first (:2640), consequently only wins
+for MIMEs no specialized (later-registered) group lists.
 
 Octet-stream handling follows USE_OCTET_STREAM (config.py:186;
 reference :940-958): the octet-stream patterns are appended to every
-*binary* category's alternation — with first-match dispatch this sends
-``application/octet-stream`` itself to the earliest octet-extended
-group in registration order (font), exactly as the reference does.
+*binary* category's alternation — with last-match dispatch this sends
+``application/octet-stream`` itself to the LATEST octet-extended
+group in registration order (image, registered :3771), exactly as the
+reference does: octet-stream-served payloads reach the image handler.
 """
 
 from __future__ import annotations
@@ -65,7 +69,11 @@ _OCTET_CATEGORIES = {
 
 
 class ContentTypeRouter:
-    """First-match category router, vectorized over a string array.
+    """Last-match category router, vectorized over a string array.
+
+    The reference runs EVERY matching handler and merges results with
+    ``dict.update`` (:5112-5131), so the last-registered match defines
+    the surviving record; this router returns that category directly.
 
     ``use_octet_stream`` appends the octet-stream alias patterns to each
     binary category — after that, dispatch for those MIMEs is decided by
@@ -102,7 +110,11 @@ class ContentTypeRouter:
         if got is not None:
             return got
         out = self.OTHER
-        for name, pat in zip(self.categories, self._compiled):
+        # reference dispatch has no break: all matching handlers run and
+        # crawledcontent.update() lets the LAST-registered match win —
+        # scan reversed registration order, first hit = last match
+        for name, pat in zip(reversed(self.categories),
+                             reversed(self._compiled)):
             if pat.match(ct):
                 out = name
                 break

@@ -483,7 +483,9 @@ def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         .reshape(-1, 8, 8)
     )
     co = _fdct_blocks(blocks)
-    qm = q[ZIGZAG.argsort()].reshape(8, 8)  # de-zigzag the table
+    # q is in natural raster order (Annex K layout) — use it directly;
+    # the DQT segment serializes it zigzag-ordered per the spec
+    qm = q.reshape(8, 8)
     return np.round(co / qm).astype(np.int32).reshape(ph // 8, pw // 8, 8, 8)
 
 
@@ -534,7 +536,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92,
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(v) for v in q)
+        # DQT stores the table in zigzag scan order (T.81 B.2.4.1):
+        # entry k describes the coefficient at natural index ZIGZAG[k]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in q[ZIGZAG]
+        )
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, hv, tq in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += struct.pack(">BBB", cid, hv, tq)

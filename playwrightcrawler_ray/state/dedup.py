@@ -35,7 +35,9 @@ class DedupShard:
                  capacity: int = 1 << 16):
         self.shard_id = shard_id
         self.seen = make_seen_set(mode, capacity)
-        self.pending: dict[int, int] = {}  # in-wave claims: hash -> count
+        # in-wave claims: hash -> (namespace, strictly-decreasing list of
+        # KEPT claimant ords); folded into `seen` at commit_wave
+        self.pending: dict[int, tuple[int, list[int]]] = {}
 
     def add_many(self, hashes: list[int]) -> list[bool]:
         """True per item ⇔ first sighting (caller keeps those rows)."""
@@ -61,6 +63,13 @@ class DedupShard:
                 out.append(False)
                 continue
             ent = self.pending.get(h)
+            if ent is not None and o in ent[1]:
+                # idempotent re-stage: a retried Ray task re-claims an
+                # ord already kept this wave — the original task's
+                # output was lost (that's why it retried), so the row
+                # must be kept again, not dropped as a "sure loser"
+                out.append(True)
+                continue
             if ent is not None and o >= ent[1][-1]:
                 out.append(False)  # sure loser: a smaller ord already claimed
                 continue

@@ -86,10 +86,14 @@ class FrontierShard:
         if not cap or len(heap) <= cap:
             return
         # keep the SMALLEST half resident (only those are poppable
-        # soon); the larger half becomes an immutable sorted run
+        # soon); the larger half becomes an immutable sorted run. At
+        # least one entry stays resident — cap=1 would otherwise
+        # re-spill everything _merge_due_runs just loaded and starve
+        # the host permanently.
+        n_keep = max(1, cap // 2)
         ordered = sorted(heap)
-        keep = ordered[: cap // 2]
-        run = ordered[cap // 2 :]
+        keep = ordered[:n_keep]
+        run = ordered[n_keep:]
         path = self._spill_path()
         with open(path, "wb") as f:
             pickle.dump(run, f, protocol=pickle.HIGHEST_PROTOCOL)

@@ -29,9 +29,10 @@ def test_sanitize_content_type():
 
 
 # ≥5 MIMEs per reference regex group (all of them for the groups with
-# fewer patterns), using the reference's true first-match registration
-# order (playwrightcrawler.py:2640-3771): all_others registers FIRST,
-# doc before comic, video before audio — shadowing reproduced.
+# fewer patterns). The reference dispatch loop (:5112-5131) runs every
+# matching handler and merges with dict.update, so the LAST-registered
+# match wins: comic over doc, audio over video, image over font for the
+# octet-stream aliases — shadowing reproduced.
 ROUTE_CASES = [
     # html (:189-203)
     ("text/html", "html"),
@@ -76,9 +77,11 @@ ROUTE_CASES = [
     ("image/pdf", "pdf"),
     ("application/x-pdf", "pdf"),
     ("application/.pdf", "pdf"),
-    # comic (:588-593) — x-cbr/x-cbz are shadowed by doc (below)
+    # comic (:588-593) — registers after doc, so it wins x-cbr/x-cbz
     ("application/vnd.comicbook+zip", "comic"),
     ("application/vnd.comicbook-rar", "comic"),
+    ("application/x-cbr", "comic"),
+    ("application/x-cbz", "comic"),
     # doc (:596-630)
     ("application/msword", "doc"),
     ("application/vnd.ms-excel", "doc"),
@@ -124,21 +127,22 @@ def test_route(ct, expected):
     assert router.route_one(ct) == expected
 
 
-def test_route_first_match_order():
+def test_route_last_match_order():
     router = ContentTypeRouter()
-    # midi registers before... audio? No: audio/midi only appears in the
-    # midi table, so it routes there (reference :496-499).
+    # audio/midi only appears in the midi table, so it routes there
+    # (reference :496-499).
     assert router.route_one("audio/midi") == "midi"
-    # video registers before audio (:2894 vs :2942): the shared alias
-    # application/ogg (and application/mp4) resolve to video.
-    assert router.route_one("application/ogg") == "video"
-    assert router.route_one("application/mp4") == "video"
-    # all_others registers first (:2640): text/javascript is listed both
-    # there and in plain_text → all_others wins.
+    # audio registers after video (:2942 vs :2894): the shared aliases
+    # application/ogg and application/mp4 resolve to audio (its handler
+    # runs second and dict.update keeps its record).
+    assert router.route_one("application/ogg") == "audio"
+    assert router.route_one("application/mp4") == "audio"
+    # text/javascript appears only in all_others → routes there.
     assert router.route_one("text/javascript") == "all_others"
-    # doc registers before comic (:3035 vs :3185) and lists x-cbr/x-cbz.
-    assert router.route_one("application/x-cbr") == "doc"
-    assert router.route_one("application/x-cbz") == "doc"
+    # comic registers after doc (:3185 vs :3035); both list x-cbr/x-cbz
+    # → comic wins under last-match.
+    assert router.route_one("application/x-cbr") == "comic"
+    assert router.route_one("application/x-cbz") == "comic"
 
 
 def test_route_array_vectorized():
@@ -150,15 +154,16 @@ def test_route_array_vectorized():
 
 def test_octet_stream_patterns():
     # octet-stream aliases join every binary category when enabled
-    # (USE_OCTET_STREAM, reference :940-958); with first-match dispatch
-    # the earliest octet-extended group in registration order is FONT
-    # (:2845) — reference behavior, reproduced. Disabled → "other".
+    # (USE_OCTET_STREAM, reference :940-958); with last-match dispatch
+    # the LATEST octet-extended group in registration order is IMAGE
+    # (:3771) — octet-stream-served payloads reach the image handler,
+    # reference behavior reproduced. Disabled → "other".
     assert ContentTypeRouter(use_octet_stream=True).route_one(
         "application/octet-stream"
-    ) == "font"
+    ) == "image"
     assert ContentTypeRouter(use_octet_stream=True).route_one(
         "binary/octet-stream"
-    ) == "font"
+    ) == "image"
     assert ContentTypeRouter(use_octet_stream=False).route_one(
         "application/octet-stream"
     ) == "other"

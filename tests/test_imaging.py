@@ -374,3 +374,38 @@ def test_codec_fuzz_never_hangs_or_leaks_exceptions():
             pass  # the documented taxonomy
 
     fuzz()
+
+
+def test_jpeg_dqt_written_zigzag_matches_annex_k():
+    """The DQT segment stores quant tables in zigzag scan order (T.81
+    B.2.4.1): de-zigzagging the written bytes must recover the scaled
+    Annex-K table in natural raster order — at quality 50 the scale
+    factor is 1.0, so it must equal Annex K.1 exactly."""
+    import struct
+
+    import numpy as np
+
+    from playwrightcrawler_ray.imaging.jpeg import (
+        _QUANT_CHROMA, _QUANT_LUMA, ZIGZAG, jpeg_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = jpeg_encode(px, quality=50)
+    tables = {}
+    pos = 2
+    while pos < len(data) - 1:
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            tq = seg[0] & 0xF
+            zzt = np.frombuffer(seg[1:65], dtype=np.uint8).astype(np.int32)
+            nat = np.zeros(64, dtype=np.int32)
+            nat[ZIGZAG] = zzt  # spec: entry k is natural index ZIGZAG[k]
+            tables[tq] = nat
+        pos += 2 + seglen
+    assert np.array_equal(tables[0], _QUANT_LUMA)
+    assert np.array_equal(tables[1], _QUANT_CHROMA)

@@ -340,3 +340,42 @@ def test_frontier_megahost_spill_equivalence(tmp_path):
         wave += 1
         assert wave < 500
     assert unbounded.size() == capped.size() == 0
+
+
+def test_stage_many_keyed_idempotent_restage():
+    """A retried Ray task re-stages a (hash, ord) pair already kept this
+    wave: the re-claim must answer keep=True (the original task's output
+    was lost — that is why it retried), never "sure loser"."""
+    from playwrightcrawler_ray.state.dedup import DedupShard
+
+    d = DedupShard(0, "exact")
+    assert d.stage_many_keyed([(10, 5)], ns=1) == [True]
+    # same task retried: identical claim must be kept again
+    assert d.stage_many_keyed([(10, 5)], ns=1) == [True]
+    # a different, larger ord is still a sure loser
+    assert d.stage_many_keyed([(10, 9)], ns=1) == [False]
+    # smaller-ord claim kept, then ITS retry also kept
+    assert d.stage_many_keyed([(10, 2)], ns=1) == [True]
+    assert d.stage_many_keyed([(10, 2)], ns=1) == [True]
+    # re-stage does not duplicate the kept-ord list at commit
+    assert d.commit_wave() == [(1, [5, 2])]
+
+
+def test_frontier_spill_cap_one_no_starvation(tmp_path):
+    """host_queue_cap=1 keeps at least one entry resident after a spill
+    (_maybe_spill keeps max(1, cap//2)) — every offered URL is still
+    popped eventually instead of cycling spill↔merge forever."""
+    from playwrightcrawler_ray.urlkit.ids import url_id_64
+
+    urls = [f"https://one.test/p{i:04d}" for i in range(50)]
+    f = FrontierShard(0, host_queue_cap=1, spill_dir=str(tmp_path / "s1"))
+    f.offer([(u, url_id_64(u), "one.test", "/p", 0) for u in urls])
+    assert f.counters["spilled"] > 0
+    got = []
+    for wave in range(500):
+        batch = f.pop_candidates(wave, per_host=5)
+        got.extend(u for _w, u, _h in batch)
+        if f.size() == 0:
+            break
+    assert f.size() == 0
+    assert sorted(got) == sorted(urls)

@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
         "embedding_neardup_lsh": N.q_embedding_neardup_lsh,  # rows-only (approx scale twin)
         "dedup_components": N.q_dedup_components,
+        # rows-only: full no-broadcast pipeline (LSH edges + contraction)
+        "dedup_components_lsh": N.q_dedup_components_lsh,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
         "ann_topk_ivf": N.q_ann_topk_ivf,              # rows-only (approx)
         "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)

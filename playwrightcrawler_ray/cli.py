@@ -121,8 +121,12 @@ def main(argv: list[str] | None = None) -> int:
                 include_ext=[args.ext] if args.ext else None,
                 limit=args.limit,
             )
-            for row in ds.take_all():
-                print(row["url"])
+            # constant-memory print: stream batches instead of
+            # materializing the listing (unbounded when --limit large)
+            for batch in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096):
+                for url in batch["url"].to_pylist():
+                    print(url)
     finally:
         ray.shutdown()
     return 0

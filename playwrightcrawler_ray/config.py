@@ -42,6 +42,10 @@ class CrawlConfig:
     hunt_open_directories: bool = True        # HUNT_OPEN_DIRECTORIES
     remove_repeated_segments: bool = True     # REMOVE_REPEATED_SEGMENTS
     node_id: str = "ray-collector-01"         # NODE_ID
+    # monthly time-partition stamp (reference get_index_name, :1458-1481
+    # — UTC YYYY-MM index suffix). Fixed for determinism; a deployment
+    # sets it per run from datetime.now(timezone.utc).strftime("%Y-%m").
+    crawl_yyyymm: str = "2026-08"
     host_regex_block_list: tuple[str, ...] = (r"(^|\.)gstatic\.com$",)
     host_regex_allow_list: tuple[str, ...] = (r".*",)
     url_regex_block_list: tuple[str, ...] = (

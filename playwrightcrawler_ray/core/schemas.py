@@ -42,6 +42,12 @@ UNIFIED_FIELDS: list[tuple[str, pa.DataType]] = [
     *_level_cols,
     ("file_extension", pa.string()),
     ("node_id", pa.string()),
+    # time-partition key, the reference's monthly ES-index analogue
+    # (get_index_name appends a UTC YYYY-MM suffix per document,
+    # playwrightcrawler.py:1458-1481). Stamped on every persisted row
+    # from CrawlConfig.crawl_yyyymm — deterministic in the sandbox, the
+    # deployment slot for datetime.now(timezone.utc).strftime("%Y-%m").
+    ("yyyymm", pa.string()),
     # image payload columns (input_hint shape + dedup keys)
     ("image_id", pa.string()),        # sha1 of canonical image url
     ("bytes", pa.binary()),
@@ -87,7 +93,7 @@ PAGES_COLUMNS = [
     "min_webcontent", "emails", "has_query", "query_variables", "query_values",
     *[f"host_level_{i}" for i in range(1, MAX_LEVELS + 1)],
     *[f"directory_level_{i}" for i in range(1, MAX_LEVELS + 1)],
-    "file_extension", "node_id",
+    "file_extension", "node_id", "yyyymm",
 ]
 
 IMAGES_COLUMNS = [f.name for f in IMAGES_SCHEMA]

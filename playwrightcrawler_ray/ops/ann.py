@@ -262,8 +262,34 @@ def q_dedup_components(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     (each round is a ``groupby(vertex).map_groups`` — fully
     distributed, O(log n) rounds, no driver-side edge loop; VERDICT
     round 1 item 4) → final ``groupby(vec_id).min`` label extraction.
-    The driver only sees per-round edge counts/checksums."""
+    The driver only sees per-round edge counts/checksums.
+
+    This exact-edge configuration is the DuckDB-oracled kernel; the
+    no-broadcast end-to-end twin is ``q_dedup_components_lsh`` (edges
+    from the LSH-bucketed pair generator)."""
     edges_df = q_embedding_neardup_pairs(sf_dir, threshold=threshold)
+    return _components_from_edges(sf_dir, edges_df)
+
+
+def q_dedup_components_lsh(sf_dir: str, threshold: float = 0.3,
+                           n_planes: int = 6, n_tables: int = 10,
+                           seed: int = 23) -> pd.DataFrame:
+    """Connected components over the LSH twin's edge set — the full
+    100 TB pipeline with NO broadcast stage anywhere (VERDICT r2 item
+    6): bucketed in-bucket GEMM generates the edges, the distributed
+    star contraction labels them. Approximate recall on borderline
+    pairs → rows-only check; the agreement test pins high-similarity
+    components against the exact configuration."""
+    edges_df = q_embedding_neardup_lsh(
+        sf_dir, threshold=threshold, n_planes=n_planes,
+        n_tables=n_tables, seed=seed,
+    )
+    return _components_from_edges(sf_dir, edges_df)
+
+
+def _components_from_edges(sf_dir: str, edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Shared contraction core: (vec_a, vec_b) edge DataFrame →
+    component labels for every vector id."""
     out_ids = _emb(sf_dir, ["vec_id"])
     if edges_df.empty:
         lab = out_ids.to_pandas().sort_values("vec_id")

@@ -54,11 +54,23 @@ def build_trainset(
         t = t.filter(pc.equal(t.column("kind"), "image"))
         if t.num_rows == 0:
             return pa.table({c: [] for c in _TRAIN_COLS})
-        caps = t.column("caption").to_pylist()
-        n_tok = np.array([len(c.split()) if c else 0 for c in caps])
+        # vectorized token count: arrow split on whitespace runs; a
+        # leading/trailing-space or empty caption yields empty-string
+        # parts, subtracted so the count matches str.split() semantics
+        caps_col = pc.fill_null(t.column("caption"), "")
+        parts = pc.split_pattern_regex(caps_col, r"\s+")
+        n_parts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lead = pc.match_substring_regex(caps_col, r"^\s").to_numpy(
+            zero_copy_only=False)
+        trail = pc.match_substring_regex(caps_col, r"\s$").to_numpy(
+            zero_copy_only=False)
+        empty = pc.equal(caps_col, "").to_numpy(zero_copy_only=False)
+        n_tok = n_parts - lead.astype(np.int64) - trail.astype(np.int64)
+        n_tok[empty] = 0
         keep = (n_tok >= min_caption_tokens) & (n_tok <= max_caption_tokens)
         if lang is not None:
-            keep &= np.array([detect_language(c or "") == lang for c in caps])
+            caps = caps_col.to_pylist()
+            keep &= np.array([detect_language(c) == lang for c in caps])
         t = t.filter(pa.array(keep))
         band = pc.bit_wise_and(
             pc.shift_right(t.column("phash"), 64 - band_bits),

@@ -361,6 +361,14 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
         make_offer_fn(frontier_handles) if frontier_handles is not None else None
     )
 
+    def _stamp_yyyymm(t: pa.Table) -> pa.Table:
+        # monthly time-partition key on every persisted row (decode is
+        # the last stage before the wave sink)
+        return t.set_column(
+            t.schema.get_field_index("yyyymm"), "yyyymm",
+            pa.array([cfg.crawl_yyyymm] * t.num_rows, pa.string()),
+        )
+
     def decode(batch: pa.Table) -> pa.Table:
         ctx = _ctx_for(cfg)
         if _offer_inline is not None:
@@ -372,7 +380,7 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
         passthrough = batch.filter(pc.invert(img_mask)).drop_columns(["body"])
         img_part = batch.filter(img_mask)
         if img_part.num_rows == 0:
-            return passthrough
+            return _stamp_yyyymm(passthrough)
         docs: list[dict] = []
         image_rows: list[dict] = []
         for r in img_part.select(
@@ -412,6 +420,6 @@ def make_decode_fn(cfg: CrawlConfig, dedup_handles: list,
                         keep.add(pos)
             image_rows = [r for i, r in enumerate(image_rows) if i in keep]
         new_tbl = pa.Table.from_pylist(docs + image_rows, schema=UNIFIED_SCHEMA)
-        return pa.concat_tables([passthrough, new_tbl])
+        return _stamp_yyyymm(pa.concat_tables([passthrough, new_tbl]))
 
     return decode

@@ -281,3 +281,15 @@ def test_resume_after_crash_mid_wave(ray_session, corpus, oracle):
     resumed = run_crawl(corpus, cfg, resume=True, collect_seen_ids=True)
     assert resumed.order == oracle.order
     assert resumed.seen_ids() == oracle.seen_ids
+
+
+def test_yyyymm_time_partition_stamped(engine_result):
+    """Every persisted row carries the monthly time-partition key from
+    CrawlConfig.crawl_yyyymm (the reference's get_index_name YYYY-MM
+    index-suffix analogue, playwrightcrawler.py:1458-1481)."""
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+
+    cfg, _ = engine_result
+    t = load_unified(cfg.output_dir).to_pandas()
+    assert len(t) > 0
+    assert (t["yyyymm"] == cfg.crawl_yyyymm).all()

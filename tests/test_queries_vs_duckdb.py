@@ -82,7 +82,8 @@ def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
-                 "embedding_neardup_lsh", "crawl_images",
+                 "embedding_neardup_lsh", "dedup_components_lsh",
+                 "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets", "crawl_trainset"]:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
@@ -185,3 +186,34 @@ def test_entry_smoke(entrymod):
     assert list(df.columns) == [
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     ]
+
+
+def test_dedup_components_lsh_agreement(entrymod):
+    """The no-broadcast components pipeline (LSH edges + star
+    contraction) must agree with the exact configuration on
+    high-similarity structure: every vector pair the exact pipeline
+    puts in one component via a cosine-≥0.9 edge is co-labeled by the
+    LSH pipeline too (its recall test guarantees those edges survive
+    bucketing), and LSH components are a refinement of exact ones
+    (LSH edges ⊆ exact edges ⇒ never merges what exact separates)."""
+    qs = entrymod.queries()
+    exact = qs["dedup_components"](SF_DIR)
+    lsh = qs["dedup_components_lsh"](SF_DIR)
+    assert len(exact) == len(lsh)
+    e_lab = dict(zip(exact["vec_id"].astype(int),
+                     exact["component_id"].astype(int)))
+    l_lab = dict(zip(lsh["vec_id"].astype(int),
+                     lsh["component_id"].astype(int)))
+    assert set(e_lab) == set(l_lab)
+    # refinement: two vectors in different exact components are never
+    # co-labeled by the LSH pipeline
+    for v, lc in l_lab.items():
+        anchors = [u for u, c in l_lab.items() if c == lc]
+        ecs = {e_lab[u] for u in anchors}
+        assert len(ecs) == 1, f"LSH merged across exact components: {ecs}"
+    # high-cosine edges keep their endpoints together in BOTH
+    pairs = qs["embedding_neardup_pairs"](SF_DIR)
+    hi = pairs[pairs["cos_sim"] >= 0.9]
+    for a, b in zip(hi["vec_a"].astype(int), hi["vec_b"].astype(int)):
+        assert l_lab[a] == l_lab[b]
+        assert e_lab[a] == e_lab[b]

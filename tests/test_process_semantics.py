@@ -192,3 +192,37 @@ def test_render_hook_reaches_parse():
     rows, offers, imgs = process_fetched(
         "https://h.test/", "h.test", 0, 200, "text/html", body, "", off)
     assert not offers and not imgs
+
+
+def test_charset_statistical_sniff_undeclared():
+    """Undeclared non-UTF-8 bodies (no BOM, no header, no meta) are
+    sniffed statistically — the chardet analogue the reference relies
+    on (playwrightcrawler.py:5091-5099). Differential: each fixture
+    round-trips to its original text through decode_text."""
+    from playwrightcrawler_ray.functions.charset import (
+        decode_text, detect_charset,
+    )
+
+    jp = ("これは日本語のテストページです。猫と犬が好きです。"
+          "今日は天気がいいですね。東京の電車はとても便利です。")
+    kr = ("한국어 테스트 페이지입니다. 고양이와 강아지가 있습니다. "
+          "오늘은 날씨가 좋습니다. 서울의 지하철은 매우 편리합니다.")
+    zh = ("这是一个中文测试页面。猫和狗都很好。今天天气很好。"
+          "北京的地铁非常方便。我们在这里学习和工作。")
+    ru = ("Это тестовая страница на русском языке. Кошки и собаки "
+          "живут здесь. Сегодня хорошая погода. Московское метро "
+          "очень удобное.")
+    wrap = ("<!DOCTYPE html><html><head><title>t</title></head><body>"
+            "<div class=\"content\"><p>{}</p></div></body></html>")
+    for text, enc in [(jp, "shift_jis"), (jp, "euc_jp"), (kr, "euc_kr"),
+                      (zh, "gb18030"), (ru, "koi8-r"), (ru, "cp1251")]:
+        body = wrap.format(text).encode(enc)
+        assert detect_charset(body, "text/html") == enc, enc
+        decoded, used = decode_text(body, "text/html")
+        assert text in decoded and used == enc
+    # sparse Latin-1 accents must NOT trip the Cyrillic sniffers
+    lat = wrap.format("café naïve résumé straße à côté").encode("latin-1")
+    assert detect_charset(lat, "text/html") == "iso8859-1"
+    # a declared charset always wins over sniffing
+    dec = ('<meta charset="shift_jis"><p>日本</p>').encode("shift_jis")
+    assert detect_charset(dec, "") == "shift_jis"

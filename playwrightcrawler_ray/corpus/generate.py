@@ -135,6 +135,11 @@ def build_corpus(
         elif i % 9 == 7:
             # uncompressed baseline TIFF through the real codec
             body, ctype, name = encode_image(px, "tiff"), "image/tiff", f"pic{i}.tiff"
+        elif i % 9 == 2:
+            # REAL progressive (SOF2) JPEG through the codec: spectral
+            # selection + successive approximation scans in the golden path
+            body, ctype, name = (encode_image(px, "pjpeg"), "image/jpeg",
+                                 f"pic{i}.jpg")
         elif i % 3 == 0:
             body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
         elif i % 3 == 1:
@@ -146,6 +151,7 @@ def build_corpus(
         fmt_truth = (
             "gif" if i % 9 == 4
             else "tiff" if i % 9 == 7
+            else "jpeg" if i % 9 == 2
             else "png" if i % 3 == 0
             else "jpeg" if i % 3 == 1
             else "qimg"
@@ -182,10 +188,10 @@ def build_corpus(
     add_image(hosts[0], "photo.webp",
               b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56,
               "image/webp", "stub", {"error": "codec_unavailable"})
-    add_image(hosts[0], "progressive.jpg",
-              b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+    add_image(hosts[0], "arith.jpg",
+              b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big")
               + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00",
-              "image/jpeg", "progressive stub", {"error": "codec_unavailable"})
+              "image/jpeg", "arithmetic stub", {"error": "codec_unavailable"})
     # a large-ish image served in ~3 chunks: only a fetch stage that
     # implements Range-resume reassembles it (the oracle reads the full
     # body directly, so golden equality proves the resume path)

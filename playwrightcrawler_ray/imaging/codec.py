@@ -16,13 +16,15 @@ Maps the reference's image handler semantics
   ``OSError``/ValueError       → content_type_images_oserror.
 
 Formats: ``png``/``gif``/``bmp``/``tiff`` (real pure-Python codecs,
-lossless), ``jpeg`` (real pure-Python baseline DCT codec,
-imaging/jpeg.py — 4:4:4 and 4:2:0, restart markers; PSNR ≥ 40 dB at
-the corpus quality), ``qimg`` (deterministic 6-bit quantized lossy
-format). Only ``webp`` raises ``CodecUnavailable`` (no VP8 decoder in
-this container; the stage emits a clearly-labeled stub row instead),
-plus the genuinely-undecodable variants of the real codecs
-(progressive/arithmetic JPEG, Adam7 PNG, LZW/tiled TIFF).
+lossless), ``jpeg`` (real pure-Python DCT codec, imaging/jpeg.py —
+baseline 4:4:4/4:2:0 with restart markers AND full progressive SOF2
+decode: spectral selection, successive approximation, EOB runs;
+PSNR ≥ 40 dB at the corpus quality), ``qimg`` (deterministic 6-bit
+quantized lossy format). Only ``webp`` raises ``CodecUnavailable``
+(no VP8 decoder in this container; the stage emits a clearly-labeled
+stub row instead), plus the genuinely-undecodable variants of the
+real codecs (arithmetic-coded/hierarchical JPEG, Adam7 PNG,
+LZW/tiled TIFF).
 """
 
 from __future__ import annotations
@@ -74,6 +76,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         # q95 4:4:4 keeps the round-trip PSNR ≥ 40 dB invariant
         return jpeg_encode(pixels, quality=95, subsampling="444")
+    if fmt in ("jpeg_progressive", "pjpeg"):
+        from .jpeg import jpeg_encode_progressive
+
+        return jpeg_encode_progressive(pixels, quality=95,
+                                       subsampling="444")
     if fmt == "tiff":
         from .tiff import tiff_encode
 
@@ -138,8 +145,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = jpeg_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # progressive / arithmetic / 12-bit: a real format this
-                # baseline decoder genuinely cannot decode
+                # arithmetic-coded / hierarchical / 12-bit: real
+                # variants this codec genuinely cannot decode
+                # (progressive SOF2 decodes for real now)
                 raise CodecUnavailable(str(e)) from e
         elif fmt == "tiff":
             from .tiff import tiff_decode

@@ -132,7 +132,17 @@ def gif_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
     transparent_idx = None
-    canvas = np.full((sh, sw, 3), 255, np.uint8)
+    # canvas allocation is DEFERRED until the first image descriptor
+    # decodes: a garbage header can declare ~64M pixels (under the bomb
+    # cap) and a 180 MB np.full before parsing fails costs seconds of
+    # page faults on a fuzzed stream that dies two bytes later
+    canvas = None
+
+    def _canvas() -> np.ndarray:
+        nonlocal canvas
+        if canvas is None:
+            canvas = np.full((sh, sw, 3), 255, np.uint8)
+        return canvas
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -193,9 +203,10 @@ def gif_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             mask = arr == transparent_idx
             rgb = rgb.copy()
             rgb[mask] = 255  # over white
-        canvas[top : top + ih, left : left + iw] = rgb
-        return canvas  # first frame only
-    return canvas
+        cv = _canvas()
+        cv[top : top + ih, left : left + iw] = rgb
+        return cv  # first frame only
+    return _canvas()
 
 
 def gif_encode(pixels: np.ndarray, interlace: bool = False) -> bytes:

@@ -5,19 +5,28 @@ PIL can (playwrightcrawler.py:3844-3858), and most real web images are
 JPEG. No imaging libraries exist in this container, so this is a
 from-scratch implementation of the baseline DCT process:
 
-- **Decoder**: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS marker parsing,
-  canonical Huffman decoding (mincode/maxcode/valptr per T.81 F.2.2),
-  0xFF00 byte-unstuffing, restart markers, dequantization, batched
-  vectorized IDCT (8×8 DCT-II basis matmuls over all blocks at once),
-  chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0 / arbitrary integer
-  factors, YCbCr→RGB (BT.601 full range, JFIF), grayscale and 3-
-  component scans. Progressive (SOF2) and arithmetic variants raise
-  ``NotImplementedError`` (→ the oserror taxonomy, like PIL raising on
-  unsupported member formats).
-- **Encoder**: baseline JFIF — 4:4:4, Annex-K quantization tables
-  scaled by ``quality``, Annex-K standard Huffman tables, single
-  interleaved scan. Used by the synthetic corpus to serve REAL JPEG
-  payloads through the crawl golden path.
+- **Decoder**: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOF2/SOS marker
+  parsing, canonical Huffman decoding (16-bit LUT over the T.81 F.2.2
+  canonical code), 0xFF00 byte-unstuffing, restart markers,
+  dequantization, batched vectorized IDCT (8×8 DCT-II basis matmuls
+  over all blocks at once), chroma upsampling for 4:4:4 / 4:2:2 /
+  4:2:0 / arbitrary integer factors, YCbCr→RGB (BT.601 full range,
+  JFIF), grayscale and 3-component scans. **Progressive (SOF2)** is
+  fully decoded (T.81 Annex G): multi-scan coefficient accumulation
+  with spectral selection (Ss/Se bands, non-interleaved AC scans over
+  true component block dims), successive approximation (DC and AC
+  first + refinement passes, EOB-run decoding, libjpeg-compatible
+  correction-bit semantics), restart markers inside progressive
+  scans. Arithmetic-coded and hierarchical variants raise
+  ``NotImplementedError`` (→ the oserror taxonomy, like PIL raising
+  on unsupported member formats).
+- **Encoder**: baseline JFIF — 4:4:4 / 4:2:0, Annex-K quantization
+  tables scaled by ``quality``, Annex-K standard Huffman tables,
+  single interleaved scan — plus a progressive (SOF2) encoder
+  (interleaved DC scan with successive approximation, per-component
+  spectral-selection AC band scans with an AC successive-approximation
+  first + refinement pair, EOB-run emission) so the synthetic corpus
+  serves REAL progressive payloads through the crawl golden path.
 
 Round-trip invariant: encode(quality=92) → decode achieves PSNR ≥ 40 dB
 on natural-statistics test images (the north-rule lossy bound).
@@ -251,13 +260,16 @@ def _extend(v: int, size: int) -> int:
 # ---------------------------------------------------------------- decoder
 
 def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """Decode baseline JPEG bytes → (h, w, 3) uint8 RGB."""
+    """Decode baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes →
+    (h, w, 3) uint8 RGB."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG stream")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
+    progressive = False
+    any_scan = False
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -267,7 +279,7 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
@@ -293,7 +305,8 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _huff_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -304,7 +317,9 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                _init_progressive(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X})"
@@ -319,10 +334,21 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                 scomp.append((cs, tda >> 4, tda & 0xF))
-            return _decode_scan(
-                data, pos, frame, scomp, qtables, htables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scomp, qtables, htables,
+                    restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos, frame, scomp, htables, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
+            any_scan = True
         # else: APPn/COM skipped
+    if progressive and any_scan:
+        return _finish_progressive(frame, qtables)
     raise ValueError("no SOS segment")
 
 
@@ -387,7 +413,13 @@ def _decode_scan(data, pos, frame, scomp, qtables, htables, restart_interval):
                         col = mx * c["h"] + bx
                         c["blocks"][row * c["bx"] + col] = block.reshape(8, 8)
             mcu_count += 1
-    # batched IDCT + plane assembly + upsampling
+    return _assemble(frame, comps, hmax, vmax)
+
+
+def _assemble(frame, comps, hmax, vmax) -> np.ndarray:
+    """Dequantized coefficient grids → RGB: batched IDCT, plane
+    assembly, chroma upsampling, color conversion."""
+    h, w = frame["h"], frame["w"]
     planes = []
     for c in comps:
         sam = _idct_blocks(c["blocks"]) + 128.0
@@ -408,6 +440,223 @@ def _decode_scan(data, pos, frame, scomp, qtables, htables, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decoding
+
+def _init_progressive(frame) -> None:
+    """Allocate per-component zigzag-order coefficient accumulators
+    (lazy per-block lists — Python-list scalar access is ~5× faster
+    than numpy in the per-symbol hot loops) sized to the padded MCU
+    grid, plus the TRUE block dims non-interleaved scans traverse."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        # true (unpadded-to-MCU) block dims, T.81 A.1.1/A.2.2: a
+        # non-interleaved scan covers ceil(comp_px / 8) blocks only
+        px_w = -(-w * c["h"] // hmax)
+        px_h = -(-h * c["v"] // vmax)
+        c["w2"] = -(-px_w // 8)
+        c["h2"] = -(-px_h // 8)
+        c["coef"] = [None] * (c["by"] * c["bx"])
+        c["pred"] = 0
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+
+
+def _coef_of(c, idx: int) -> list[int]:
+    cf = c["coef"][idx]
+    if cf is None:
+        cf = c["coef"][idx] = [0] * 64
+    return cf
+
+
+def _scan_end(reader: _BitReader) -> int:
+    """Position of the marker terminating the current entropy segment
+    (the progressive main loop resumes marker parsing there)."""
+    data = reader.data
+    if reader.marker is not None and not (0xD0 <= reader.marker <= 0xD7):
+        return reader.pos - 2
+    p = reader.pos
+    while p + 1 < len(data):
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_progressive_scan(data, pos, frame, scomp, htables,
+                             restart_interval, ss, se, ah, al) -> int:
+    """One progressive SOS (T.81 G.2): updates the per-component
+    coefficient accumulators, returns the scan-end byte position.
+
+    DC scans (ss == 0) may be interleaved; AC scans are one-component
+    by construction and traverse the component's true block grid.
+    ``ah == 0`` is a first pass at approximation level ``al``;
+    ``ah > 0`` refines one magnitude bit (libjpeg-compatible
+    correction-bit semantics)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scomp]
+    tdta = {cs: (td, ta) for cs, td, ta in scomp}
+    reader = _BitReader(data, pos)
+    eobrun = 0
+
+    def dc_block(c, idx):
+        cf = _coef_of(c, idx)
+        if ah == 0:
+            td = tdta[c["id"]][0]
+            dc_t = htables.get((0, td))
+            if dc_t is None:
+                raise ValueError("missing huffman table")
+            t = reader.decode(dc_t)
+            diff = _extend(reader.read(t), t)
+            c["pred"] += diff
+            cf[0] = c["pred"] << al
+        elif reader.read(1):
+            cf[0] |= 1 << al
+
+    def ac_first(c, idx):
+        nonlocal eobrun
+        cf = _coef_of(c, idx)
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_t = htables.get((1, tdta[c["id"]][1]))
+        if ac_t is None:
+            raise ValueError("missing huffman table")
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            cf[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+    def ac_refine(c, idx):
+        nonlocal eobrun
+        cf = _coef_of(c, idx)
+        p1, m1 = 1 << al, -1 << al
+        ac_t = htables.get((1, tdta[c["id"]][1]))
+        if ac_t is None:
+            raise ValueError("missing huffman table")
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                new = 0
+                if s == 0:
+                    if r < 15:
+                        # refinement EOBn counts the CURRENT block too
+                        # (its tail correction bits are consumed by the
+                        # eobrun clause below, which then decrements) —
+                        # libjpeg decode_mcu_AC_refine semantics
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    new = p1 if reader.read(1) else m1
+                # advance over r zero-history positions, applying
+                # correction bits to nonzero-history ones in between
+                while k <= se:
+                    v = cf[k]
+                    if v != 0:
+                        if reader.read(1) and (v & p1) == 0:
+                            cf[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if new:
+                                cf[k] = new
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # EOB region: only correction bits for nonzero history
+            while k <= se:
+                v = cf[k]
+                if v != 0:
+                    if reader.read(1) and (v & p1) == 0:
+                        cf[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def do_restart():
+        nonlocal eobrun
+        reader.restart()
+        eobrun = 0
+        for c in comps:
+            c["pred"] = 0
+
+    unit = 0  # MCUs (interleaved) or blocks (single-component scan)
+    if ss == 0 and len(order) > 1:
+        # interleaved DC scan: MCU traversal over the padded grid
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            dc_block(c, row * c["bx"] + col)
+                unit += 1
+    else:
+        # non-interleaved scan (all AC scans; single-component DC):
+        # row-major over the component's TRUE block dims
+        c = order[0]
+        fn = dc_block if ss == 0 else (ac_first if ah == 0 else ac_refine)
+        for row in range(c["h2"]):
+            for col in range(c["w2"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                fn(c, row * c["bx"] + col)
+                unit += 1
+    return _scan_end(reader)
+
+
+def _finish_progressive(frame, qtables) -> np.ndarray:
+    """All scans consumed: dequantize the accumulated zigzag
+    coefficients (vectorized over every block at once) and assemble."""
+    comps = frame["comps"]
+    zz = ZIGZAG
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        n = c["by"] * c["bx"]
+        arr = np.zeros((n, 64), dtype=np.int64)
+        for i, cf in enumerate(c["coef"]):
+            if cf is not None:
+                arr[i] = cf
+        deq = arr * q[None, :].astype(np.int64)
+        blocks = np.zeros((n, 64), dtype=np.float64)
+        blocks[:, zz] = deq
+        c["blocks"] = blocks.reshape(n, 8, 8)
+    return _assemble(frame, comps, frame["hmax"], frame["vmax"])
 
 
 # ---------------------------------------------------------------- encoder
@@ -584,4 +833,307 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92,
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+def _fixed_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical Huffman table over exactly the symbols a
+    scan emits (Annex-K AC tables have no spare code space for the EOBn
+    symbols progressive scans need — kraft sum leaves one 16-bit slot).
+    All codes get length L with 2^L > n, so the all-ones code stays
+    unused as T.81 canonical construction expects."""
+    vals = sorted(symbols)
+    n = max(1, len(vals))
+    length = max(2, (n + 1).bit_length())  # 2^L - 1 >= n
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def _zz_grid(q_natural: np.ndarray) -> np.ndarray:
+    """(by, bx, 8, 8) natural-order quantized blocks → (by, bx, 64)
+    zigzag vectors."""
+    by, bx = q_natural.shape[:2]
+    return q_natural.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _enc_ac_first_events(zzc: np.ndarray, h2: int, w2: int, ss: int,
+                         se: int, al: int) -> list[tuple]:
+    """AC first-pass (Ah=0) symbol stream for one component band:
+    [('sym', rs), ('bits', value, nbits), ...] with EOB-run folding."""
+    events: list[tuple] = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            run = min(eobrun, (1 << r) * 2 - 1)
+            extra = run - (1 << r)
+            events.append(("sym", r << 4))
+            if r:
+                events.append(("bits", extra, r))
+            eobrun -= run
+
+    for row in range(h2):
+        for col in range(w2):
+            v = zzc[row, col]
+            # point transform truncates toward zero (T.81 G.1.2.1)
+            sh = 1 << al
+            band = [int(x) // sh if x >= 0 else -((-int(x)) // sh)
+                    for x in v[ss : se + 1]]
+            nz = [i for i, x in enumerate(band) if x]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for i in range(nz[-1] + 1):
+                x = band[i]
+                if x == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    events.append(("sym", 0xF0))
+                    r -= 16
+                s = abs(x).bit_length()
+                events.append(("sym", (r << 4) | s))
+                events.append(("bits", x if x > 0 else x + (1 << s) - 1, s))
+                r = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+    flush()
+    return events
+
+
+def _enc_ac_refine_events(zzc: np.ndarray, h2: int, w2: int, ss: int,
+                          se: int, al: int) -> list[tuple]:
+    """AC refinement (Ah = al+1 → Al = al) symbol stream, walk-accurate:
+    correction bits are interleaved exactly where the decoder's
+    position walk reads them (after the ZRL or run-length symbol whose
+    walk passes over the coefficient)."""
+    events: list[tuple] = []
+    eobrun = 0
+    eob_bits: list[int] = []  # corrections owed by EOB-covered blocks
+
+    def flush():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            run = min(eobrun, (1 << r) * 2 - 1)
+            extra = run - (1 << r)
+            events.append(("sym", r << 4))
+            if r:
+                events.append(("bits", extra, r))
+            # refinement EOBn carries the covered blocks' correction
+            # bits (in block order) right after the run length
+            for b in eob_bits:
+                events.append(("bits", b, 1))
+            eob_bits.clear()
+            eobrun -= run
+
+    for row in range(h2):
+        for col in range(w2):
+            v = zzc[row, col]
+            full = [int(x) for x in v[ss : se + 1]]
+            absv = [abs(x) >> al for x in full]
+            newsig = [i for i, a in enumerate(absv) if a == 1]
+            if not newsig:
+                # fully EOB-covered block: queue corrections for every
+                # already-significant coefficient
+                eobrun += 1
+                eob_bits.extend((a & 1) for a in absv if a > 1)
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            idx = 0
+            for n in newsig:
+                zeros = sum(1 for j in range(idx, n) if absv[j] == 0)
+                while zeros > 15:
+                    events.append(("sym", 0xF0))
+                    # walk: consume positions up to & incl. the 16th
+                    # zero-history, emitting corrections in between
+                    zc = 0
+                    while zc < 16:
+                        if absv[idx] == 0:
+                            zc += 1
+                        else:
+                            events.append(("bits", absv[idx] & 1, 1))
+                        idx += 1
+                    zeros -= 16
+                events.append(("sym", (zeros << 4) | 1))
+                events.append(("bits", 1 if full[n] > 0 else 0, 1))
+                # walk from idx to the new coefficient at n
+                while idx < n:
+                    if absv[idx] > 1:
+                        events.append(("bits", absv[idx] & 1, 1))
+                    idx += 1
+                idx = n + 1
+            # tail: corrections after the last newly-significant
+            # position belong to this block's EOB region
+            tail = [(absv[j] & 1) for j in range(idx, se - ss + 1)
+                    if absv[j] > 1]
+            if tail or idx <= se - ss:
+                eobrun += 1
+                eob_bits.extend(tail)
+    flush()
+    return events
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 92,
+                            subsampling: str = "444") -> bytes:
+    """Encode (h, w, 3) uint8 RGB → progressive (SOF2) JFIF with the
+    classic simple progression: interleaved DC first pass at Al=1 plus
+    a DC refinement scan, then per-component AC band scans — a low band
+    with a successive-approximation first/refine pair and the high band
+    plain — so decoding exercises spectral selection, EOB runs and
+    both approximation paths."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = pixels.shape
+    ql = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+    p = pixels.astype(np.float64)
+    y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+    cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128
+    cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128
+    if subsampling == "420":
+        hs = vs = 2
+        ch, cw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ch - h), (0, cw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ch - h), (0, cw - w)), mode="edge")
+        cb = cb.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+    else:
+        hs = vs = 1
+    qy = _plane_blocks(y, ql)
+    qcb = _plane_blocks(cb, qc)
+    qcr = _plane_blocks(cr, qc)
+    if subsampling == "420":
+        eby, ebx = -(-qy.shape[0] // vs) * vs, -(-qy.shape[1] // hs) * hs
+        qy = np.pad(qy, ((0, eby - qy.shape[0]), (0, ebx - qy.shape[1]),
+                         (0, 0), (0, 0)), mode="edge")
+        mby, mbx = eby // vs, ebx // hs
+        qcb = np.pad(qcb, ((0, mby - qcb.shape[0]), (0, mbx - qcb.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
+        qcr = np.pad(qcr, ((0, mby - qcr.shape[0]), (0, mbx - qcr.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
+    # true block dims (what non-interleaved AC scans traverse):
+    # ceil(ceil(px / sampling) / 8) per T.81 A.1.1
+    cw2 = -(-(-(-w // hs)) // 8)
+    ch2 = -(-(-(-h // vs)) // 8)
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0, "zz": _zz_grid(qy),
+         "w2": -(-w // 8), "h2": -(-h // 8)},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "zz": _zz_grid(qcb),
+         "w2": cw2, "h2": ch2},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "zz": _zz_grid(qcr),
+         "w2": cw2, "h2": ch2},
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in q[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for c in comps:
+        out += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+
+    def emit_dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
+        out.extend(b"\xff\xc4" + struct.pack(">HB", 19 + sum(bits),
+                                             (tc << 4) | th))
+        out.extend(bytes(bits) + bytes(vals))
+
+    def emit_sos(scomps: list[tuple[int, int, int]], ss: int, se: int,
+                 ah: int, al: int, payload: bytes) -> None:
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps),
+                                             len(scomps)))
+        for cid, td, ta in scomps:
+            out.extend(struct.pack(">BB", cid, (td << 4) | ta))
+        out.extend(struct.pack(">BBB", ss, se, (ah << 4) | al))
+        out.extend(payload)
+
+    # ---- scan 1: interleaved DC first pass, Al=1 ----
+    dc_l = _huff_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    dc_c = _huff_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    emit_dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    emit_dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    bw = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    mby, mbx = comps[1]["zz"].shape[0], comps[1]["zz"].shape[1]
+    if subsampling == "444":
+        mby, mbx = comps[0]["zz"].shape[0], comps[0]["zz"].shape[1]
+    for my in range(mby):
+        for mx in range(mbx):
+            for c in comps:
+                tab = dc_l if c["id"] == 1 else dc_c
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + dy,
+                                         mx * c["h"] + dx, 0]) >> 1  # Al=1
+                        diff = dc - preds[c["id"]]
+                        preds[c["id"]] = dc
+                        size = abs(diff).bit_length()
+                        code, ln = tab.enc[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(diff if diff > 0 else
+                                     diff + (1 << size) - 1, size)
+    bw.flush()
+    emit_sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1, bytes(bw.out))
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 (raw bits, no tables) ----
+    bw = _BitWriter()
+    for my in range(mby):
+        for mx in range(mbx):
+            for c in comps:
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        bw.write(int(c["zz"][my * c["v"] + dy,
+                                             mx * c["h"] + dx, 0]) & 1, 1)
+    bw.flush()
+    emit_sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0, bytes(bw.out))
+
+    # ---- per-component AC scans ----
+    def write_events(events: list[tuple], table: _HuffTable) -> bytes:
+        bw = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                code, ln = table.enc[ev[1]]
+                bw.write(code, ln)
+            else:
+                bw.write(ev[1], ev[2])
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(c: dict, ss: int, se: int, ah: int, al: int) -> None:
+        if ah == 0:
+            events = _enc_ac_first_events(c["zz"], c["h2"], c["w2"],
+                                          ss, se, al)
+        else:
+            events = _enc_ac_refine_events(c["zz"], c["h2"], c["w2"],
+                                           ss, se, al)
+        syms = {ev[1] for ev in events if ev[0] == "sym"} or {0x00}
+        bits, vals = _fixed_table(syms)
+        table = _huff_table(bits, vals)
+        emit_dht(1, 0, bits, vals)
+        emit_sos([(c["id"], 0, 0)], ss, se, ah, al,
+                 write_events(events, table))
+
+    for c in comps:
+        ac_scan(c, 1, 5, 0, 1)    # low band, first pass at Al=1
+    for c in comps:
+        ac_scan(c, 1, 5, 1, 0)    # low band, refinement to full precision
+    for c in comps:
+        ac_scan(c, 6, 63, 0, 0)   # high band, plain spectral selection
+    out += b"\xff\xd9"
     return bytes(out)

@@ -57,8 +57,8 @@ def test_decode_errors_taxonomy():
             b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56
         )
     with pytest.raises(CodecUnavailable):
-        decode_image(  # progressive JPEG (SOF2): baseline decoder can't
-            b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+        decode_image(  # arithmetic-coded JPEG (SOF9): genuinely out of scope
+            b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big")
             + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
     with pytest.raises(OSError):
@@ -409,3 +409,45 @@ def test_jpeg_dqt_written_zigzag_matches_annex_k():
         pos += 2 + seglen
     assert np.array_equal(tables[0], _QUANT_LUMA)
     assert np.array_equal(tables[1], _QUANT_CHROMA)
+
+
+def test_jpeg_progressive_roundtrip_and_equivalence():
+    """Progressive (SOF2) decode: (a) clears the 40 dB lossy invariant
+    at corpus quality on corpus-statistics images, and (b) decodes
+    BIT-IDENTICALLY to the baseline decode of the same quantized
+    coefficients — the strongest cross-check of the multi-scan
+    spectral-selection + successive-approximation + EOB-run paths
+    against the already-golden baseline path."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for size in (24, 48):
+        px = _make_pixels(rng, size)
+        prog = jpeg_encode_progressive(px, quality=95, subsampling="444")
+        assert prog[2:4] == b"\xff\xe0" and b"\xff\xc2" in prog[:256]
+        dec = jpeg_decode(prog)
+        assert psnr(px, dec) >= 40
+        base = jpeg_decode(jpeg_encode(px, quality=95, subsampling="444"))
+        assert np.array_equal(dec, base)
+    # 4:2:0 progressive: interleaved DC MCU + subsampled AC grids,
+    # odd dims via cropping (exercises padded-vs-true block dims)
+    px = _make_pixels(np.random.default_rng(12), 40)[:33, :37]
+    p420 = jpeg_encode_progressive(px, quality=95, subsampling="420")
+    b420 = jpeg_decode(jpeg_encode(px, quality=95, subsampling="420"))
+    assert np.array_equal(jpeg_decode(p420), b420)
+
+
+def test_jpeg_progressive_through_facade():
+    """decode_image routes progressive payloads through the real
+    decoder (fmt sniffs as jpeg) — no codec_unavailable row."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.codec import decode_image, encode_image
+
+    px = _make_pixels(np.random.default_rng(13), 32)
+    body = encode_image(px, "pjpeg")
+    out, fmt = decode_image(body)
+    assert fmt == "jpeg" and out.shape == px.shape
+    assert psnr(px, out) >= 40

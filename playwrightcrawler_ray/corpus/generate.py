@@ -140,6 +140,10 @@ def build_corpus(
             # selection + successive approximation scans in the golden path
             body, ctype, name = (encode_image(px, "pjpeg"), "image/jpeg",
                                  f"pic{i}.jpg")
+        elif i % 9 == 5:
+            # REAL lossless WebP (VP8L) through the codec
+            body, ctype, name = (encode_image(px, "webp"), "image/webp",
+                                 f"pic{i}.webp")
         elif i % 3 == 0:
             body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
         elif i % 3 == 1:
@@ -152,6 +156,7 @@ def build_corpus(
             "gif" if i % 9 == 4
             else "tiff" if i % 9 == 7
             else "jpeg" if i % 9 == 2
+            else "webp" if i % 9 == 5
             else "png" if i % 3 == 0
             else "jpeg" if i % 3 == 1
             else "qimg"
@@ -185,6 +190,7 @@ def build_corpus(
     add_image(hosts[0], "headeronly.jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 64,
               "image/jpeg", "truncated jpeg", {"error": "oserror"})
     # real formats this container genuinely cannot decode → stub rows
+    # (lossy VP8 — a video-intra decoder; VP8L lossless DOES decode)
     add_image(hosts[0], "photo.webp",
               b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56,
               "image/webp", "stub", {"error": "codec_unavailable"})

@@ -51,9 +51,11 @@ class CodecUnavailable(NotImplementedError):
 
 
 _QIMG_MAGIC = b"QIM1"
-# Only the WebP (VP8) decoder is absent (stubbed); PNG, GIF, BMP,
-# baseline JPEG and baseline TIFF are real pure-Python implementations.
-_STUBBED_FORMATS = {"webp"}
+# Every container format now has a real pure-Python decoder: PNG, GIF,
+# BMP, JPEG (baseline + progressive), TIFF, and WebP-lossless (VP8L).
+# Only LOSSY VP8 inside WebP remains a typed CodecUnavailable (a full
+# video-intra decoder), raised by webp_decode itself.
+_STUBBED_FORMATS: set[str] = set()
 MAX_PIXELS = 64_000_000
 
 
@@ -85,6 +87,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .tiff import tiff_encode
 
         return tiff_encode(pixels)
+    if fmt == "webp":
+        from .webp import vp8l_encode
+
+        return vp8l_encode(pixels)  # lossless VP8L
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -139,6 +145,14 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             from .bmp import bmp_decode
 
             px = bmp_decode(bytes(data), max_pixels=MAX_PIXELS)
+        elif fmt == "webp":
+            from .webp import webp_decode
+
+            try:
+                px = webp_decode(bytes(data), max_pixels=MAX_PIXELS)
+            except NotImplementedError as e:
+                # lossy VP8: genuinely no intra-frame decoder here
+                raise CodecUnavailable(str(e)) from e
         elif fmt == "jpeg":
             from .jpeg import jpeg_decode
 

@@ -72,13 +72,28 @@ class _LsbReader:
         self.nbits -= n
         return v
 
+    def peek(self, n: int) -> int:
+        """Next ≤n bits without consuming; zero-padded past stream end
+        (the LUT fast path needs a fixed window)."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _Prefix:
     """Canonical prefix code (DEFLATE code assignment); decode walks
     bit-by-bit, MSB of the code first, bits pulled LSB-first from the
     stream — the VP8L convention."""
 
-    __slots__ = ("map", "single")
+    __slots__ = ("map", "single", "lut", "lut_bits")
 
     def __init__(self, lengths: list[int]):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -87,6 +102,7 @@ class _Prefix:
         if len(nz) == 1:
             self.single = nz[0][1]  # zero bits read per symbol
             self.map = None
+            self.lut = None
             return
         self.single = None
         # canonical assignment: shorter codes first, then symbol order
@@ -99,14 +115,36 @@ class _Prefix:
             code = (code + bl_count.get(ln - 1, 0)) << 1
             next_code[ln] = code
         m: dict[tuple[int, int], int] = {}
+        codes: list[tuple[int, int, int]] = []  # (len, code, sym)
         for ln, sym in sorted(nz):
             m[(ln, next_code[ln])] = sym
+            codes.append((ln, next_code[ln], sym))
             next_code[ln] += 1
         self.map = m
+        # LUT fast path: index = next `lut_bits` wire bits (LSB-first);
+        # a code of length L occupies every index whose low L bits are
+        # the bit-reversed code — a strided numpy fill per code
+        maxlen = max(ln for ln, _, _ in codes)
+        if maxlen <= 12:
+            self.lut_bits = maxlen
+            lut = np.zeros(1 << maxlen, dtype=np.int32)
+            for ln, code, sym in codes:
+                rev = int(f"{code:0{ln}b}"[::-1], 2)
+                lut[rev :: 1 << ln] = (ln << 16) | sym
+            self.lut = lut.tolist()
+        else:
+            self.lut = None
+            self.lut_bits = 0
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            ent = self.lut[br.peek(self.lut_bits)]
+            if ent == 0:
+                raise ValueError("bad VP8L prefix code")
+            br.consume(ent >> 16)
+            return ent & 0xFFFF
         code, ln = 0, 0
         m = self.map
         for _ in range(16):
@@ -579,6 +617,50 @@ def _write_rev(bw: _LsbWriter, code: int, ln: int) -> None:
         bw.write((code >> i) & 1, 1)
 
 
+def _rev_tables(enc: dict[int, tuple[int, int]], size: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-symbol (wire-order value, bit length) arrays for vectorized
+    packing: the wire value is the bit-reversed canonical code."""
+    vals = np.zeros(size, dtype=np.int64)
+    lens = np.zeros(size, dtype=np.int64)
+    for sym, (code, ln) in enc.items():
+        vals[sym] = int(f"{code:0{ln}b}"[::-1], 2) if ln else 0
+        lens[sym] = ln
+    return vals, lens
+
+
+def _pack_symbols(bw: _LsbWriter, vals: np.ndarray,
+                  lens: np.ndarray) -> None:
+    """Append many variable-length little-endian bit fields to the
+    writer in one vectorized pass (bit j of vals[i] lands at global
+    position start[i] + j) — replaces a per-pixel Python write loop
+    that dominated corpus build time."""
+    keep = lens > 0
+    vals, lens = vals[keep], lens[keep]
+    if len(vals) == 0:
+        return
+    base = bw.nbits
+    starts = base + np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(lens[:-1])]
+    )
+    total = int(base + lens.sum())
+    bits = np.zeros(((total + 7) // 8) * 8, dtype=np.uint8)
+    for j in range(base):
+        bits[j] = (bw.acc >> j) & 1
+    for j in range(int(lens.max())):
+        m = lens > j
+        bits[starts[m] + j] = (vals[m] >> j) & 1
+    packed = np.packbits(bits.reshape(-1, 8), axis=1,
+                         bitorder="little").reshape(-1)
+    full = total // 8
+    bw.out.extend(packed[:full].tobytes())
+    rem = total - full * 8
+    bw.acc = 0
+    for j in range(rem):
+        bw.acc |= int(bits[full * 8 + j]) << j
+    bw.nbits = rem
+
+
 def _write_prefix_code(bw: _LsbWriter, lengths: list[int]) -> None:
     """Emit a prefix code in normal (code-length-coded) form; lengths
     are sent as plain clc literals (no RLE) under a Huffman-coded
@@ -681,19 +763,16 @@ def vp8l_encode(pixels: np.ndarray, cache_bits: int = 0) -> bytes:
                 plan[i] = key
             else:
                 cache[key] = px
-    gfreq: dict[int, int] = {}
-    rfreq: dict[int, int] = {}
-    bfreq: dict[int, int] = {}
-    afreq: dict[int, int] = {}
-    for i in range(n):
-        if plan[i] >= 0:
-            s = 256 + 24 + int(plan[i])
-            gfreq[s] = gfreq.get(s, 0) + 1
-        else:
-            gfreq[int(gf[i])] = gfreq.get(int(gf[i]), 0) + 1
-            rfreq[int(rf[i])] = rfreq.get(int(rf[i]), 0) + 1
-            bfreq[int(bf[i])] = bfreq.get(int(bf[i]), 0) + 1
-            afreq[int(af[i])] = afreq.get(int(af[i]), 0) + 1
+    lit_mask = plan < 0
+    gsyms = np.where(lit_mask, gf, 256 + 24 + plan.astype(np.int64))
+    gcnt = np.bincount(gsyms, minlength=green_size)
+    gfreq = {int(s): int(c) for s, c in enumerate(gcnt) if c}
+    rcnt = np.bincount(rf[lit_mask], minlength=256)
+    bcnt = np.bincount(bf[lit_mask], minlength=256)
+    acnt = np.bincount(af[lit_mask], minlength=256)
+    rfreq = {int(s): int(c) for s, c in enumerate(rcnt) if c}
+    bfreq = {int(s): int(c) for s, c in enumerate(bcnt) if c}
+    afreq = {int(s): int(c) for s, c in enumerate(acnt) if c}
     g_len = _huff_lengths(gfreq, green_size, 15)
     r_len = _huff_lengths(rfreq or {0: 1}, 256, 15)
     b_len = _huff_lengths(bfreq or {0: 1}, 256, 15)
@@ -723,15 +802,28 @@ def vp8l_encode(pixels: np.ndarray, cache_bits: int = 0) -> bytes:
     _write_prefix_code(bw, dist_len)  # unused single-symbol code
     g_enc, r_enc, b_enc, a_enc = (_enc_table(g_len), _enc_table(r_len),
                                   _enc_table(b_len), _enc_table(a_len))
-    for i in range(n):
-        if plan[i] >= 0:
-            c, cl = g_enc[256 + 24 + int(plan[i])]
-            _write_rev(bw, c, cl)
-        else:
-            for enc, v in ((g_enc, gf[i]), (r_enc, rf[i]),
-                           (b_enc, bf[i]), (a_enc, af[i])):
-                c, cl = enc[int(v)]
-                _write_rev(bw, c, cl)
+    gv, gl = _rev_tables(g_enc, green_size)
+    rv, rl = _rev_tables(r_enc, 256)
+    bv, bl2 = _rev_tables(b_enc, 256)
+    av, al2 = _rev_tables(a_enc, 256)
+    lit = plan < 0
+    sym_vals = np.zeros((n, 4), dtype=np.int64)
+    sym_lens = np.zeros((n, 4), dtype=np.int64)
+    # literal pixels: green, red, blue, alpha codes in order
+    sym_vals[lit, 0] = gv[gf[lit]]
+    sym_lens[lit, 0] = gl[gf[lit]]
+    sym_vals[lit, 1] = rv[rf[lit]]
+    sym_lens[lit, 1] = rl[rf[lit]]
+    sym_vals[lit, 2] = bv[bf[lit]]
+    sym_lens[lit, 2] = bl2[bf[lit]]
+    sym_vals[lit, 3] = av[af[lit]]
+    sym_lens[lit, 3] = al2[af[lit]]
+    hit = ~lit
+    if hit.any():
+        cache_syms = 256 + 24 + plan[hit].astype(np.int64)
+        sym_vals[hit, 0] = gv[cache_syms]
+        sym_lens[hit, 0] = gl[cache_syms]
+    _pack_symbols(bw, sym_vals.reshape(-1), sym_lens.reshape(-1))
     payload = bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
@@ -762,12 +854,18 @@ def _write_literal_stream(bw: _LsbWriter, gf, rf, bf, af,
     dist_len = [0] * 40
     dist_len[0] = 1
     _write_prefix_code(bw, dist_len)
-    encs = (_enc_table(g_len), _enc_table(r_len), _enc_table(b_len),
-            _enc_table(a_len))
-    for i in range(len(gf)):
-        for enc, v in zip(encs, (gf[i], rf[i], bf[i], af[i])):
-            c, cl = enc[int(v)]
-            _write_rev(bw, c, cl)
+    n = len(gf)
+    sym_vals = np.zeros((n, 4), dtype=np.int64)
+    sym_lens = np.zeros((n, 4), dtype=np.int64)
+    for col, (lengths, size, vals) in enumerate(
+        [(g_len, green_size, gf), (r_len, 256, rf),
+         (b_len, 256, bf), (a_len, 256, af)]
+    ):
+        tv, tl = _rev_tables(_enc_table(lengths), size)
+        idx = np.asarray(vals, dtype=np.int64)
+        sym_vals[:, col] = tv[idx]
+        sym_lens[:, col] = tl[idx]
+    _pack_symbols(bw, sym_vals.reshape(-1), sym_lens.reshape(-1))
 
 
 def vp8l_encode_palette(pixels: np.ndarray) -> bytes:

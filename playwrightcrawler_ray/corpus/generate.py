@@ -133,8 +133,11 @@ def build_corpus(
             px = ((px >> 6) << 6).astype(px.dtype)
             body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
         elif i % 9 == 7:
-            # uncompressed baseline TIFF through the real codec
-            body, ctype, name = encode_image(px, "tiff"), "image/tiff", f"pic{i}.tiff"
+            # TIFF through the real codec — alternating uncompressed and
+            # LZW+predictor (the dominant real-world TIFF profile)
+            tfmt = "tiff_lzw" if (i // 9) % 2 else "tiff"
+            body, ctype, name = (encode_image(px, tfmt), "image/tiff",
+                                 f"pic{i}.tiff")
         elif i % 9 == 2:
             # REAL progressive (SOF2) JPEG through the codec: spectral
             # selection + successive approximation scans in the golden path
@@ -145,7 +148,9 @@ def build_corpus(
             body, ctype, name = (encode_image(px, "webp"), "image/webp",
                                  f"pic{i}.webp")
         elif i % 3 == 0:
-            body, ctype, name = encode_image(px, "png"), "image/png", f"pic{i}.png"
+            # PNG — every third one Adam7-interlaced (real decode path)
+            pfmt = "png_adam7" if (i // 3) % 3 == 0 else "png"
+            body, ctype, name = encode_image(px, pfmt), "image/png", f"pic{i}.png"
         elif i % 3 == 1:
             # REAL baseline JPEG through the pure-Python codec
             body, ctype, name = encode_image(px, "jpeg"), "image/jpeg", f"pic{i}.jpg"

@@ -20,11 +20,13 @@ lossless), ``jpeg`` (real pure-Python DCT codec, imaging/jpeg.py —
 baseline 4:4:4/4:2:0 with restart markers AND full progressive SOF2
 decode: spectral selection, successive approximation, EOB runs;
 PSNR ≥ 40 dB at the corpus quality), ``qimg`` (deterministic 6-bit
-quantized lossy format). Only ``webp`` raises ``CodecUnavailable``
-(no VP8 decoder in this container; the stage emits a clearly-labeled
-stub row instead), plus the genuinely-undecodable variants of the
-real codecs (arithmetic-coded/hierarchical JPEG, Adam7 PNG,
-LZW/tiled TIFF).
+quantized lossy format), ``webp`` (real VP8L lossless decoder —
+transforms, color cache, LZ77, meta-prefix; lossy VP8 raises
+``CodecUnavailable``, a full video-intra decoder being genuinely out
+of scope), PNG incl. Adam7 interlace, TIFF incl. LZW + horizontal
+predictor. The remaining typed ``CodecUnavailable`` variants:
+lossy-VP8 WebP, arithmetic-coded/hierarchical JPEG, JPEG-in-TIFF,
+tiled/planar/16-bit TIFF.
 """
 
 from __future__ import annotations
@@ -65,6 +67,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     fmt = fmt.lower()
     if fmt == "png":
         return png_encode(pixels)
+    if fmt == "png_adam7":
+        return png_encode(pixels, interlace=True)
     if fmt == "gif":
         from .gif import gif_encode
 
@@ -87,6 +91,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .tiff import tiff_encode
 
         return tiff_encode(pixels)
+    if fmt == "tiff_lzw":
+        from .tiff import tiff_encode
+
+        return tiff_encode(pixels, compression="lzw", predictor=True)
     if fmt == "webp":
         from .webp import vp8l_encode
 
@@ -132,11 +140,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         raise CodecUnavailable(f"no {fmt} decoder in this container")
     try:
         if fmt == "png":
-            try:
-                px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
-            except NotImplementedError as e:
-                # Adam7 interlace: a real variant this decoder can't do
-                raise CodecUnavailable(str(e)) from e
+            # every PNG variant decodes now, Adam7 interlace included
+            px = png_decode(bytes(data), max_pixels=MAX_PIXELS)
         elif fmt == "gif":
             from .gif import gif_decode
 

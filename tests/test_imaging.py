@@ -284,15 +284,16 @@ def test_png_palette_gray_variants():
     img_16 = make(1, 1, 16, 2, b"\x00\xab\xcd\x12\x34\x56\x78")
     px = png_decode(img_16)
     assert px[0, 0].tolist() == [0xAB, 0x12, 0x56]
-    # interlaced → NotImplementedError → facade CodecUnavailable
+    # Adam7 interlace DECODES now (no longer a stub); a malformed
+    # interlaced stream (wrong scanline byte count) is a ValueError
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     img_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
              + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
              + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png_decode(img_i)
-    with pytest.raises(CodecUnavailable):
-        decode_image(img_i)
+    good_i = png_encode(_pixels(30, 8, 8), interlace=True)
+    assert np.array_equal(png_decode(good_i), _pixels(30, 8, 8))
 
 
 def test_tiff_roundtrip_and_variants():
@@ -342,11 +343,12 @@ def test_tiff_roundtrip_and_variants():
             (279, 4, 1, 1)], b"\xb1")
     bl = tiff_decode(b)
     assert bl[0, 0, 0] == 255 and bl[0, 1, 0] == 0
-    # LZW compression (5) → CodecUnavailable via facade
+    # LZW compression (5) DECODES now; garbage LZW payload (no leading
+    # Clear code) is stream corruption → OSError taxonomy via facade
     lzw = mk([(256, 3, 1, 2), (257, 3, 1, 1), (258, 3, 1, 8), (259, 3, 1, 5),
               (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 1),
               (279, 4, 1, 2)], b"\x00\x00")
-    with pytest.raises(CodecUnavailable):
+    with pytest.raises(OSError):
         decode_image(lzw)
 
 
@@ -451,3 +453,55 @@ def test_jpeg_progressive_through_facade():
     out, fmt = decode_image(body)
     assert fmt == "jpeg" and out.shape == px.shape
     assert psnr(px, out) >= 40
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 interlaced PNG decodes for real now (was a typed stub):
+    all 7 passes defiltered as sub-images and scattered by stride —
+    round-trips exactly against the sequential encoding, including
+    dimensions smaller than one pass grid."""
+    from playwrightcrawler_ray.imaging.png import png_decode, png_encode
+
+    rng = np.random.default_rng(21)
+    for shape in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 10), (33, 47)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(px, interlace=True)), px)
+        assert np.array_equal(png_decode(png_encode(px)), px)
+    # RGBA through the facade (alpha flattened over white)
+    px4 = rng.integers(0, 256, size=(11, 13, 4), dtype=np.uint8)
+    from playwrightcrawler_ray.imaging.png import png_encode as enc
+
+    out, fmt = decode_image(enc(px4, interlace=True))
+    assert fmt == "png" and out.shape == (11, 13, 3)
+
+
+def test_tiff_lzw_roundtrip():
+    """LZW-compressed TIFF (compression 5, MSB-first early-change
+    codes) with and without the horizontal predictor (tag 317) —
+    lossless round trips incl. a stream long enough to exercise the
+    9→12-bit width ladder and the table reset."""
+    from playwrightcrawler_ray.imaging.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(22)
+    for shape in [(1, 1), (3, 5), (33, 47), (100, 100)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        for pred in (False, True):
+            out = tiff_decode(tiff_encode(px, compression="lzw",
+                                          predictor=pred))
+            assert np.array_equal(out, px), (shape, pred)
+    # predictor pays on smooth content (the real-world pairing)
+    base = np.repeat(np.repeat(
+        rng.integers(0, 256, (4, 4, 3), dtype=np.uint8), 16, 0), 16, 1)
+    plain = tiff_encode(base, compression="lzw")
+    pred = tiff_encode(base, compression="lzw", predictor=True)
+    assert len(pred) < len(plain)
+    assert np.array_equal(tiff_decode(pred), base)
+
+
+def test_tiff_lzw_through_facade():
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+
+    px = _make_pixels(np.random.default_rng(23), 32)
+    out, fmt = decode_image(encode_image(px, "tiff_lzw"))
+    assert fmt == "tiff"
+    assert np.array_equal(out, px)

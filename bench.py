@@ -89,6 +89,15 @@ def run_bench() -> dict:
     ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4).map_batches(
         _warm, batch_size=2
     ).materialize()
+    # warm the sort-shuffle path too (groupby/map_groups operators load
+    # lazily; without this the first timed groupby query pays it)
+    def _part(b):
+        b["part"] = b["id"] % 4
+        return b
+
+    ray.data.range(64, override_num_blocks=8).map_batches(
+        _part, batch_format="pandas"
+    ).groupby("part").map_groups(lambda g: g, batch_format="pandas").materialize()
 
     # --- flagship crawl (untimed corpus build: driver-side fixture) ---
     corpus = build_corpus(

@@ -877,13 +877,14 @@ def _enc_ac_first_events(zzc: np.ndarray, h2: int, w2: int, ss: int,
                 events.append(("bits", extra, r))
             eobrun -= run
 
+    # point transform truncates toward zero (T.81 G.1.2.1) — done for
+    # the whole component at once; per-block work is plain-list only
+    bm = zzc[:, :, ss : se + 1].astype(np.int64)
+    if al:
+        bm = np.sign(bm) * (np.abs(bm) >> al)
     for row in range(h2):
         for col in range(w2):
-            v = zzc[row, col]
-            # point transform truncates toward zero (T.81 G.1.2.1)
-            sh = 1 << al
-            band = [int(x) // sh if x >= 0 else -((-int(x)) // sh)
-                    for x in v[ss : se + 1]]
+            band = bm[row, col].tolist()
             nz = [i for i, x in enumerate(band) if x]
             if not nz:
                 eobrun += 1
@@ -936,11 +937,12 @@ def _enc_ac_refine_events(zzc: np.ndarray, h2: int, w2: int, ss: int,
             eob_bits.clear()
             eobrun -= run
 
+    full_mat = zzc[:, :, ss : se + 1].astype(np.int64)
+    absv_mat = np.abs(full_mat) >> al
     for row in range(h2):
         for col in range(w2):
-            v = zzc[row, col]
-            full = [int(x) for x in v[ss : se + 1]]
-            absv = [abs(x) >> al for x in full]
+            full = full_mat[row, col].tolist()
+            absv = absv_mat[row, col].tolist()
             newsig = [i for i, a in enumerate(absv) if a == 1]
             if not newsig:
                 # fully EOB-covered block: queue corrections for every

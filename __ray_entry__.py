@@ -156,10 +156,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": T.q_doc_exact_dedup,
         "langid_quality": T.q_langid_quality,          # rows-only (heuristic)
         "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
+        # curation: seeded sampling + per-source quota
+        "doc_sample": T.q_doc_sample,
+        "docs_per_source_cap": T.q_docs_per_source_cap,
         # dedup family
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
         "simhash": D.q_simhash,                        # rows-only (hash fn)
+        # rows-only: near-dup COLLAPSE over minhash edges + contraction
+        "doc_neardup_dedup": D.q_doc_neardup_dedup,
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
@@ -197,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,
+        "doc_sample": T.sql_doc_sample(),
+        "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),

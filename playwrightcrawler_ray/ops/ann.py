@@ -287,10 +287,14 @@ def q_dedup_components_lsh(sf_dir: str, threshold: float = 0.3,
     return _components_from_edges(sf_dir, edges_df)
 
 
-def _components_from_edges(sf_dir: str, edges_df: pd.DataFrame) -> pd.DataFrame:
+def _components_from_edges(sf_dir: str, edges_df: pd.DataFrame,
+                           vertices=None) -> pd.DataFrame:
     """Shared contraction core: (vec_a, vec_b) edge DataFrame →
-    component labels for every vector id."""
-    out_ids = _emb(sf_dir, ["vec_id"])
+    component labels for every vertex id. ``vertices`` defaults to the
+    embeddings table's vec_id universe; pass any Dataset with a
+    ``vec_id`` column to label a different id space (e.g. the
+    documents table for text near-dup collapse)."""
+    out_ids = vertices if vertices is not None else _emb(sf_dir, ["vec_id"])
     if edges_df.empty:
         lab = out_ids.to_pandas().sort_values("vec_id")
         return pd.DataFrame(

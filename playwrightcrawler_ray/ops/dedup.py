@@ -450,3 +450,40 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(out)
 
     return ds.map_batches(sim, batch_format="pandas").to_pandas()
+
+
+def q_doc_neardup_dedup(sf_dir: str, w: int = 3,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """Text near-duplicate COLLAPSE — the curation op that turns
+    near-dup detection into a deduplicated corpus: MinHash-LSH
+    candidate pairs verified at ``threshold`` become the edge set, the
+    distributed large-star/small-star contraction labels connected
+    components, and each document keeps ``keep = (doc_id ==
+    component_id)`` (minimum-id representative wins — the same
+    deterministic winner rule the crawl's image dedup uses). Rows-only
+    check (LSH recall); the agreement test pins high-similarity pairs
+    to shared components."""
+    from .ann import _components_from_edges
+    from .io import read_table
+
+    pairs = q_minhash_lsh_pairs(sf_dir, w=w, threshold=threshold)
+    edges = pd.DataFrame(
+        {"vec_a": pairs["doc_a"].astype(np.int64),
+         "vec_b": pairs["doc_b"].astype(np.int64)}
+    )
+
+    def as_vertex(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": df["doc_id"].astype(np.int64)})
+
+    vertices = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        as_vertex, batch_format="pandas"
+    )
+    lab = _components_from_edges(sf_dir, edges, vertices=vertices)
+    out = pd.DataFrame(
+        {
+            "doc_id": lab["vec_id"].astype("int64"),
+            "component_id": lab["component_id"].astype("int64"),
+        }
+    )
+    out["keep"] = out["doc_id"] == out["component_id"]
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -262,3 +262,125 @@ SELECT doc_id,
             AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+# --- deterministic sampling + per-group quota (training-data curation
+# ops: a seeded uniform sample and a domain-cap both run as one pruned
+# pass / one bounded groupby — no full-table materialization) ---
+
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xBF58476D1CE4E5B9
+_M64 = (1 << 64) - 1
+
+
+def _mix64_np(v, seed: int):
+    """splitmix64-style mixer over an int64 numpy array — the same
+    arithmetic the SQL oracle reproduces with HUGEINT modular math."""
+    import numpy as np
+
+    x = v.astype(np.uint64) ^ np.uint64(seed)
+    x = x * np.uint64(_MIX_A)
+    x ^= x >> np.uint64(29)
+    x = x * np.uint64(_MIX_B)
+    x ^= x >> np.uint64(32)
+    return x
+
+
+def q_doc_sample(sf_dir: str, k: int = 100, seed: int = 11) -> pd.DataFrame:
+    """Seeded uniform pseudo-random sample of ``k`` documents: the k
+    rows with the smallest ``mix64(doc_id ^ seed)`` — deterministic,
+    order-free, and computable in ONE streaming pass (per-batch partial
+    top-k, driver merges k-sized partials). The standard scale pattern
+    for "give me a reproducible 0.1% sample of 100 TB"."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _mix64_np(df["doc_id"].to_numpy(), seed)
+        idx = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[idx],
+                "n_chars": df["n_chars"].to_numpy()[idx],
+                "h": h[idx].astype(np.int64),  # int64-wrapped transport
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts["hu"] = parts["h"].to_numpy().view("uint64")
+    out = parts.sort_values(["hu", "doc_id"]).head(k)
+    return (
+        out[["doc_id", "n_chars"]]
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+        .reset_index(drop=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def sql_doc_sample(k: int = 100, seed: int = 11) -> str:
+    """DuckDB mirror of the mix64 sampler. 64x64-bit modular multiply
+    would overflow signed INT128, so each constant is split into 32-bit
+    halves: (x*A) mod 2^64 = (x*lo + ((x*hi mod 2^32) << 32)) mod 2^64
+    — every intermediate stays under 2^97."""
+    m = 1 << 64
+    m32 = 1 << 32
+
+    def mulmod(x: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, n_chars,
+         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
+  FROM documents
+),
+h1 AS (SELECT doc_id, n_chars, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
+h2 AS (SELECT doc_id, n_chars,
+              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
+       FROM h1),
+h3 AS (SELECT doc_id, n_chars, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
+h4 AS (SELECT doc_id, n_chars,
+              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
+       FROM h3)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM h4 ORDER BY h, doc_id LIMIT {k}
+) ORDER BY doc_id
+"""
+
+
+def q_docs_per_source_cap(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """Per-source quota (the "cap documents per domain" curation op):
+    keep the ``n`` longest documents of every source, ties broken by
+    doc_id. One bounded ``groupby(source).map_groups`` — group output
+    is ≤ n rows, so the shuffle moves only (doc_id, source, n_chars)."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(n)
+
+    out = (
+        ds.groupby("source")
+        .map_groups(topn, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out[["doc_id", "source", "n_chars"]]
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def sql_docs_per_source_cap(n: int = 5) -> str:
+    return f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {n} ORDER BY doc_id
+"""

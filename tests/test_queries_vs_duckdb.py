@@ -62,6 +62,7 @@ def _oracle_pairs():
     "supplier_by_nation", "customer_segments",
     "token_counts", "token_counts_bpe", "quality_signals",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
+    "doc_sample", "docs_per_source_cap",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components",
 ])
@@ -81,6 +82,7 @@ def test_query_matches_oracle(entrymod, name):
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
+                 "doc_neardup_dedup",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
                  "crawl_images",
@@ -217,3 +219,26 @@ def test_dedup_components_lsh_agreement(entrymod):
     for a, b in zip(hi["vec_a"].astype(int), hi["vec_b"].astype(int)):
         assert l_lab[a] == l_lab[b]
         assert e_lab[a] == e_lab[b]
+
+
+def test_doc_neardup_dedup_agreement(entrymod):
+    """Near-dup collapse: one representative (the minimum doc_id) per
+    component, every verified minhash pair co-labeled, and every
+    high-Jaccard exact pair collapsed into one kept doc."""
+    qs = entrymod.queries()
+    out = qs["doc_neardup_dedup"](SF_DIR)
+    lab = dict(zip(out["doc_id"].astype(int), out["component_id"].astype(int)))
+    keep = dict(zip(out["doc_id"].astype(int), out["keep"]))
+    # exactly one kept doc per component, and it is the minimum id
+    import collections
+
+    comps = collections.defaultdict(list)
+    for d, c in lab.items():
+        comps[c].append(d)
+    for c, members in comps.items():
+        kept = [d for d in members if keep[d]]
+        assert kept == [min(members)] and c == min(members)
+    # minhash-verified pairs are co-labeled
+    pairs = qs["minhash_lsh_pairs"](SF_DIR)
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        assert lab[a] == lab[b]

@@ -2,14 +2,16 @@
 video frame-sampling over opaque ``binary`` columns with typed
 metadata.
 
-The audio/video decoders (ffmpeg/librosa/PIL) are NOT in this
-container, so the decode step of each stage is stubbed behind
-``CodecUnavailable`` exactly like imaging/codec.py — for the engine's
-own formats (png/qimg) the image path is fully real, and for
-audio/video the stages process a documented deterministic fake
+The image path is fully real (every imaging/ codec), and audio now
+decodes REAL **WAV** (RIFF PCM, 8/16-bit, mono/stereo downmixed)
+natively — the compressed audio formats (mp3/ogg/aac) and real video
+containers need ffmpeg, which is NOT in this container, so those
+decode steps stay stubbed behind ``CodecUnavailable`` exactly like
+imaging/codec.py's lossy-VP8 path. A documented deterministic fake
 container format ("QAUD"/"QVID": raw samples / concatenated qimg
-frames) so the Ray-side plumbing — schemas, actor signatures, batch
-sizing for wide binary rows, output layout — is real and tested.
+frames) additionally keeps the Ray-side plumbing — schemas, actor
+signatures, batch sizing for wide binary rows, output layout — real
+and tested end-to-end.
 
 Wide-row guidance (SURVEY.md §7.4 item 4): binary payload rows are MBs
 — keep ``batch_size`` small (≤32), ``batch_format="pyarrow"``
@@ -37,10 +39,58 @@ def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return _QAUD_MAGIC + struct.pack(">I", rate) + zlib.compress(samples.tobytes(), 6)
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Real RIFF/WAVE PCM-16 encoder (mono or (n, 2) stereo)."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("expected int16 samples, 1-D or (n, 2)")
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
+    payload = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM parser: 8-bit unsigned or 16-bit signed, any
+    channel count (downmixed to mono by mean, the librosa default)."""
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        chunk = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            payload = chunk
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_fmt, nch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1:
+        raise CodecUnavailable(f"non-PCM WAV (format {audio_fmt})")
+    if bits == 16:
+        s = np.frombuffer(payload, dtype="<i2")
+    elif bits == 8:
+        s = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
+             - 128) << 8
+    else:
+        raise CodecUnavailable(f"{bits}-bit WAV")
+    if nch > 1:
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(
+            axis=1).astype(np.int16)
+    return s, rate
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
     if not data.startswith(_QAUD_MAGIC):
-        # a real-world container (wav/mp3/ogg) → decoder not present
-        raise CodecUnavailable("no audio decoder in this container")
+        # compressed real-world audio (mp3/ogg/aac) → needs ffmpeg
+        raise CodecUnavailable("no compressed-audio decoder in this container")
     (rate,) = struct.unpack_from(">I", data, 4)
     return np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16), rate
 

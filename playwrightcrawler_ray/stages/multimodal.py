@@ -104,9 +104,77 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
     return b"".join(parts)
 
 
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Real RIFF/AVI container with MJPEG ('00dc') frames — each frame
+    a baseline JPEG through the pure-Python encoder."""
+    from ..imaging.jpeg import jpeg_encode
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    payloads = [jpeg_encode(f, quality=90) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0,
+        1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), 0, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _decode_mjpeg_avi(data: bytes, sample_every: int) -> list[np.ndarray]:
+    """RIFF/AVI walk: every '..dc'/'..db' chunk under LIST/movi is a
+    frame; MJPEG (JPEG SOI payload) decodes via the real JPEG decoder,
+    any other fourcc needs ffmpeg → CodecUnavailable."""
+    frames: list[np.ndarray] = []
+    idx = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal idx
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if tag == b"LIST":
+                walk(pos + 12, min(end, pos + 8 + size))
+            elif tag[2:4] in (b"dc", b"db") and size:
+                payload = data[pos + 8 : pos + 8 + size]
+                if payload[:2] != b"\xff\xd8":
+                    raise CodecUnavailable(
+                        "non-MJPEG AVI stream: needs ffmpeg"
+                    )
+                if idx % sample_every == 0:
+                    frames.append(decode_image(payload)[0])
+                idx += 1
+            pos += 8 + size + (size & 1)
+
+    walk(12, len(data))
+    if idx == 0:
+        raise ValueError("no video frames in AVI")
+    return frames
+
+
 def decode_video_frames(data: bytes, sample_every: int = 1) -> list[np.ndarray]:
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return _decode_mjpeg_avi(data, sample_every)
     if not data.startswith(_QVID_MAGIC):
-        raise CodecUnavailable("no video decoder in this container")
+        # mp4/webm/mkv: real containers whose codecs need ffmpeg
+        raise CodecUnavailable("no video decoder for this container")
     (n,) = struct.unpack_from(">I", data, 4)
     pos = 8
     out = []

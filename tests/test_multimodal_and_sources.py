@@ -203,3 +203,48 @@ def test_wav_real_codec_roundtrip(ray_session):
     assert feats["audio_error"].isna().all()
     assert abs(feats["duration_sec"].iloc[0] - 1.0) < 1e-9
     assert feats["rms"].iloc[0] > 0.1
+
+
+def test_mjpeg_avi_real_video(ray_session):
+    """Real RIFF/AVI MJPEG video: frames decode through the pure-Python
+    JPEG decoder with frame sampling; non-MJPEG AVI payloads stay
+    CodecUnavailable; the VideoFrameSampler actor consumes the real
+    container end-to-end."""
+    import ray.data
+    import struct
+
+    from playwrightcrawler_ray.stages.multimodal import (
+        VideoFrameSampler, decode_video_frames, encode_avi_mjpeg,
+    )
+
+    frames = [_px(i, 32) for i in range(6)]
+    avi = encode_avi_mjpeg(frames, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    out = decode_video_frames(avi, sample_every=2)
+    assert len(out) == 3
+    assert all(f.shape == (32, 32, 3) for f in out)
+    # sampled frames approximate the originals (JPEG q90)
+    from playwrightcrawler_ray.imaging import psnr
+
+    assert psnr(frames[0], out[0]) >= 30
+    # a non-MJPEG AVI stream chunk → CodecUnavailable
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    bad_movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x30\x82notjpeg"))
+    bad = chunk(b"RIFF", b"AVI " + bad_movi)
+    import pytest as _pytest
+
+    with _pytest.raises(CodecUnavailable):
+        decode_video_frames(bad)
+    # actor-pool stage over the real container
+    tbl = pa.table({"video_bytes": pa.array([avi], pa.binary())})
+    out_df = (
+        ray.data.from_arrow(tbl)
+        .map_batches(VideoFrameSampler, batch_format="pyarrow",
+                     batch_size=2, concurrency=1,
+                     fn_constructor_kwargs={"sample_every": 3})
+        .to_pandas()
+    )
+    assert out_df["video_error"].isna().all()
+    assert int(out_df["sampled_frames"].iloc[0]) == 2
+    assert len(out_df["frame_phashes"].iloc[0]) == 2

@@ -30,16 +30,6 @@ def _docs(sf_dir: str, columns):
     return read_table(sf_dir, "documents", columns)
 
 
-def _shingles(text: str, w: int = 3) -> set[str]:
-    """Word-``w``-gram shingle set. Documents with fewer than ``w``
-    tokens yield NO shingles (matching the SQL oracle's empty RANGE),
-    and tokenization is whitespace-run splitting on both sides (the
-    oracle uses regexp_split_to_array + empty-segment filter)."""
-    toks = text.split()
-    if len(toks) < w:
-        return set()
-    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
-
 
 _MIX = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for shingle mixing
 
@@ -79,18 +69,6 @@ def _shingle_hash_arrays(texts, w: int, tok_cache: dict[str, int] | None = None
     return out
 
 
-def _shingle_rows(df: pd.DataFrame, w: int) -> pd.DataFrame:
-    doc_ids, hashes = [], []
-    for doc_id, sh in zip(df["doc_id"],
-                          _shingle_hash_arrays(df["text"], w)):
-        doc_ids.extend([doc_id] * len(sh))
-        hashes.extend(sh.view(np.int64).tolist())
-    return pd.DataFrame({"doc_id": doc_ids, "shingle": hashes})
-
-
-def _doc_shingle_arrays(df: pd.DataFrame, w: int) -> list[tuple[int, np.ndarray]]:
-    arrays = _shingle_hash_arrays(df["text"], w)
-    return [(int(d), a) for d, a in zip(df["doc_id"], arrays)]
 
 
 def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int = 20,

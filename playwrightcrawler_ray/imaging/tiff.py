@@ -214,9 +214,11 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if photometric not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photometric}")
-    if any(b not in (1, 8) for b in bits) or len(set(bits)) != 1:
+    if any(b not in (1, 8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"TIFF bits per sample {bits}")
     depth = bits[0]
+    if depth == 16 and predictor == 2:
+        raise NotImplementedError("predictor 2 at 16-bit samples")
     if depth == 1 and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
 
@@ -248,6 +250,12 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         if photometric == 0:  # WhiteIsZero
             sam = 255 - sam
         return np.stack([sam, sam, sam], axis=2)
+    if depth == 16:
+        # 16-bit samples in file byte order, reduced to the high byte
+        # (PIL's I;16→L convention, matching the PNG decoder)
+        wide = np.frombuffer(bytes(raw[: h * row_bytes]),
+                             dtype=endian + "u2").reshape(h, -1)
+        rows = (wide >> 8).astype(np.uint8)
     px = rows[:, : w * spp].reshape(h, w, spp)
     if spp == 1:
         g = px[:, :, 0]

@@ -505,3 +505,52 @@ def test_tiff_lzw_through_facade():
     out, fmt = decode_image(encode_image(px, "tiff_lzw"))
     assert fmt == "tiff"
     assert np.array_equal(out, px)
+
+
+def test_tiff_16bit_samples_high_byte():
+    """16-bit TIFF samples reduce to their high byte (the PIL I;16→L
+    convention, same as the PNG decoder) — grayscale and RGB, both
+    uncompressed little-endian."""
+    import struct
+
+    from playwrightcrawler_ray.imaging.tiff import tiff_decode
+
+    def mk(entries, pixel_data):
+        out = bytearray(b"II*\x00")
+        ifd_off = 8 + len(pixel_data)
+        out += struct.pack("<I", ifd_off) + pixel_data
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, val in entries:
+            out += struct.pack("<HHII", tag, typ, count, val)
+        out += struct.pack("<I", 0)
+        return bytes(out)
+
+    # 2x2 grayscale, values chosen so high bytes are distinct
+    gray16 = struct.pack("<4H", 0x1234, 0xAB00, 0x00FF, 0xFFFF)
+    g = mk([(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 16), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 2),
+            (279, 4, 1, 8)], gray16)
+    out = tiff_decode(g)
+    assert out[0, 0, 0] == 0x12 and out[0, 1, 0] == 0xAB
+    assert out[1, 0, 0] == 0x00 and out[1, 1, 0] == 0xFF
+    # 1x2 RGB 16-bit (bits tag value block doesn't fit inline: use a
+    # single SHORT count-3 written as offset-free via count 1 trick is
+    # invalid — emit count 3 pointing past the IFD)
+    rgb16 = struct.pack("<6H", 0x1100, 0x2200, 0x3300, 0x4400, 0x5500, 0x6600)
+    base = bytearray(b"II*\x00")
+    ifd_off = 8 + len(rgb16)
+    entries = [(256, 3, 1, 2), (257, 3, 1, 1), (258, 3, 3, None),
+               (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, 8),
+               (277, 3, 1, 3), (278, 3, 1, 1), (279, 4, 1, len(rgb16))]
+    bits_off = ifd_off + 2 + 12 * len(entries) + 4
+    base += struct.pack("<I", ifd_off) + rgb16
+    base += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        base += struct.pack("<HHII", tag, typ, count,
+                            bits_off if tag == 258 else val)
+    base += struct.pack("<I", 0)
+    base += struct.pack("<HHH", 16, 16, 16)
+    out2 = tiff_decode(bytes(base))
+    assert out2.shape == (1, 2, 3)
+    assert out2[0, 0].tolist() == [0x11, 0x22, 0x33]
+    assert out2[0, 1].tolist() == [0x44, 0x55, 0x66]

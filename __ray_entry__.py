@@ -78,16 +78,29 @@ def _crawl_output_dir() -> str:
 
 
 def _q_crawl_images(_sf_dir: str):
-    from playwrightcrawler_ray.pipelines.crawl import load_images
+    # column-pruned read: the image `bytes` payloads never reach the
+    # driver (nor the object store) — only the metadata columns do
+    from playwrightcrawler_ray.core.schemas import IMAGES_COLUMNS
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
 
-    df = load_images(_crawl_output_dir()).to_pandas()
-    return df.drop(columns=["bytes"]).sort_values("image_id").reset_index(drop=True)
+    cols = [c for c in IMAGES_COLUMNS if c != "bytes"]
+    ds = load_unified(_crawl_output_dir(), columns=[*cols, "kind"])
+
+    def images_only(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("kind"), "image")).select(cols)
+
+    df = ds.map_batches(images_only, batch_format="pyarrow").to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
 
 
 def _q_crawl_pages_by_source(_sf_dir: str):
     from playwrightcrawler_ray.pipelines.crawl import load_unified
 
-    df = load_unified(_crawl_output_dir()).to_pandas()
+    df = load_unified(
+        _crawl_output_dir(), columns=["kind", "source", "url"]
+    ).to_pandas()
     out = (
         df[df["kind"] == "page"]
         .groupby("source", as_index=False)
@@ -165,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": D.q_simhash,                        # rows-only (hash fn)
         # rows-only: near-dup COLLAPSE over minhash edges + contraction
         "doc_neardup_dedup": D.q_doc_neardup_dedup,
+        # oracle-anchored twin: exact-Jaccard edges + same collapse
+        "doc_neardup_dedup_exact": D.q_doc_neardup_dedup_exact,
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
@@ -205,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": T.sql_doc_sample(),
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
+        "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
         "dedup_components": N.sql_dedup_components(),

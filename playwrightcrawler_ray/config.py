@@ -92,6 +92,15 @@ class CrawlConfig:
     # sorted run to disk (state/frontier.py); 0 = unlimited resident
     host_queue_cap: int = 8192
     num_seen_shards: int = 8         # pixel-hash dedup shards
+    # pixel-hash / imgvisit dedup-shard membership structure, same modes
+    # as the frontier's URL-seen set (state/approxset.py): "exact"
+    # (default — set-equality with the oracle), "cuckoo" or "bloom" for
+    # the 10^10-images regime where per-shard exact sets are unbounded
+    # actor memory (sizing math in BASELINE.md). Cuckoo keeps
+    # no-false-negatives via the exact overflow set; false POSITIVES
+    # drop images (same contract as the URL filter).
+    image_seen_mode: str = "exact"
+    image_seen_capacity: int = 1 << 16  # per-shard filter capacity (items)
     fetch_concurrency: int = 8       # fetch actor pool size
     # transient-failure retry (reference downloader: 3 tries, exp
     # backoff ×2, downloader.py:262-302); base kept tiny in-sandbox

@@ -52,6 +52,20 @@ def _to_matrix(df: pd.DataFrame) -> np.ndarray:
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
+def _sq_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances via the GEMM identity
+    ``‖a−c‖² = ‖a‖² + ‖c‖² − 2·a·cᵀ`` — O(batch×k) output with a BLAS
+    matmul, instead of the O(batch×k×dim) float64 broadcast temp
+    (``(m[:,None,:]-c[None,:,:])**2``), which at dim 768 / k 4096 is
+    gigabytes per batch (VERDICT r3 item 5)."""
+    d2 = (
+        (m * m).sum(axis=1)[:, None]
+        + (c * c).sum(axis=1)[None, :]
+        - 2.0 * (m @ c.T)
+    )
+    return np.maximum(d2, 0.0)
+
+
 def q_ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Top-k by cosine similarity to the embedding of ``query_vec_id``
     (self excluded). Per-batch partial top-k, merged on the driver —
@@ -416,8 +430,7 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int,
         def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(c_ref)
             m = _to_matrix(df)
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _sq_dists(m, c).argmin(axis=1)
             rows = []
             for ci in np.unique(assign):
                 sel = m[assign == ci]
@@ -462,9 +475,9 @@ def q_embedding_kmeans(sf_dir: str, k: int = 10, iters: int = 10,
     def assign_final(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(c_ref)
         m = _to_matrix(df)
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return pd.DataFrame(
-            {"vec_id": df["vec_id"], "cluster": d2.argmin(axis=1).astype(np.int64)}
+            {"vec_id": df["vec_id"],
+             "cluster": _sq_dists(m, c).argmin(axis=1).astype(np.int64)}
         )
 
     out = (
@@ -536,7 +549,7 @@ def q_ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     def probe_scan(df: pd.DataFrame) -> pd.DataFrame:
         c, probe_set, qv = ray.get(refs)
         m = _to_matrix(df)
-        assign = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        assign = _sq_dists(m, c).argmin(axis=1)
         mask = np.isin(assign, list(probe_set)) & (
             df["vec_id"].to_numpy() != query_vec_id
         )

@@ -121,7 +121,11 @@ class CrawlEngine:
             for i in range(self.cfg.num_frontier_shards)
         ]
         self.dedup = [
-            RemoteDedup.remote(i, "exact") for i in range(self.cfg.num_seen_shards)
+            RemoteDedup.remote(
+                i, self.cfg.image_seen_mode,
+                capacity=self.cfg.image_seen_capacity,
+            )
+            for i in range(self.cfg.num_seen_shards)
         ]
         from ..corpus.store import put_corpus_index
 
@@ -480,14 +484,23 @@ def run_crawl(corpus: CorpusData, cfg: CrawlConfig | None = None,
                       collect_seen_ids=collect_seen_ids)
 
 
-def load_unified(output_dir: str):
+def load_unified(output_dir: str, columns: list[str] | None = None):
     """Read all wave partitions back as one Dataset, applying each
     wave's conflict-loser tombstones (written by ``_write_tombstones``)
-    as a vectorized filter — consumers never see loser rows."""
+    as a vectorized filter — consumers never see loser rows.
+
+    ``columns`` prunes the read (pass it whenever the consumer doesn't
+    need the image ``bytes`` — a full-width read ships MBs of pixels
+    per row through the object store for nothing). The tombstone filter
+    needs ``wave``/``ord``/``kind`` internally; they're read regardless
+    and projected back out before returning."""
     import glob
 
     files = sorted(glob.glob(os.path.join(output_dir, "wave=*", "*.parquet")))
-    ds = ray.data.read_parquet(files)
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys([*columns, "wave", "ord", "kind"]))
+    ds = ray.data.read_parquet(files, columns=read_cols)
     tombs: dict[int, tuple] = {}
     import numpy as np
 
@@ -500,6 +513,10 @@ def load_unified(output_dir: str):
             np.array(payload["img"], dtype=np.int64),
         )
     if not tombs:
+        if columns is not None:
+            return ds.map_batches(
+                lambda t: t.select(columns), batch_format="pyarrow"
+            )
         return ds
     t_ref = ray.put(tombs)
 
@@ -514,7 +531,7 @@ def load_unified(output_dir: str):
             zero_copy_only=False
         ).astype(np.int64)
         mask = np.zeros(len(ords), dtype=bool)
-        kinds = None
+        is_image = None
         for w in np.unique(waves):
             ent = tb.get(int(w))
             if ent is None:
@@ -523,14 +540,16 @@ def load_unified(output_dir: str):
             inw = waves == w
             mask |= inw & np.isin(ords, fl)
             if len(il):
-                if kinds is None:
-                    kinds = np.asarray(
-                        t.column("kind").to_pylist(), dtype=object
-                    )
-                mask |= inw & np.isin(ords, il) & (kinds == "image")
-        if not mask.any():
-            return t
-        return t.filter(pa.array(~mask))
+                if is_image is None:
+                    is_image = pc.fill_null(
+                        pc.equal(t.column("kind"), "image"), False
+                    ).to_numpy(zero_copy_only=False)
+                mask |= inw & np.isin(ords, il) & is_image
+        if mask.any():
+            t = t.filter(pa.array(~mask))
+        if columns is not None:
+            t = t.select(columns)
+        return t
 
     return ds.map_batches(drop_tombstoned, batch_format="pyarrow")
 

@@ -47,7 +47,8 @@ def filtered_urls(
 ):
     """Downloader URL selection over the pages table (reference
     get_filtered_urls semantics: regex filters → shuffle → limit)."""
-    ds = load_unified(output_dir)
+    ds = load_unified(output_dir, columns=[
+        "kind", "url", "host", "content_type", "file_extension"])
 
     def flt(t: pa.Table) -> pa.Table:
         mask = pc.equal(t.column("kind"), "page")
@@ -80,7 +81,8 @@ def phash_buckets(
     the dHash agree AND whose full 64-bit hashes are Hamming-close
     (≤ ``max_hamming`` to at least one other member). Returns buckets
     with ≥2 surviving members (candidate near-dup sets)."""
-    ds = load_unified(output_dir)
+    ds = load_unified(output_dir,
+                      columns=["kind", "phash", "image_id", "caption"])
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("kind"), "image"))
@@ -129,7 +131,7 @@ def phash_buckets(
 def host_level_counts(output_dir: str, level: int = 2) -> pd.DataFrame:
     """Distribution over host_level_N (A5; e.g. registered domains)."""
     col = f"host_level_{level}"
-    ds = load_unified(output_dir)
+    ds = load_unified(output_dir, columns=["kind", col])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"] == "page"]
@@ -152,7 +154,10 @@ def host_level_counts(output_dir: str, level: int = 2) -> pd.DataFrame:
 
 def dir_depth_histogram(output_dir: str) -> pd.DataFrame:
     """Histogram of directory depth across crawled pages (A5)."""
-    ds = load_unified(output_dir)
+    ds = load_unified(
+        output_dir,
+        columns=["kind"] + [f"directory_level_{i}" for i in range(1, 8)],
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"] == "page"].copy()
@@ -182,7 +187,7 @@ def verify_admission_invariants(output_dir: str, cfg: CrawlConfig | None = None)
     block lists, repeated segments, URL length) and return violating
     rows — empty ⇔ admission filtering was total."""
     ctx = ProcessContext(cfg or CrawlConfig())
-    ds = load_unified(output_dir)
+    ds = load_unified(output_dir, columns=["kind", "url", "host"])
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"] == "page"]
@@ -209,7 +214,7 @@ def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
 
     from ..urlkit.filepath import safe_filepath_from_url
 
-    ds = load_unified(output_dir)
+    ds = load_unified(output_dir, columns=["kind", "url", "bytes"])
 
     def write_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("kind"), "image"))

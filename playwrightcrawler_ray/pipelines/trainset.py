@@ -48,25 +48,29 @@ def build_trainset(
     """Build the training table (see module docstring)."""
     from ..functions.text import detect_language
 
-    ds = load_unified(output_dir)
+    ds = load_unified(
+        output_dir,
+        columns=["kind", "image_id", "bytes", "w", "h", "fmt", "caption",
+                 "phash", "pixel_sha1", "wave", "ord"],
+    )
 
     def gate(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("kind"), "image"))
         if t.num_rows == 0:
             return pa.table({c: [] for c in _TRAIN_COLS})
-        # vectorized token count: arrow split on whitespace runs; a
-        # leading/trailing-space or empty caption yields empty-string
-        # parts, subtracted so the count matches str.split() semantics
+        # vectorized token count with str.split() semantics, Unicode
+        # whitespace included (NBSP etc.): utf8_split_whitespace keeps
+        # boundary empty parts, so count the NON-empty parts per row
+        # via the list offsets (cumsum difference)
         caps_col = pc.fill_null(t.column("caption"), "")
-        parts = pc.split_pattern_regex(caps_col, r"\s+")
-        n_parts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        lead = pc.match_substring_regex(caps_col, r"^\s").to_numpy(
-            zero_copy_only=False)
-        trail = pc.match_substring_regex(caps_col, r"\s$").to_numpy(
-            zero_copy_only=False)
-        empty = pc.equal(caps_col, "").to_numpy(zero_copy_only=False)
-        n_tok = n_parts - lead.astype(np.int64) - trail.astype(np.int64)
-        n_tok[empty] = 0
+        parts = pa.chunked_array(
+            [pc.utf8_split_whitespace(caps_col)]
+        ).combine_chunks()
+        offs = parts.offsets.to_numpy()
+        nonempty = pc.not_equal(parts.values, "").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.r_[0, np.cumsum(nonempty)]
+        n_tok = cs[offs[1:]] - cs[offs[:-1]]
         keep = (n_tok >= min_caption_tokens) & (n_tok <= max_caption_tokens)
         if lang is not None:
             caps = caps_col.to_pylist()

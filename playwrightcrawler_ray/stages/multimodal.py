@@ -145,13 +145,15 @@ def _decode_mjpeg_avi(data: bytes, sample_every: int) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
     idx = 0
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal idx
+        if depth > 16:
+            raise ValueError("malformed AVI: LIST nesting too deep")
         while pos + 8 <= end:
             tag = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             if tag == b"LIST":
-                walk(pos + 12, min(end, pos + 8 + size))
+                walk(pos + 12, min(end, pos + 8 + size), depth + 1)
             elif tag[2:4] in (b"dc", b"db") and size:
                 payload = data[pos + 8 : pos + 8 + size]
                 if payload[:2] != b"\xff\xd8":
@@ -249,6 +251,12 @@ class AudioFeaturizer:
             except CodecUnavailable as e:
                 dur.append(None); rms.append(None); zcr.append(None)
                 err.append(f"codec_unavailable: {e}")
+            except Exception as e:
+                # malformed RIFF payloads surface struct.error / ValueError
+                # etc.; a bad crawl row must become an error row, not a
+                # crashed Ray task
+                dur.append(None); rms.append(None); zcr.append(None)
+                err.append(str(e))
         return (
             batch.append_column("duration_sec", pa.array(dur, pa.float64()))
             .append_column("rms", pa.array(rms, pa.float64()))
@@ -278,6 +286,9 @@ class VideoFrameSampler:
             except CodecUnavailable as e:
                 counts.append(None); hashes.append(None)
                 err.append(f"codec_unavailable: {e}")
+            except Exception as e:
+                counts.append(None); hashes.append(None)
+                err.append(str(e))
         return (
             batch.append_column("sampled_frames", pa.array(counts, pa.int32()))
             .append_column("frame_phashes", pa.array(hashes, pa.list_(pa.int64())))

@@ -153,6 +153,25 @@ def test_cuckoo_seen_mode_matches_oracle_ordering(ray_session, corpus, oracle):
     assert res.order == oracle.order
 
 
+def test_cuckoo_image_dedup_mode_matches_oracle(ray_session, corpus, oracle):
+    """The pixel-hash DedupShards' cuckoo mode (CrawlConfig
+    image_seen_mode — the 10^10-images regime, sized in BASELINE.md)
+    must reproduce the exact-mode image set: same deduped
+    (caption, phash) keys, same row count, same ordering."""
+    from playwrightcrawler_ray.pipelines.crawl import load_images, run_crawl
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_imgcuckoo", max_waves=100,
+                      image_seen_mode="cuckoo", image_seen_capacity=1 << 14)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    res = run_crawl(corpus, cfg)
+    assert res.order == oracle.order
+    imgs = load_images(cfg.output_dir).to_pandas()
+    eng_keys = set(zip(imgs["caption"], imgs["phash"]))
+    ora_keys = set((v["caption"], v["phash"]) for v in oracle.images.values())
+    assert eng_keys == ora_keys
+    assert len(imgs) == len(oracle.images)
+
+
 def test_in_wave_dedup_conflicts_resolve_deterministically(ray_session):
     """ADVICE round 1: the same image URL referenced with DIFFERENT
     captions from two pages in one wave (forced into separate batches

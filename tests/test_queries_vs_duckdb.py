@@ -64,7 +64,7 @@ def _oracle_pairs():
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "doc_sample", "docs_per_source_cap",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
-    "dedup_components",
+    "dedup_components", "doc_neardup_dedup_exact",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
@@ -242,3 +242,21 @@ def test_doc_neardup_dedup_agreement(entrymod):
     pairs = qs["minhash_lsh_pairs"](SF_DIR)
     for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
         assert lab[a] == lab[b]
+    # oracle anchoring (VERDICT r3 item 8): the LSH collapse is a
+    # refinement of the exact-edge collapse (LSH emits only
+    # exact-verified edges, so it can never merge what the oracled
+    # configuration separates), and high-Jaccard pairs — above the
+    # 32×4 banding curve's miss zone — are co-labeled in BOTH
+    exact = qs["doc_neardup_dedup_exact"](SF_DIR)
+    e_lab = dict(zip(exact["doc_id"].astype(int),
+                     exact["component_id"].astype(int)))
+    assert set(e_lab) == set(lab)
+    for a in lab:
+        for b in lab:
+            if a < b and lab[a] == lab[b]:
+                assert e_lab[a] == e_lab[b], (a, b)
+    hi = qs["ngram_jaccard_top_pairs"](SF_DIR)
+    hi = hi[hi["jaccard"] >= 0.7]
+    for a, b in zip(hi["doc_a"].astype(int), hi["doc_b"].astype(int)):
+        assert lab[a] == lab[b]
+        assert e_lab[a] == e_lab[b]

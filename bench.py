@@ -131,6 +131,51 @@ def run_bench() -> dict:
             crawl_sec, res = sec, r
     timings["crawl"] = round(crawl_sec, 3)
 
+    # --- real-socket sample (reported separately, not in the headline
+    # total, to keep round-over-round totals comparable): the same
+    # crawl semantics over a loopback HTTP vhost server in its OWN
+    # process (it rebuilds the deterministic corpus from the seed) —
+    # every fetch crosses a real TCP socket (VERDICT r3 item 1). The
+    # single Python server process is the ceiling here, not the
+    # engine; the number measures the real-client fetch path.
+    import subprocess
+
+    http_corpus = build_corpus(
+        seed=43, n_hosts=256, pages_per_host=20, n_seeds=256,
+        text_words=CRAWL_TEXT_WORDS, img_sizes=CRAWL_IMG_SIZES,
+    )
+    srv_proc = subprocess.Popen(
+        [sys.executable, "-m", "playwrightcrawler_ray.corpus.httpserve",
+         "--seed", "43", "--hosts", "256", "--pages", "20",
+         "--n-seeds", "256", "--text-words", str(CRAWL_TEXT_WORDS),
+         "--img-sizes", *[str(s) for s in CRAWL_IMG_SIZES]],
+        stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    http_addr = srv_proc.stdout.readline().strip()
+    http_out = f"/tmp/pwc_bench_http_{NUM_CPUS}"
+    shutil.rmtree(http_out, ignore_errors=True)
+    cfg_http = CrawlConfig(
+        output_dir=http_out, max_waves=3, per_host_per_wave=20,
+        wave_size=200_000, method_weights={"oldest": 1},
+        checkpoint_every=8, wave_batch_size=256,
+        fetch_backend="http", http_addr=http_addr,
+    )
+    t0 = time.perf_counter()
+    res_http = run_crawl(http_corpus, cfg_http, seen_mode="cuckoo")
+    http_sec = time.perf_counter() - t0
+    try:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://{http_addr}/__corpus_stats__", timeout=5
+        ) as r:
+            http_requests = json.loads(r.read())["requests"]
+    except OSError:
+        http_requests = -1
+    srv_proc.terminate()
+    srv_proc.wait(timeout=10)
+
     # --- heavy operators over the driver tables (best-of-2: the box
     # has noisy-neighbor variance; one bad sample should not define a
     # query's number) ---
@@ -161,6 +206,12 @@ def run_bench() -> dict:
             "frontier_ops": res.stats["frontier_ops"],
             "frontier_ops_per_sec": round(res.stats["frontier_ops_per_sec"], 2),
             "waves": res.waves,
+        },
+        "crawl_http": {
+            "sec": round(http_sec, 3),
+            "pages_fetched": res_http.stats["pages_fetched"],
+            "pages_per_sec": round(res_http.stats["pages_per_sec"], 2),
+            "http_requests": http_requests,
         },
     }
     ray.shutdown()

@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--seeds-dir", default=None,
                    help="directory of seed-list text files (S6 source)")
+    c.add_argument("--http", action="store_true",
+                   help="fetch over a real socket: serve the corpus from "
+                        "a loopback HTTP vhost server and crawl it with "
+                        "the stdlib HTTP client (fetch_backend=http)")
 
     i = sub.add_parser("images", help="consolidate the standalone images table")
     i.add_argument("--out", required=True)
@@ -84,14 +88,29 @@ def main(argv: list[str] | None = None) -> int:
                 from .corpus.seeds import seeds_from_files
 
                 corpus.seeds = seeds_from_files(args.seeds_dir)
+            server = None
             cfg = CrawlConfig(output_dir=args.out, max_waves=args.max_waves)
-            res = run_crawl(corpus, cfg, seen_mode=args.seen_mode,
-                            resume=args.resume)
+            if args.http:
+                from .corpus.httpserve import CorpusHTTPServer
+
+                server = CorpusHTTPServer(corpus)
+                cfg.fetch_backend = "http"
+                cfg.http_addr = server.addr
+            try:
+                res = run_crawl(corpus, cfg, seen_mode=args.seen_mode,
+                                resume=args.resume)
+            finally:
+                if server is not None:
+                    server.close()
             out = {k: v for k, v in res.stats.items()
                    if k not in ("seen_ids", "last_wave_dataset_stats")}
+            extra = (
+                {"http_requests": server.request_count} if server else {}
+            )
             print(json.dumps({"pages": len(res.order), "waves": res.waves,
                               **{k: round(v, 2) if isinstance(v, float) else v
                                  for k, v in out.items() if not isinstance(v, dict)},
+                              **extra,
                               "frontier": out.get("frontier", {})}))
         elif args.cmd == "images":
             from .pipelines.crawl import consolidate_images

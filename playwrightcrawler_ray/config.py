@@ -110,6 +110,15 @@ class CrawlConfig:
     # first (truncated) response
     range_resume: bool = True
     fetch_backoff_base_s: float = 0.01
+    # fetch backend: "corpus" resolves against the zero-copy broadcast
+    # index (hermetic, deterministic); "http" fetches over a REAL
+    # socket from `http_addr` (host:port of a corpus/httpserve.py
+    # loopback vhost server in-sandbox; the open web on a deployment).
+    # Retries, backoff and Range-resume run in the real client either
+    # way — the golden test asserts both backends produce byte-identical
+    # crawl tables on the same corpus.
+    fetch_backend: str = "corpus"
+    http_addr: str = ""
     # one batch/block size for ALL wave stages: Ray fuses the stage
     # chain into one operator whose task granularity is the largest
     # fused batch_size — mixed sizes silently serialize the wave.

@@ -1,0 +1,349 @@
+"""Real-socket serving of the synthetic corpus + the HTTP fetch client.
+
+Closes the engine's biggest reality gap (VERDICT r3 item 1): until now
+every fetch resolved against the broadcast corpus index — retries,
+Range-resume and latency were *simulated* inside the stage. This module
+puts a real TCP socket in the loop without leaving the sandbox:
+
+- ``CorpusHTTPServer``: a threaded loopback HTTP server that serves
+  ``CorpusData.pages`` by virtual host (the client sends the original
+  ``Host:`` header; the server reconstructs ``http://<host><path>`` and
+  looks it up — exactly how a shared test server fronts many vhosts).
+  Failure injection is SERVER-side and real:
+  * ``corpus.flaky[url] = n``  → the first n requests get HTTP 503;
+  * ``corpus.partial[url] = c``→ every response claims the full
+    remaining ``Content-Length`` but the socket is closed after ``c``
+    bytes — a genuine truncated transfer the client sees as
+    ``http.client.IncompleteRead``; ``Range: bytes=N-`` requests are
+    honored with 206 so the client's resume loop reassembles the
+    payload over multiple real requests (reference ``download_file``,
+    downloader.py:212-302);
+  * ``corpus.latency_ms[host]`` → per-request server-side sleep
+    (enable with ``latency=True``).
+
+- ``HttpFetchClient``: the client the fetch stages use in
+  ``fetch_backend="http"`` mode, behind the SAME ``lookup(urls) ->
+  (status, content_type, body, redirect)`` interface as
+  ``CorpusIndexReader`` — so ``make_fetch_fn``/``make_imgfetch_fn``
+  swap backends without any pipeline change. A batch is issued
+  concurrently over a per-process thread pool (the async-client model:
+  batch latency ≈ max, not sum), each URL with retry × exponential
+  backoff on 503/connection errors and Range-resume on truncation.
+  With ``range_resume=False`` the first (truncated) body is kept — the
+  naive-client behavior the golden corpus encodes.
+
+The reference's fetch surface is real HTTP (``get_page_async``,
+playwrightcrawler.py:4926-5207; ``download_file``,
+downloader.py:212-302); this path exercises the same client semantics
+against a real socket, and the golden test asserts byte-identical
+crawl output vs corpus mode.
+
+Deployment note: on a real cluster the client half is exactly what
+ships (point it at the open web instead of the loopback vhost server);
+it is pure stdlib ``http.client`` + threads, no extra deps.
+"""
+
+from __future__ import annotations
+
+import http.client
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlsplit
+
+from .generate import CorpusData
+
+_TERMINAL = (599, "", b"", "")  # retries exhausted (fetch_error_599 doc)
+
+
+class CorpusHTTPServer:
+    """Loopback vhost server over a CorpusData. Use as a context
+    manager or call ``close()``; ``addr`` is ``(host, port)``."""
+
+    def __init__(self, corpus: CorpusData, latency: bool = False):
+        pages = corpus.pages
+        robots = corpus.robots
+        flaky = dict(corpus.flaky)
+        partial = dict(corpus.partial)
+        latency_ms = dict(corpus.latency_ms) if latency else {}
+        attempts: dict[str, int] = {}
+        lock = threading.Lock()
+        self.request_count = 0
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # keep-alive: one server
+            # thread serves a client thread's whole request stream
+            disable_nagle_algorithm = True
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):  # noqa: N802 (stdlib naming)
+                if self.path == "/__corpus_stats__":
+                    # out-of-band stats endpoint (used when the server
+                    # runs as a subprocess and the object is remote)
+                    body = (
+                        '{"requests": %d}' % outer.request_count
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                with lock:
+                    outer.request_count += 1
+                vhost = (self.headers.get("Host") or "").split(":")[0]
+                # the loopback listener is plain TCP; the client passes
+                # the original scheme the way a TLS-terminating proxy
+                # does, so https:// corpus URLs resolve correctly
+                scheme = self.headers.get("X-Forwarded-Proto", "http")
+                url = f"{scheme}://{vhost}{self.path}"
+                if latency_ms.get(vhost):
+                    time.sleep(latency_ms[vhost] / 1000.0)
+                # transient-failure injection: first n attempts 503
+                n_fail = flaky.get(url, 0)
+                if n_fail:
+                    with lock:
+                        attempts[url] = attempts.get(url, 0) + 1
+                        seen = attempts[url]
+                    if seen <= n_fail:
+                        body = b"transient"
+                        self.send_response(503)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
+                if self.path == "/robots.txt" and vhost in robots:
+                    body = robots[vhost].encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                rec = pages.get(url)
+                if rec is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                status = int(rec["status"])
+                body = rec["body"] if status == 200 else b""
+                redirect = rec.get("redirect_to") or ""
+                start = 0
+                rng = self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    start = int(rng[6:].rstrip("-"))
+                    if 0 < start < len(body):
+                        status = 206
+                remaining = body[start:]
+                chunk = partial.get(url)
+                self.send_response(status)
+                if rec.get("content_type"):
+                    self.send_header("Content-Type", rec["content_type"])
+                if redirect:
+                    self.send_header("Location", redirect)
+                # ALWAYS claim the full remaining length — with a
+                # `partial` entry the connection is then cut after
+                # `chunk` bytes: a real truncated transfer
+                self.send_header("Content-Length", str(len(remaining)))
+                if chunk and len(remaining) > chunk:
+                    self.send_header("Connection", "close")
+                self.end_headers()
+                if chunk and len(remaining) > chunk:
+                    self.wfile.write(remaining[:chunk])
+                    self.wfile.flush()
+                    # close the socket mid-body → client IncompleteRead
+                    self.close_connection = True
+                    try:
+                        self.connection.shutdown(1)
+                    except OSError:
+                        pass
+                else:
+                    self.wfile.write(remaining)
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._srv.daemon_threads = True
+        self.addr = f"127.0.0.1:{self._srv.server_address[1]}"
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, kwargs={"poll_interval": 0.05},
+            daemon=True,
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "CorpusHTTPServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class HttpFetchClient:
+    """Batch HTTP fetcher with the CorpusIndexReader ``lookup``
+    interface. One instance per worker process (cached by the stage
+    factory); holds a thread pool so a batch completes in ~max(single
+    fetch), modeling the async client a deployment would run."""
+
+    def __init__(self, addr: str, retries: int = 3,
+                 backoff_base_s: float = 0.01, range_resume: bool = True,
+                 pool_size: int = 16, timeout_s: float = 30.0):
+        host, port = addr.rsplit(":", 1)
+        self._host, self._port = host, int(port)
+        self.retries = retries
+        self.backoff_base_s = backoff_base_s
+        self.range_resume = range_resume
+        self.timeout_s = timeout_s
+        self._pool = ThreadPoolExecutor(max_workers=pool_size)
+        self._local = threading.local()  # keep-alive conn per pool thread
+
+    def _conn(self) -> http.client.HTTPConnection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection(
+                self._host, self._port, timeout=self.timeout_s
+            )
+            self._local.conn = conn
+        return conn
+
+    def _drop_conn(self) -> None:
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            self._local.conn = None
+
+    def _request(self, path: str, vhost: str, scheme: str = "http",
+                 start: int = 0):
+        """One GET over the thread's persistent keep-alive connection
+        (fresh-connection retry on a stale socket). Returns (status,
+        headers, body, truncated) where ``truncated`` means the server
+        cut the connection mid-body."""
+        headers = {"Host": vhost, "Accept-Encoding": "identity",
+                   "X-Forwarded-Proto": scheme}
+        if start:
+            headers["Range"] = f"bytes={start}-"
+        for fresh in (False, True):
+            if fresh:
+                self._drop_conn()
+            conn = self._conn()
+            try:
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+            except (http.client.HTTPException, OSError):
+                if fresh:
+                    self._drop_conn()
+                    raise
+                continue  # stale keep-alive socket: one fresh retry
+            try:
+                body = resp.read()
+                truncated = False
+            except http.client.IncompleteRead as e:
+                body = e.partial
+                truncated = True
+            if truncated or resp.will_close:
+                self._drop_conn()
+            return resp.status, dict(resp.getheaders()), body, truncated
+        raise OSError("unreachable")  # pragma: no cover
+
+    def _fetch_one(self, url: str):
+        p = urlsplit(url)
+        vhost = p.hostname or ""
+        scheme = p.scheme or "http"
+        path = p.path or "/"
+        if p.query:
+            path += "?" + p.query
+        backoff = self.backoff_base_s
+        for attempt in range(self.retries):
+            try:
+                status, hdrs, body, truncated = self._request(
+                    path, vhost, scheme)
+            except OSError:
+                status, hdrs, body, truncated = 503, {}, b"", False
+            if status == 503:  # transient: retry with backoff
+                if attempt + 1 >= self.retries:
+                    return _TERMINAL
+                time.sleep(backoff)
+                backoff *= 2
+                continue
+            ctype = hdrs.get("Content-Type", "")
+            redirect = hdrs.get("Location", "")
+            if 300 <= status < 400:
+                return status, ctype, b"", redirect
+            if truncated and self.range_resume:
+                # real Range-resume loop: re-request from the byte
+                # after the last one received until complete
+                claimed = int(hdrs.get("Content-Length", len(body)))
+                while len(body) < claimed:
+                    try:
+                        s2, h2, nxt, trunc2 = self._request(
+                            path, vhost, scheme, start=len(body)
+                        )
+                    except OSError:
+                        break
+                    if s2 not in (200, 206) or not nxt:
+                        break  # server stopped serving: keep what we have
+                    body += nxt
+                    if not trunc2:
+                        break
+            return status, ctype, body, redirect
+        return _TERMINAL
+
+    def lookup(self, urls: list[str]):
+        """Aligned (status, content_type, body, redirect) lists — the
+        exact CorpusIndexReader.lookup contract. Batch issued
+        concurrently on the pool."""
+        results = list(self._pool.map(self._fetch_one, urls))
+        status = [r[0] for r in results]
+        ctype = [r[1] for r in results]
+        body = [r[2] for r in results]
+        redirect = [r[3] for r in results]
+        return status, ctype, body, redirect
+
+
+def _main() -> None:
+    """Standalone server process: rebuild the deterministic corpus from
+    its generator parameters (no pickling — the corpus is a pure
+    function of the seed) and serve it until killed. Prints the bound
+    ``host:port`` as the first stdout line. Used by bench.py so the
+    server does not share the driver's GIL."""
+    import argparse
+    import signal
+    import sys
+
+    from .generate import build_corpus
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--hosts", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=6)
+    ap.add_argument("--n-seeds", type=int, default=None)
+    ap.add_argument("--text-words", type=int, default=40)
+    ap.add_argument("--img-sizes", type=int, nargs="*", default=None)
+    args = ap.parse_args()
+    kw = {}
+    if args.n_seeds is not None:
+        kw["n_seeds"] = args.n_seeds
+    if args.img_sizes:
+        kw["img_sizes"] = tuple(args.img_sizes)
+    corpus = build_corpus(seed=args.seed, n_hosts=args.hosts,
+                          pages_per_host=args.pages,
+                          text_words=args.text_words, **kw)
+    srv = CorpusHTTPServer(corpus)
+    print(srv.addr, flush=True)
+    signal.sigwait({signal.SIGTERM, signal.SIGINT})
+    srv.close()
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    _main()

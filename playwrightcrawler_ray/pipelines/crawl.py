@@ -263,18 +263,33 @@ class CrawlEngine:
             os.makedirs(order_dir, exist_ok=True)
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
 
-        flaky_ref = ray.put(dict(self.corpus.flaky)) if self.corpus.flaky else None
+        # real-socket backend: latency/flaky/truncation happen on the
+        # server and in the client's own retry/Range loops — the
+        # simulation refs must not double-apply
+        use_http = cfg.fetch_backend == "http" and bool(cfg.http_addr)
+        http_addr = cfg.http_addr if use_http else None
+        flaky_ref = (
+            ray.put(dict(self.corpus.flaky))
+            if self.corpus.flaky and not use_http else None
+        )
         partial_ref = (
-            ray.put(dict(self.corpus.partial)) if self.corpus.partial else None
+            ray.put(dict(self.corpus.partial))
+            if self.corpus.partial and not use_http else None
         )
         fetch_fn = make_fetch_fn(
-            self.corpus_ref, self.latency_ref, flaky_ref,
+            self.corpus_ref,
+            None if use_http else self.latency_ref, flaky_ref,
             retries=cfg.fetch_retries, backoff_base_s=cfg.fetch_backoff_base_s,
             partial_ref=partial_ref, range_resume=cfg.range_resume,
+            http_addr=http_addr,
         )
-        imgfetch_fn = make_imgfetch_fn(self.corpus_ref, self.latency_ref,
-                                       self.dedup, partial_ref=partial_ref,
-                                       range_resume=cfg.range_resume)
+        imgfetch_fn = make_imgfetch_fn(
+            self.corpus_ref, None if use_http else self.latency_ref,
+            self.dedup, partial_ref=partial_ref,
+            range_resume=cfg.range_resume, http_addr=http_addr,
+            retries=cfg.fetch_retries,
+            backoff_base_s=cfg.fetch_backoff_base_s,
+        )
         decode_fn = make_decode_fn(cfg, self.dedup, self.shards)
         parse_fn = make_parse_fn(cfg)
         limit = max_waves if max_waves is not None else cfg.max_waves

@@ -71,6 +71,22 @@ def _corpus_reader(ref):
     return _OBJ_CACHE[key]
 
 
+def _http_client(addr: str, retries: int, backoff_base_s: float,
+                 range_resume: bool):
+    """Per-process cached real-socket fetch client (corpus/httpserve.py)
+    — the deployment-shaped backend behind the same ``lookup``
+    interface as the broadcast corpus reader."""
+    from ..corpus.httpserve import HttpFetchClient
+
+    key = f"http:{addr}:{retries}:{backoff_base_s}:{range_resume}"
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = HttpFetchClient(
+            addr, retries=retries, backoff_base_s=backoff_base_s,
+            range_resume=range_resume,
+        )
+    return _OBJ_CACHE[key]
+
+
 def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     key = repr(cfg)
     if key not in _CTX_CACHE:
@@ -97,7 +113,8 @@ def _range_resume(full: bytes, chunk: int, enabled: bool) -> bytes:
 
 def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
                   retries: int = 3, backoff_base_s: float = 0.01,
-                  partial_ref=None, range_resume: bool = True):
+                  partial_ref=None, range_resume: bool = True,
+                  http_addr: str | None = None):
     """Wave-input batch (url, host, wave) → + status/content_type_raw/
     body/redirect_to, resolved against the broadcast corpus.
 
@@ -109,10 +126,27 @@ def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
     Transient failures (``flaky_ref``: url → failure count) are retried
     with exponential backoff ×2 up to ``retries`` attempts (reference
     downloader semantics, downloader.py:262-302); exhausted retries
-    yield status 599 (→ a ``fetch_error_599`` doc, terminal)."""
+    yield status 599 (→ a ``fetch_error_599`` doc, terminal).
+
+    With ``http_addr`` (``fetch_backend="http"``) the batch is fetched
+    over a REAL socket from the loopback vhost server
+    (corpus/httpserve.py): retries/backoff/Range-resume run in the
+    client, latency/flakiness/truncation happen server-side, and the
+    latency/flaky/partial simulation refs are ignored."""
     import time as _time
 
     def fetch(batch: pa.Table) -> pa.Table:
+        if http_addr:
+            client = _http_client(http_addr, retries, backoff_base_s,
+                                  range_resume)
+            urls = batch.column("url").to_pylist()
+            status, ctype, body, redirect = client.lookup(urls)
+            return (
+                batch.append_column("status", pa.array(status, pa.int32()))
+                .append_column("content_type_raw", pa.array(ctype, pa.string()))
+                .append_column("body", pa.array(body, pa.binary()))
+                .append_column("redirect_to", pa.array(redirect, pa.string()))
+            )
         reader = _corpus_reader(corpus_ref)
         if latency_ref is not None:
             lat: dict[str, int] = _cached_get(latency_ref)
@@ -253,7 +287,9 @@ def make_offer_fn(frontier_handles: list):
 
 
 def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = None,
-                     partial_ref=None, range_resume: bool = True):
+                     partial_ref=None, range_resume: bool = True,
+                     http_addr: str | None = None, retries: int = 3,
+                     backoff_base_s: float = 0.01):
     """Fill missing bodies of imgref rows from the corpus (subresource
     fetch; the reference's response-listener path, :5174-5185).
 
@@ -320,7 +356,15 @@ def make_imgfetch_fn(corpus_ref, latency_ref=None, dedup_handles: list | None = 
                         if k == "imgref" and b is None]
         changed = bool(need)
         fetched_hosts = set()
-        if need:
+        if need and http_addr:
+            # real-socket subresource fetch: Range-resume and retries
+            # happen inside the client, truncation/latency server-side
+            client = _http_client(http_addr, retries, backoff_base_s,
+                                  range_resume)
+            _, _, fetched, _ = client.lookup([urls[i] for i in need])
+            for i, b in zip(need, fetched):
+                bodies[i] = b
+        elif need:
             _, _, fetched, _ = reader.lookup([urls[i] for i in need])
             part = _cached_get(partial_ref) if partial_ref is not None else {}
             for i, b in zip(need, fetched):

@@ -128,6 +128,19 @@ class CrawlConfig:
     fetch_batch_size: int = 128      # alias kept for block slicing
     image_batch_size: int = 64       # decode memory guide (wide rows)
     decode_num_cpus: float = 1.0
+    # Waves at or below this many URLs run as plain Ray tasks (one per
+    # chunk, same stage functions + chunking as the Dataset path, so
+    # output is identical) instead of a streaming-executor job: a
+    # Dataset job carries ~1.5 s fixed driver overhead that dominates
+    # sub-second waves and caps 4→16-CPU scaling on the small waves
+    # (BENCH_scaling_r3_4v16_decomp). Bulk waves keep the Dataset path
+    # (backpressure + spilling for GB-scale image payloads). 0 disables.
+    small_wave_task_path_max: int = 16384
+    # publish per-wave checkpoints on a background thread (the actor
+    # state snapshot RPC is still issued AT the barrier — ordering
+    # with next-wave offers is preserved by actor message order; only
+    # the blob await + file writes move off the critical path).
+    async_checkpoint: bool = True
 
     # --- sinks ---
     output_dir: str = "/tmp/pwc_ray_out"

@@ -61,6 +61,27 @@ from ..urlkit.ids import url_id_64
 from .strategy import apply_strategy, choose_strategy, wave_rng
 
 
+@ray.remote
+def _wave_chunk_task(fns_ref, tbl: pa.Table, path: str) -> int:
+    """Small-wave fast path: one chunk through the SAME fused stage
+    chain the Dataset path runs (fetch → parse → imgfetch → decode),
+    written as one parquet file. A streaming-executor job costs ~1.5 s
+    of fixed driver overhead per wave — for sub-second waves that fixed
+    cost is the 4→16-CPU scaling ceiling (the barrier-bound waves of
+    BENCH_scaling_r3_4v16_decomp); plain tasks keep the parallelism
+    (one task per chunk) without the executor. Output is identical:
+    same functions, same chunk boundaries = same batches. ``fns``
+    arrives as an ObjectRef argument (one ``ray.put`` per crawl, Ray
+    resolves it per task from the local object store — broadcast, not
+    re-shipped per chunk)."""
+    import pyarrow.parquet as pq
+
+    fetch_fn, parse_fn, imgfetch_fn, decode_fn = fns_ref
+    out = decode_fn(imgfetch_fn(parse_fn(fetch_fn(tbl))))
+    pq.write_table(out, path)
+    return out.num_rows
+
+
 @dataclass
 class CrawlResult:
     """Crawl outcome. The crawl ORDER is not held in driver memory —
@@ -182,15 +203,55 @@ class CrawlEngine:
     # --- checkpointing (per-partition: one blob per shard per wave) ---
 
     def _checkpoint(self, wave: int, wave_log: list[dict]) -> None:
+        """Per-wave checkpoint. The actor-state snapshot RPCs are issued
+        HERE, at the barrier — each shard serializes its state before it
+        processes the driver's next ``pop_candidates`` (same-caller actor
+        message order), and wave K+1's worker-side offers can only start
+        after every pop returns, so the snapshot is exactly the wave-K
+        barrier state regardless of publication timing. With
+        ``cfg.async_checkpoint`` only the blob await + file writes move
+        to a background thread (at most one in flight; joined before the
+        next checkpoint and at run end), keeping seconds of serialized
+        file IO off the wave critical path — the barrier cost the 4v16
+        decomposition (BENCH_scaling_r3_4v16_decomp) flagged."""
+        blob_refs = [s.checkpoint.remote() for s in self.shards]
+        dblob_refs = [d.checkpoint.remote() for d in self.dedup]
+        snapshot = [dict(e) for e in wave_log]
+        if not self.cfg.async_checkpoint:
+            self._publish_checkpoint(wave, snapshot, blob_refs, dblob_refs)
+            return
+        import threading
+
+        self._join_checkpoint()
+
+        def _worker():
+            try:
+                self._publish_checkpoint(wave, snapshot, blob_refs, dblob_refs)
+            except BaseException as e:  # surfaced at the next join
+                self._ck_err = e
+
+        self._ck_thread = threading.Thread(target=_worker, daemon=True)
+        self._ck_thread.start()
+
+    def _join_checkpoint(self) -> None:
+        t = getattr(self, "_ck_thread", None)
+        if t is not None:
+            t.join()
+            self._ck_thread = None
+        err = getattr(self, "_ck_err", None)
+        if err is not None:
+            self._ck_err = None
+            raise err
+
+    def _publish_checkpoint(self, wave: int, wave_log: list[dict],
+                            blob_refs, dblob_refs) -> None:
         ckdir = os.path.join(self.cfg.output_dir, "checkpoints", f"wave={wave:05d}")
         tmp = ckdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        blobs = ray.get([s.checkpoint.remote() for s in self.shards])
-        for i, blob in enumerate(blobs):
+        for i, blob in enumerate(ray.get(blob_refs)):
             with open(os.path.join(tmp, f"frontier_{i:03d}.bin"), "wb") as f:
                 f.write(blob)
-        dblobs = ray.get([d.checkpoint.remote() for d in self.dedup])
-        for i, blob in enumerate(dblobs):
+        for i, blob in enumerate(ray.get(dblob_refs)):
             with open(os.path.join(tmp, f"dedup_{i:03d}.bin"), "wb") as f:
                 f.write(blob)
         # meta carries only O(waves) state; the crawl order lives in the
@@ -203,7 +264,8 @@ class CrawlEngine:
         retain = self.cfg.checkpoint_retain
         if retain > 0:
             root = os.path.join(self.cfg.output_dir, "checkpoints")
-            old = sorted(d for d in os.listdir(root) if d.startswith("wave="))
+            old = sorted(d for d in os.listdir(root)
+                         if d.startswith("wave=") and not d.endswith(".tmp"))
             for d in old[:-retain]:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
@@ -211,7 +273,10 @@ class CrawlEngine:
         root = os.path.join(self.cfg.output_dir, "checkpoints")
         if not os.path.isdir(root):
             return None
-        waves = sorted(d for d in os.listdir(root) if d.startswith("wave="))
+        # a crash can leave a half-written `.tmp` staging dir behind —
+        # only atomically-published checkpoints are restore candidates
+        waves = sorted(d for d in os.listdir(root)
+                       if d.startswith("wave=") and not d.endswith(".tmp"))
         if not waves:
             return None
         ckdir = os.path.join(root, waves[-1])
@@ -298,6 +363,7 @@ class CrawlEngine:
         wave = start_wave
         empty_streak = 0
         last_wave_stats = ""
+        fns_ref = None  # one object-store put of the stage chain, lazy
         while wave < limit:
             candidates = self._pop_merged(wave)
             if not candidates:
@@ -350,16 +416,39 @@ class CrawlEngine:
             bs = min(cfg.wave_batch_size,
                      max(32, -(-len(urls) // (ncpu * 4))))
             chunks = [tbl.slice(i, bs) for i in range(0, len(urls), bs)]
-            ds = ray.data.from_arrow(chunks)
-            for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):
-                ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=bs)
             wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
             shutil.rmtree(wave_dir, ignore_errors=True)
             # link offers + dedup claims happen INSIDE the decode stage
-            # (awaited per batch) — write_parquet returning is therefore
-            # the exact barrier: every link row is durable AND offered,
-            # every dedup claim staged.
-            ds.write_parquet(wave_dir)
+            # (awaited per batch) — the write barrier (all chunk tasks
+            # done / write_parquet returned) therefore means: every link
+            # row is durable AND offered, every dedup claim staged.
+            if (cfg.small_wave_task_path_max > 0
+                    and len(urls) <= cfg.small_wave_task_path_max):
+                # small-wave fast path: same fns, same chunk boundaries,
+                # one plain Ray task per chunk — skips the streaming
+                # executor's ~1.5 s fixed per-job driver overhead that
+                # dominates sub-second waves (the barrier-bound waves of
+                # BENCH_scaling_r3_4v16_decomp)
+                if fns_ref is None:
+                    fns_ref = ray.put(
+                        (fetch_fn, parse_fn, imgfetch_fn, decode_fn)
+                    )
+                os.makedirs(wave_dir, exist_ok=True)
+                ray.get([
+                    _wave_chunk_task.remote(
+                        fns_ref, c,
+                        os.path.join(wave_dir, f"part-{i:05d}.parquet"),
+                    )
+                    for i, c in enumerate(chunks)
+                ])
+                ds = None
+            else:
+                ds = ray.data.from_arrow(chunks)
+                for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):
+                    ds = ds.map_batches(
+                        fn, batch_format="pyarrow", batch_size=bs
+                    )
+                ds.write_parquet(wave_dir)
             t_write = time.perf_counter()
             conflicts: list[tuple[int, list[int]]] = []
             for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
@@ -374,7 +463,8 @@ class CrawlEngine:
                     _write_tombstones(wave_dir, full_l, img_l)
             t_fixup = time.perf_counter()
             t_pipeline = time.perf_counter() - tw
-            last_wave_stats = ds.stats()
+            if ds is not None:
+                last_wave_stats = ds.stats()
             # append-only order log: one immutable file per wave
             opath = os.path.join(order_dir, f"wave={wave:05d}.txt")
             with open(opath + ".tmp", "w") as f:
@@ -397,6 +487,7 @@ class CrawlEngine:
                 self._checkpoint(wave, wave_log)
             wave += 1
 
+        self._join_checkpoint()  # final checkpoint durable before return
         elapsed = time.perf_counter() - t0
         fstats = ray.get([s.stats.remote() for s in self.shards])
         agg = {}

@@ -312,3 +312,32 @@ def test_yyyymm_time_partition_stamped(engine_result):
     t = load_unified(cfg.output_dir).to_pandas()
     assert len(t) > 0
     assert (t["yyyymm"] == cfg.crawl_yyyymm).all()
+
+
+def test_dataset_path_equals_task_path(ray_session, corpus, engine_result,
+                                       oracle):
+    """The small-wave plain-task fast path (default) and the streaming
+    Dataset path (small_wave_task_path_max=0) must produce identical
+    crawls: same order, same seen set, same unified rows — the fast
+    path runs the SAME fused stage chain over the SAME chunk
+    boundaries, so this is a structural equivalence, not luck. Also
+    pins sync-checkpoint mode (async_checkpoint=False) to the same
+    result."""
+    from collections import Counter
+
+    from playwrightcrawler_ray.pipelines.crawl import load_unified, run_crawl
+
+    cfg_fast, res_fast = engine_result  # default: task path + async ckpt
+    cfg_ds = CrawlConfig(output_dir="/tmp/pwc_golden_dspath", max_waves=100,
+                         small_wave_task_path_max=0, async_checkpoint=False)
+    shutil.rmtree(cfg_ds.output_dir, ignore_errors=True)
+    res_ds = run_crawl(corpus, cfg_ds, collect_seen_ids=True)
+    assert res_ds.order == res_fast.order == oracle.order
+    assert res_ds.seen_ids() == res_fast.seen_ids()
+
+    cols = ["wave", "ord", "kind", "url", "source", "pixel_sha1", "caption"]
+    a = load_unified(cfg_fast.output_dir, columns=cols).to_pandas()
+    b = load_unified(cfg_ds.output_dir, columns=cols).to_pandas()
+    key = lambda df: Counter(map(tuple, df[cols].fillna("").to_numpy()))
+    assert key(a) == key(b)
+    shutil.rmtree(cfg_ds.output_dir, ignore_errors=True)

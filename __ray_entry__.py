@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import textstats as T
+    from playwrightcrawler_ray.pipelines import trainset_text as TT
 
     return {
         # crawl-flavored pipelines (rows-only: oracle-verified in pytest)
@@ -180,6 +181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_dedup": D.q_doc_neardup_dedup,
         # oracle-anchored twin: exact-Jaccard edges + same collapse
         "doc_neardup_dedup_exact": D.q_doc_neardup_dedup_exact,
+        # full text-corpus curation pipeline (gate → exact dedup →
+        # near-dup collapse → per-source quota → sharded write):
+        # minhash edges (rows-only, the scale path) + exact-edges
+        # oracle twin
+        "docs_trainset": TT.q_docs_trainset,
+        "docs_trainset_exact": TT.q_docs_trainset_exact,
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
@@ -198,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import textstats as T
+    from playwrightcrawler_ray.pipelines import trainset_text as TT
 
     return {
         "pricing_summary": A.SQL_PRICING_SUMMARY,
@@ -221,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
+        "docs_trainset_exact": TT.sql_docs_trainset_exact(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
         "dedup_components": N.sql_dedup_components(),

@@ -74,7 +74,8 @@ def _shingle_hash_arrays(texts, w: int, tok_cache: dict[str, int] | None = None
 def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int | None = 20,
                               n_parts: int = 64,
                               hot_shingle_warn: int = 10_000,
-                              min_jaccard: float | None = None) -> pd.DataFrame:
+                              min_jaccard: float | None = None,
+                              docs_ds=None) -> pd.DataFrame:
     """Exact word-``w``-gram Jaccard: top-``k`` most similar pairs,
     fully distributed (VERDICT r2 item 2 — no O(corpus) driver state).
 
@@ -99,8 +100,11 @@ def q_ngram_jaccard_top_pairs(sf_dir: str, w: int = 3, k: int | None = 20,
     ``min_jaccard`` switches the group reducer from top-k to a
     threshold filter (pass ``k=None`` for ALL pairs ≥ the threshold) —
     the exact edge generator the oracle-anchored near-dup collapse
-    (``q_doc_neardup_dedup_exact``) builds on."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    (``q_doc_neardup_dedup_exact``) builds on. ``docs_ds`` substitutes
+    a pre-filtered ``(doc_id, text)`` Dataset for the documents table
+    (the text-trainset builder passes its gate+exact-dedup
+    survivors)."""
+    ds = docs_ds if docs_ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
     # (1) per-doc set sizes — the only driver-side / broadcast state
     def size_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -272,13 +276,17 @@ def _hash_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5) -> pd.DataFrame:
+def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5,
+                        docs_ds=None) -> pd.DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
     Returns verified pairs with jaccard ≥ threshold. Approximate recall
     (banding may miss borderline pairs) → rows-only driver check; the
-    exact top-pairs query above is the SQL-verified twin."""
+    exact top-pairs query above is the SQL-verified twin. ``docs_ds``
+    substitutes a pre-filtered ``(doc_id, text)`` Dataset for the
+    documents table (the verify re-read by candidate id still hits the
+    parquet — text is immutable, only the candidate universe shrinks)."""
     a_par, b_par = _hash_params()
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = docs_ds if docs_ds is not None else _docs(sf_dir, ["doc_id", "text"])
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         arrays = _shingle_hash_arrays(df["text"], w)

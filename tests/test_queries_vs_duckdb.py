@@ -64,7 +64,7 @@ def _oracle_pairs():
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "doc_sample", "docs_per_source_cap",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
-    "dedup_components", "doc_neardup_dedup_exact",
+    "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
@@ -82,7 +82,7 @@ def test_query_matches_oracle(entrymod, name):
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
     for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
-                 "doc_neardup_dedup",
+                 "doc_neardup_dedup", "docs_trainset",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
                  "crawl_images",

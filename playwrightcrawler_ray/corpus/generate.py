@@ -147,6 +147,17 @@ def build_corpus(
             # REAL lossless WebP (VP8L) through the codec
             body, ctype, name = (encode_image(px, "webp"), "image/webp",
                                  f"pic{i}.webp")
+        elif i % 9 == 8:
+            # REAL lossy WebP (RFC 6386 VP8 keyframe) through the codec —
+            # alternating plain / multi-partition+loop-filter streams so
+            # the golden path exercises both decoder layouts
+            from playwrightcrawler_ray.imaging.vp8 import vp8_encode_webp
+
+            if (i // 9) % 2:
+                body = vp8_encode_webp(px, qi=12, n_parts=2, filter_level=20)
+            else:
+                body = encode_image(px, "webp_lossy")
+            ctype, name = "image/webp", f"pic{i}l.webp"
         elif i % 3 == 0:
             # PNG — every third one Adam7-interlaced (real decode path)
             pfmt = "png_adam7" if (i // 3) % 3 == 0 else "png"
@@ -161,7 +172,7 @@ def build_corpus(
             "gif" if i % 9 == 4
             else "tiff" if i % 9 == 7
             else "jpeg" if i % 9 == 2
-            else "webp" if i % 9 == 5
+            else "webp" if i % 9 in (5, 8)
             else "png" if i % 3 == 0
             else "jpeg" if i % 3 == 1
             else "qimg"
@@ -195,9 +206,12 @@ def build_corpus(
     add_image(hosts[0], "headeronly.jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 64,
               "image/jpeg", "truncated jpeg", {"error": "oserror"})
     # real formats this container genuinely cannot decode → stub rows
-    # (lossy VP8 — a video-intra decoder; VP8L lossless DOES decode)
+    # (a VP8 INTERFRAME — an animation delta frame, not a still image;
+    # lossy keyframes and VP8L lossless both DO decode)
     add_image(hosts[0], "photo.webp",
-              b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56,
+              b"RIFF" + (4 + 8 + 56).to_bytes(4, "little") + b"WEBP"
+              + b"VP8 " + (56).to_bytes(4, "little")
+              + b"\x01\x00\x00" + b"\x00" * 53,
               "image/webp", "stub", {"error": "codec_unavailable"})
     add_image(hosts[0], "arith.jpg",
               b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big")

@@ -21,12 +21,12 @@ baseline 4:4:4/4:2:0 with restart markers AND full progressive SOF2
 decode: spectral selection, successive approximation, EOB runs;
 PSNR ≥ 40 dB at the corpus quality), ``qimg`` (deterministic 6-bit
 quantized lossy format), ``webp`` (real VP8L lossless decoder —
-transforms, color cache, LZ77, meta-prefix; lossy VP8 raises
-``CodecUnavailable``, a full video-intra decoder being genuinely out
-of scope), PNG incl. Adam7 interlace, TIFF incl. LZW + horizontal
-predictor. The remaining typed ``CodecUnavailable`` variants:
-lossy-VP8 WebP, arithmetic-coded/hierarchical JPEG, JPEG-in-TIFF,
-tiled/planar/16-bit TIFF.
+transforms, color cache, LZ77, meta-prefix — AND real lossy VP8
+keyframe decode via imaging/vp8.py, differential-tested bit-exact
+against libwebp), PNG incl. Adam7 interlace, TIFF incl. LZW +
+horizontal predictor. The remaining typed ``CodecUnavailable``
+variants: VP8 interframes, arithmetic-coded/hierarchical JPEG,
+JPEG-in-TIFF, tiled/planar TIFF.
 """
 
 from __future__ import annotations
@@ -54,9 +54,10 @@ class CodecUnavailable(NotImplementedError):
 
 _QIMG_MAGIC = b"QIM1"
 # Every container format now has a real pure-Python decoder: PNG, GIF,
-# BMP, JPEG (baseline + progressive), TIFF, and WebP-lossless (VP8L).
-# Only LOSSY VP8 inside WebP remains a typed CodecUnavailable (a full
-# video-intra decoder), raised by webp_decode itself.
+# BMP, JPEG (baseline + progressive), TIFF, WebP-lossless (VP8L) AND
+# WebP-lossy (RFC 6386 VP8 keyframes, imaging/vp8.py).  Only VP8
+# *interframes* (animation frames, not still images) remain a typed
+# CodecUnavailable, raised through webp_decode.
 _STUBBED_FORMATS: set[str] = set()
 MAX_PIXELS = 64_000_000
 
@@ -99,6 +100,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .webp import vp8l_encode
 
         return vp8l_encode(pixels)  # lossless VP8L
+    if fmt == "webp_lossy":
+        from .vp8 import vp8_encode_webp
+
+        # high-quality flat quantizer; exercises the RFC 6386 intra path
+        return vp8_encode_webp(pixels, qi=12)
     if fmt == "qimg":
         if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
             raise ValueError("expected (h, w, 3) uint8 array")
@@ -156,7 +162,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = webp_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # lossy VP8: genuinely no intra-frame decoder here
+                # VP8 interframe payload (not a still image) — the only
+                # WebP variant left undecodable (lossy keyframes decode
+                # for real via imaging/vp8.py now)
                 raise CodecUnavailable(str(e)) from e
         elif fmt == "jpeg":
             from .jpeg import jpeg_decode

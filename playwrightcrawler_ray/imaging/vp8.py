@@ -1,0 +1,1498 @@
+"""Pure-Python lossy VP8 (WebP ``VP8 `` chunk) keyframe codec.
+
+Closes the last real-web image-codec gap (the reference decodes lossy
+WebP via PIL — playwrightcrawler.py:3844-3858): a complete RFC 6386
+keyframe *intra* decoder — boolean arithmetic decoder, frame /
+segmentation / loop-filter / quantizer headers, keyframe mode trees,
+token-tree residual decoding with above/left nonzero contexts,
+dequantization, inverse WHT + inverse DCT (numpy-vectorized per MB),
+all intra predictors (16x16 DC/V/H/TM, chroma 8x8, the ten 4x4
+B-modes with the right-column above-right quirk), and both loop
+filters (normal + simple) applied in raster order.
+
+Interframes (and the splitmv/inter machinery they need) are out of
+scope — a lossy WebP file always carries exactly one keyframe, so
+this decodes every well-formed lossy WebP still image.
+
+Entropy/quantizer constants come from ``vp8_tables.py`` (public RFC
+6386 specification data; see ``scripts/extract_vp8_tables.py`` for
+provenance).  Correctness is established differentially in
+``tests/test_vp8.py``: streams produced by the system libwebp encoder
+must decode to YUV planes **bit-identical** to libwebp's own decoder,
+and streams produced by :func:`vp8_encode` must be decodable by
+libwebp with bounded PSNR.
+
+Mode numbering follows libwebp's convention (B_RD=4, B_VR=5, B_LD=6,
+B_VL=7 — the 16x16 modes DC/TM/V/H = 0..3 coincide with their 4x4
+context aliases), because the extracted KF_BMODE_PROBS table is
+indexed in that basis.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .vp8_tables import (
+    AC_QLOOKUP,
+    COEFF_BANDS,
+    COEFF_UPDATE_PROBS,
+    DC_QLOOKUP,
+    DEFAULT_COEFF_PROBS,
+    KF_BMODE_PROBS,
+)
+
+# ---------------------------------------------------------------- constants
+
+# 4x4 intra modes (libwebp numbering; 0..3 double as 16x16 DC/TM/V/H)
+B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU = range(10)
+# 16x16 luma: DC16=0 TM16=1 V16=2 H16=3, B_PRED sentinel
+B_PRED = 10
+
+ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# DCT token category extra-bit probabilities + value bases (RFC 6386 §13.3;
+# byte-for-byte confirmed against the system libwebp .rodata)
+PCAT = [
+    (5, [159]),
+    (7, [165, 145]),
+    (11, [173, 148, 140]),
+    (19, [176, 155, 140, 135]),
+    (35, [180, 157, 141, 134, 130]),
+    (67, [254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129]),
+]
+
+_IDCT_C1 = 20091  # cos(pi/8)*sqrt(2) - 1, Q16
+_IDCT_C2 = 35468  # sin(pi/8)*sqrt(2), Q16
+
+
+# ------------------------------------------------------------ bool decoder
+
+class BoolDecoder:
+    """RFC 6386 §7.3 boolean arithmetic decoder (byte-wise renorm)."""
+
+    __slots__ = ("buf", "pos", "value", "range", "bit_count", "limit")
+
+    def __init__(self, data: bytes):
+        # zero-pad: the spec permits reading past the partition end
+        # (trailing virtual zeros).  A corrupt token stream can outrun
+        # any fixed pad, so the refill below is bounds-checked — bytes
+        # past the pad read as zero instead of raising IndexError.
+        self.buf = data + b"\x00" * 16
+        self.limit = len(data)
+        self.value = (self.buf[0] << 8) | self.buf[1]
+        self.pos = 2
+        self.range = 255
+        self.bit_count = 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.value -= big
+            self.range -= split
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                if self.pos < len(self.buf):
+                    self.value |= self.buf[self.pos]
+                self.pos += 1
+        return ret
+
+    def bit(self) -> int:
+        return self.get(128)
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.get(128) else v
+
+
+# ------------------------------------------------------------ headers
+
+class _FrameHeader:
+    __slots__ = (
+        "width", "height", "mb_w", "mb_h",
+        "segmentation", "update_map", "abs_values",
+        "seg_quant", "seg_lf", "seg_probs",
+        "filter_simple", "filter_level", "sharpness",
+        "lf_delta_enabled", "ref_lf_deltas", "mode_lf_deltas",
+        "n_parts", "y_ac_qi", "y_dc_delta", "y2_dc_delta",
+        "y2_ac_delta", "uv_dc_delta", "uv_ac_delta",
+        "coeff_probs", "use_skip", "skip_prob",
+    )
+
+
+def _parse_seg_filter_quant(bd: BoolDecoder, h: _FrameHeader) -> None:
+    # color space + clamping (keyframe only)
+    if bd.bit():
+        raise ValueError("VP8: reserved color space")
+    bd.bit()  # clamping type — both values decode identically here
+
+    # segmentation (RFC §9.3)
+    h.seg_quant = [0, 0, 0, 0]
+    h.seg_lf = [0, 0, 0, 0]
+    h.seg_probs = [255, 255, 255]
+    h.abs_values = False
+    h.update_map = False
+    h.segmentation = bool(bd.bit())
+    if h.segmentation:
+        h.update_map = bool(bd.bit())
+        update_data = bd.bit()
+        if update_data:
+            h.abs_values = bool(bd.bit())
+            for i in range(4):
+                if bd.bit():
+                    h.seg_quant[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.bit():
+                    h.seg_lf[i] = bd.signed_literal(6)
+        if h.update_map:
+            for i in range(3):
+                h.seg_probs[i] = bd.literal(8) if bd.bit() else 255
+
+    # loop filter (§9.4)
+    h.filter_simple = bool(bd.bit())
+    h.filter_level = bd.literal(6)
+    h.sharpness = bd.literal(3)
+    h.lf_delta_enabled = bool(bd.bit())
+    h.ref_lf_deltas = [0, 0, 0, 0]
+    h.mode_lf_deltas = [0, 0, 0, 0]
+    if h.lf_delta_enabled:
+        if bd.bit():  # deltas updated this frame
+            for i in range(4):
+                if bd.bit():
+                    h.ref_lf_deltas[i] = bd.signed_literal(6)
+            for i in range(4):
+                if bd.bit():
+                    h.mode_lf_deltas[i] = bd.signed_literal(6)
+
+    # token partition count (§9.5)
+    h.n_parts = 1 << bd.literal(2)
+
+    # quantizers (§9.6)
+    h.y_ac_qi = bd.literal(7)
+    h.y_dc_delta = bd.signed_literal(4) if bd.bit() else 0
+    h.y2_dc_delta = bd.signed_literal(4) if bd.bit() else 0
+    h.y2_ac_delta = bd.signed_literal(4) if bd.bit() else 0
+    h.uv_dc_delta = bd.signed_literal(4) if bd.bit() else 0
+    h.uv_ac_delta = bd.signed_literal(4) if bd.bit() else 0
+
+    bd.bit()  # refresh_entropy_probs — single-frame decode: ignored
+
+    # coefficient probability updates (§13.4)
+    probs = [[[list(DEFAULT_COEFF_PROBS[t][b][c]) for c in range(3)]
+              for b in range(8)] for t in range(4)]
+    for t in range(4):
+        upd_t = COEFF_UPDATE_PROBS[t]
+        for b in range(8):
+            upd_b = upd_t[b]
+            for c in range(3):
+                upd_c = upd_b[c]
+                row = probs[t][b][c]
+                for p in range(11):
+                    if bd.get(upd_c[p]):
+                        row[p] = bd.literal(8)
+    h.coeff_probs = probs
+
+    h.use_skip = bool(bd.bit())
+    h.skip_prob = bd.literal(8) if h.use_skip else 0
+
+
+def _quant_factors(h: _FrameHeader, seg: int) -> tuple:
+    """(y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac) for a segment."""
+    if h.segmentation:
+        qi = h.seg_quant[seg] if h.abs_values else h.y_ac_qi + h.seg_quant[seg]
+    else:
+        qi = h.y_ac_qi
+
+    def clamp(x):
+        return 0 if x < 0 else (127 if x > 127 else x)
+
+    y1_dc = DC_QLOOKUP[clamp(qi + h.y_dc_delta)]
+    y1_ac = AC_QLOOKUP[clamp(qi)]
+    y2_dc = DC_QLOOKUP[clamp(qi + h.y2_dc_delta)] * 2
+    y2_ac = AC_QLOOKUP[clamp(qi + h.y2_ac_delta)] * 155 // 100
+    if y2_ac < 8:
+        y2_ac = 8
+    uv_dc = DC_QLOOKUP[clamp(qi + h.uv_dc_delta)]
+    if uv_dc > 132:
+        uv_dc = 132
+    uv_ac = AC_QLOOKUP[clamp(qi + h.uv_ac_delta)]
+    return (y1_dc, y1_ac, y2_dc, y2_ac, uv_dc, uv_ac)
+
+
+# ---------------------------------------------------- residual token decode
+
+def _decode_coeffs(bd: BoolDecoder, probs, first: int, ctx: int,
+                   dq_dc: int, dq_ac: int, out: np.ndarray) -> int:
+    """Decode one 4x4 block's tokens into ``out`` (raster order,
+    dequantized).  Returns 1 if any nonzero coefficient was decoded.
+
+    ``probs`` is coeff_probs[plane_type] — [band][ctx][11].
+    Hot path: the bool decoder state is localized for speed.
+    """
+    buf = bd.buf
+    pos = bd.pos
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    bands = COEFF_BANDS
+    zig = ZIGZAG
+    pcat = PCAT
+    nonzero = 0
+    i = first
+    skip_eob = False
+    while i < 16:
+        p = probs[bands[i]][ctx]
+        # --- inline tree walk over coeff_tree -------------------------
+        # node 0: EOB (skipped right after a DCT_0 token)
+        if not skip_eob:
+            prob = p[0]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                value -= big
+                rng -= split
+            else:
+                rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    bit_count += 1
+                    if bit_count == 8:
+                        bit_count = 0
+                        value |= buf[pos]
+                        pos += 1
+                break  # EOB
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    value |= buf[pos]
+                    pos += 1
+
+        def getbit(prob):
+            nonlocal value, rng, bit_count, pos
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                value -= big
+                rng -= split
+                ret = 1
+            else:
+                rng = split
+                ret = 0
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    value |= buf[pos]
+                    pos += 1
+            return ret
+
+        if not getbit(p[1]):
+            # DCT_0
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        if not getbit(p[2]):
+            v = 1
+            ctx = 1
+        else:
+            ctx = 2
+            if not getbit(p[3]):
+                if not getbit(p[4]):
+                    v = 2
+                else:
+                    v = 4 if getbit(p[5]) else 3
+            else:
+                if not getbit(p[6]):
+                    cat = 0 if not getbit(p[7]) else 1
+                else:
+                    if not getbit(p[8]):
+                        cat = 2 if not getbit(p[9]) else 3
+                    else:
+                        cat = 4 if not getbit(p[10]) else 5
+                base, cat_probs = pcat[cat]
+                extra = 0
+                for cp in cat_probs:
+                    extra = (extra << 1) | getbit(cp)
+                v = base + extra
+        if getbit(128):
+            v = -v
+        out[zig[i]] = v * (dq_dc if i == 0 else dq_ac)
+        nonzero = 1
+        skip_eob = False
+        i += 1
+
+    bd.pos = pos
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
+    return nonzero
+
+
+# ------------------------------------------------------------- transforms
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """Inverse VP8 DCT over (n, 4, 4) int64 blocks → (n, 4, 4) residual."""
+    ip0, ip1, ip2, ip3 = coef[:, 0, :], coef[:, 1, :], coef[:, 2, :], coef[:, 3, :]
+    a1 = ip0 + ip2
+    b1 = ip0 - ip2
+    c1 = ((ip1 * _IDCT_C2) >> 16) - (ip3 + ((ip3 * _IDCT_C1) >> 16))
+    d1 = (ip1 + ((ip1 * _IDCT_C1) >> 16)) + ((ip3 * _IDCT_C2) >> 16)
+    tmp = np.empty_like(coef)
+    tmp[:, 0, :] = a1 + d1
+    tmp[:, 1, :] = b1 + c1
+    tmp[:, 2, :] = b1 - c1
+    tmp[:, 3, :] = a1 - d1
+
+    ip0, ip1, ip2, ip3 = tmp[:, :, 0], tmp[:, :, 1], tmp[:, :, 2], tmp[:, :, 3]
+    a1 = ip0 + ip2
+    b1 = ip0 - ip2
+    c1 = ((ip1 * _IDCT_C2) >> 16) - (ip3 + ((ip3 * _IDCT_C1) >> 16))
+    d1 = (ip1 + ((ip1 * _IDCT_C1) >> 16)) + ((ip3 * _IDCT_C2) >> 16)
+    out = np.empty_like(coef)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    return out
+
+
+def _iwht(coef: np.ndarray) -> np.ndarray:
+    """Inverse Walsh-Hadamard over one (4, 4) int64 block → 16 luma DCs."""
+    ip0, ip1, ip2, ip3 = coef[0, :], coef[1, :], coef[2, :], coef[3, :]
+    a1 = ip0 + ip3
+    b1 = ip1 + ip2
+    c1 = ip1 - ip2
+    d1 = ip0 - ip3
+    tmp = np.empty_like(coef)
+    tmp[0, :] = a1 + b1
+    tmp[1, :] = c1 + d1
+    tmp[2, :] = a1 - b1
+    tmp[3, :] = d1 - c1
+
+    ip0, ip1, ip2, ip3 = tmp[:, 0], tmp[:, 1], tmp[:, 2], tmp[:, 3]
+    a1 = ip0 + ip3
+    b1 = ip1 + ip2
+    c1 = ip1 - ip2
+    d1 = ip0 - ip3
+    out = np.empty_like(coef)
+    out[:, 0] = (a1 + b1 + 3) >> 3
+    out[:, 1] = (c1 + d1 + 3) >> 3
+    out[:, 2] = (a1 - b1 + 3) >> 3
+    out[:, 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+# --------------------------------------------------------- intra predictors
+
+def _pred_tm(above, left, corner, size):
+    a = above.astype(np.int32)[None, :]
+    l = left.astype(np.int32)[:, None]
+    return np.clip(a + l - int(corner), 0, 255).astype(np.int32)
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _pred_b(mode: int, A: np.ndarray, L: np.ndarray, tl: int) -> np.ndarray:
+    """4x4 intra prediction.  A: 8 above pixels (4 above + 4 above-right),
+    L: 4 left pixels, tl: above-left.  All int32.  Returns (4,4) int32."""
+    out = np.empty((4, 4), dtype=np.int32)
+    if mode == B_DC:
+        dc = (int(A[:4].sum()) + int(L.sum()) + 4) >> 3
+        out[:] = dc
+    elif mode == B_TM:
+        out[:] = np.clip(A[None, :4] + L[:, None] - tl, 0, 255)
+    elif mode == B_VE:
+        # filtered vertical: avg3 of (tl,A0,A1), (A0,A1,A2), (A1,A2,A3), (A2,A3,A4)
+        row = np.array([
+            _avg3(tl, A[0], A[1]),
+            _avg3(A[0], A[1], A[2]),
+            _avg3(A[1], A[2], A[3]),
+            _avg3(A[2], A[3], A[4]),
+        ], dtype=np.int32)
+        out[:] = row[None, :]
+    elif mode == B_HE:
+        col = np.array([
+            _avg3(tl, L[0], L[1]),
+            _avg3(L[0], L[1], L[2]),
+            _avg3(L[1], L[2], L[3]),
+            _avg3(L[2], L[3], L[3]),
+        ], dtype=np.int32)
+        out[:] = col[:, None]
+    elif mode == B_LD:
+        a = A
+        p = [_avg3(a[0], a[1], a[2]), _avg3(a[1], a[2], a[3]),
+             _avg3(a[2], a[3], a[4]), _avg3(a[3], a[4], a[5]),
+             _avg3(a[4], a[5], a[6]), _avg3(a[5], a[6], a[7]),
+             _avg3(a[6], a[7], a[7])]
+        for r in range(4):
+            for c in range(4):
+                out[r, c] = p[r + c]
+    elif mode == B_RD:
+        e = [L[3], L[2], L[1], L[0], tl, A[0], A[1], A[2], A[3]]
+        p = [_avg3(e[i], e[i + 1], e[i + 2]) for i in range(7)]
+        for r in range(4):
+            for c in range(4):
+                out[r, c] = p[3 - r + c]
+    elif mode == B_VR:
+        e = [L[2], L[1], L[0], tl, A[0], A[1], A[2], A[3]]
+        # even rows: avg2 along top edge; odd rows: avg3
+        out[0, 0] = _avg2(tl, A[0]); out[0, 1] = _avg2(A[0], A[1])
+        out[0, 2] = _avg2(A[1], A[2]); out[0, 3] = _avg2(A[2], A[3])
+        out[1, 0] = _avg3(L[0], tl, A[0]); out[1, 1] = _avg3(tl, A[0], A[1])
+        out[1, 2] = _avg3(A[0], A[1], A[2]); out[1, 3] = _avg3(A[1], A[2], A[3])
+        out[2, 0] = _avg3(L[1], L[0], tl)
+        out[2, 1:] = out[0, :3]
+        out[3, 0] = _avg3(L[2], L[1], L[0])
+        out[3, 1:] = out[1, :3]
+    elif mode == B_VL:
+        a = A
+        out[0, 0] = _avg2(a[0], a[1]); out[0, 1] = _avg2(a[1], a[2])
+        out[0, 2] = _avg2(a[2], a[3]); out[0, 3] = _avg2(a[3], a[4])
+        out[1, 0] = _avg3(a[0], a[1], a[2]); out[1, 1] = _avg3(a[1], a[2], a[3])
+        out[1, 2] = _avg3(a[2], a[3], a[4]); out[1, 3] = _avg3(a[3], a[4], a[5])
+        out[2, :3] = out[0, 1:]
+        out[2, 3] = _avg3(a[4], a[5], a[6])
+        out[3, :3] = out[1, 1:]
+        out[3, 3] = _avg3(a[5], a[6], a[7])
+    elif mode == B_HD:
+        e = [L[3], L[2], L[1], L[0], tl, A[0], A[1], A[2]]
+        out[3, 0] = _avg2(e[0], e[1]); out[3, 1] = _avg3(e[0], e[1], e[2])
+        out[2, 0] = _avg2(e[1], e[2]); out[2, 1] = _avg3(e[1], e[2], e[3])
+        out[1, 0] = _avg2(e[2], e[3]); out[1, 1] = _avg3(e[2], e[3], e[4])
+        out[0, 0] = _avg2(e[3], e[4]); out[0, 1] = _avg3(e[3], e[4], e[5])
+        out[0, 2] = _avg3(e[4], e[5], e[6]); out[0, 3] = _avg3(e[5], e[6], e[7])
+        out[1, 2:] = out[0, :2]
+        out[2, 2:] = out[1, :2]
+        out[3, 2:] = out[2, :2]
+    elif mode == B_HU:
+        l = L
+        out[0, 0] = _avg2(l[0], l[1]); out[0, 1] = _avg3(l[0], l[1], l[2])
+        out[0, 2] = _avg2(l[1], l[2]); out[0, 3] = _avg3(l[1], l[2], l[3])
+        out[1, :2] = out[0, 2:]
+        out[1, 2] = _avg2(l[2], l[3]); out[1, 3] = _avg3(l[2], l[3], l[3])
+        out[2, :2] = out[1, 2:]
+        out[2, 2] = out[2, 3] = l[3]
+        out[3, :] = l[3]
+    else:  # pragma: no cover
+        raise ValueError(f"bad bmode {mode}")
+    return out
+
+
+def _pred_16_or_8(mode, plane, py, px, size, mb_y, mb_x):
+    """16x16 luma / 8x8 chroma prediction from the reconstruction plane."""
+    have_above = mb_y > 0
+    have_left = mb_x > 0
+    if have_above:
+        above = plane[py - 1, px:px + size].astype(np.int32)
+    else:
+        above = np.full(size, 127, dtype=np.int32)
+    if have_left:
+        left = plane[py:py + size, px - 1].astype(np.int32)
+    else:
+        left = np.full(size, 129, dtype=np.int32)
+    if not have_above:
+        corner = 127
+    elif not have_left:
+        corner = 129
+    else:
+        corner = int(plane[py - 1, px - 1])
+
+    if mode == 0:  # DC
+        if have_above and have_left:
+            shift = 4 if size == 8 else 5
+            dc = (int(above.sum()) + int(left.sum()) + (1 << (shift - 1))) >> shift
+        elif have_above:
+            shift = 3 if size == 8 else 4
+            dc = (int(above.sum()) + (1 << (shift - 1))) >> shift
+        elif have_left:
+            shift = 3 if size == 8 else 4
+            dc = (int(left.sum()) + (1 << (shift - 1))) >> shift
+        else:
+            dc = 128
+        return np.full((size, size), dc, dtype=np.int32)
+    if mode == 1:  # TM
+        return _pred_tm(above, left, corner, size)
+    if mode == 2:  # V
+        return np.broadcast_to(above[None, :], (size, size)).copy()
+    if mode == 3:  # H
+        return np.broadcast_to(left[:, None], (size, size)).copy()
+    raise ValueError(f"bad 16x16/chroma mode {mode}")  # pragma: no cover
+
+
+# ------------------------------------------------------------- loop filter
+
+def _u2s(x):
+    return x.astype(np.int32) - 128
+
+
+def _s2u(x):
+    return (np.clip(x, -128, 127) + 128).astype(np.uint8)
+
+
+def _c128(x):
+    return np.clip(x, -128, 127)
+
+
+def _nfilter_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim):
+    return ((np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= elim) & \
+        (np.abs(p3 - p2) <= ilim) & (np.abs(p2 - p1) <= ilim) & \
+        (np.abs(p1 - p0) <= ilim) & (np.abs(q1 - q0) <= ilim) & \
+        (np.abs(q2 - q1) <= ilim) & (np.abs(q3 - q2) <= ilim)
+
+
+def _hev_mask(p1, p0, q0, q1, thresh):
+    return (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+
+
+def _filter_common(p1, p0, q0, q1, use_outer):
+    """RFC §15.2 common_adjust on int32 sign-centered vectors.
+    Returns (new_p0, new_q0, F)."""
+    a = _c128(np.where(use_outer, _c128(p1 - q1), 0) + 3 * (q0 - p0))
+    F = _c128(a + 4) >> 3
+    E = _c128(a + 3) >> 3
+    return p0 + E, q0 - F, F
+
+
+def _normal_filter_edge(get, put, mbedge, ilim, elim, hev_t):
+    """Apply the normal loop filter across one edge.  ``get(k)`` returns the
+    int32 sign-centered pixel vector at offset k from the edge (negative =
+    P side), ``put(k, v)`` stores it back."""
+    p3, p2, p1, p0 = get(-4), get(-3), get(-2), get(-1)
+    q0, q1, q2, q3 = get(0), get(1), get(2), get(3)
+    mask = _nfilter_mask(p3, p2, p1, p0, q0, q1, q2, q3, ilim, elim)
+    if not mask.any():
+        return
+    hev = _hev_mask(p1, p0, q0, q1, hev_t)
+    if mbedge:
+        # hev pixels: common_adjust with outer taps
+        np0, nq0, _ = _filter_common(p1, p0, q0, q1, True)
+        w = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+        a27 = _c128((27 * w + 63) >> 7)
+        a18 = _c128((18 * w + 63) >> 7)
+        a9 = _c128((9 * w + 63) >> 7)
+        sel_h = mask & hev
+        sel_s = mask & ~hev
+        put(-1, np.where(sel_h, np0, np.where(sel_s, p0 + a27, p0)))
+        put(0, np.where(sel_h, nq0, np.where(sel_s, q0 - a27, q0)))
+        put(-2, np.where(sel_s, p1 + a18, p1))
+        put(1, np.where(sel_s, q1 - a18, q1))
+        put(-3, np.where(sel_s, p2 + a9, p2))
+        put(2, np.where(sel_s, q2 - a9, q2))
+    else:
+        np0, nq0, F = _filter_common(p1, p0, q0, q1, hev)
+        put(-1, np.where(mask, np0, p0))
+        put(0, np.where(mask, nq0, q0))
+        a = (F + 1) >> 1
+        sel = mask & ~hev
+        put(-2, np.where(sel, p1 + a, p1))
+        put(1, np.where(sel, q1 - a, q1))
+
+
+def _edge_io(plane, vertical, pos, lo, hi):
+    """Build (get, put) accessors for a vertical (x=pos) or horizontal
+    (y=pos) edge over scanlines lo:hi, in sign-centered int32 space."""
+    if vertical:
+        def get(k):
+            return plane[lo:hi, pos + k].astype(np.int32) - 128
+
+        def put(k, v):
+            plane[lo:hi, pos + k] = _s2u(v)
+    else:
+        def get(k):
+            return plane[pos + k, lo:hi].astype(np.int32) - 128
+
+        def put(k, v):
+            plane[pos + k, lo:hi] = _s2u(v)
+    return get, put
+
+
+def _simple_filter_edge(plane, vertical, pos, lo, hi, elim):
+    get, put = _edge_io(plane, vertical, pos, lo, hi)
+    p1, p0, q0, q1 = get(-2), get(-1), get(0), get(1)
+    mask = (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= elim
+    if not mask.any():
+        return
+    np0, nq0, _ = _filter_common(p1, p0, q0, q1, True)
+    put(-1, np.where(mask, np0, p0))
+    put(0, np.where(mask, nq0, q0))
+
+
+# ------------------------------------------------------------- frame decode
+
+class _MBInfo:
+    __slots__ = ("segment", "skip", "ymode", "uv_mode", "bmodes", "nonzero")
+
+
+def _parse_mode_info(bd: BoolDecoder, h: _FrameHeader, mb_w: int, mb_h: int):
+    """Parse the per-MB prediction records from partition 0 (keyframe)."""
+    mbs = []
+    # 4x4 submode contexts: above spans the frame, left resets per MB
+    above_sub = np.zeros(mb_w * 4, dtype=np.int32)  # B_DC outside
+    for mb_y in range(mb_h):
+        row = []
+        left_sub = np.zeros(4, dtype=np.int32)
+        for mb_x in range(mb_w):
+            mi = _MBInfo()
+            if h.update_map:
+                sp = h.seg_probs
+                if bd.get(sp[0]):
+                    mi.segment = 2 + bd.get(sp[2])
+                else:
+                    mi.segment = bd.get(sp[1])
+            else:
+                mi.segment = 0
+            mi.skip = bd.get(h.skip_prob) if h.use_skip else 0
+
+            if not bd.get(145):  # B_PRED
+                mi.ymode = B_PRED
+                bmodes = np.empty((4, 4), dtype=np.int32)
+                for sy in range(4):
+                    for sx in range(4):
+                        a = above_sub[mb_x * 4 + sx] if sy == 0 else bmodes[sy - 1, sx]
+                        l = left_sub[sy] if sx == 0 else bmodes[sy, sx - 1]
+                        p = KF_BMODE_PROBS[a][l]
+                        if not bd.get(p[0]):
+                            m = B_DC
+                        elif not bd.get(p[1]):
+                            m = B_TM
+                        elif not bd.get(p[2]):
+                            m = B_VE
+                        elif not bd.get(p[3]):
+                            if not bd.get(p[4]):
+                                m = B_HE
+                            else:
+                                m = B_VR if bd.get(p[5]) else B_RD
+                        else:
+                            if not bd.get(p[6]):
+                                m = B_LD
+                            else:
+                                if not bd.get(p[7]):
+                                    m = B_VL
+                                else:
+                                    m = B_HU if bd.get(p[8]) else B_HD
+                        bmodes[sy, sx] = m
+                mi.bmodes = bmodes
+            else:
+                if not bd.get(156):
+                    ymode = 2 if bd.get(163) else 0  # V : DC
+                else:
+                    ymode = 1 if bd.get(128) else 3  # TM : H
+                mi.ymode = ymode
+                mi.bmodes = np.full((4, 4), ymode, dtype=np.int32)
+
+            above_sub[mb_x * 4:mb_x * 4 + 4] = mi.bmodes[3, :]
+            left_sub[:] = mi.bmodes[:, 3]
+
+            if not bd.get(142):
+                mi.uv_mode = 0
+            elif not bd.get(114):
+                mi.uv_mode = 2
+            else:
+                mi.uv_mode = 1 if bd.get(183) else 3
+            row.append(mi)
+        mbs.append(row)
+    return mbs
+
+
+def vp8_decode_yuv(data: bytes, max_pixels: int = 64_000_000):
+    """Decode a VP8 keyframe payload (the ``VP8 `` chunk body) into
+    (Y, U, V) uint8 planes at true (cropped) dimensions."""
+    if len(data) < 10:
+        raise ValueError("VP8: truncated header")
+    tmp = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tmp & 1:
+        raise NotImplementedError("VP8 interframe: not a still image")
+    version = (tmp >> 1) & 7
+    if version > 3:
+        raise ValueError(f"VP8: bad version {version}")
+    first_part_size = (tmp >> 5) & 0x7FFFF
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8: bad keyframe start code")
+    w16, h16 = struct.unpack_from("<HH", data, 6)
+    width, height = w16 & 0x3FFF, h16 & 0x3FFF
+    if width == 0 or height == 0:
+        raise ValueError("VP8: zero dimensions")
+    if width * height > max_pixels:
+        raise ValueError("VP8: image too large")
+    if 10 + first_part_size > len(data):
+        raise ValueError("VP8: truncated first partition")
+
+    bd = BoolDecoder(data[10:10 + first_part_size])
+    h = _FrameHeader()
+    h.width, h.height = width, height
+    mb_w = (width + 15) >> 4
+    mb_h = (height + 15) >> 4
+    h.mb_w, h.mb_h = mb_w, mb_h
+    _parse_seg_filter_quant(bd, h)
+
+    # token partitions
+    ofs = 10 + first_part_size
+    sizes = []
+    if h.n_parts > 1:
+        need = 3 * (h.n_parts - 1)
+        if ofs + need > len(data):
+            raise ValueError("VP8: truncated partition table")
+        for i in range(h.n_parts - 1):
+            sizes.append(data[ofs] | (data[ofs + 1] << 8) | (data[ofs + 2] << 16))
+            ofs += 3
+    parts = []
+    for s in sizes:
+        if ofs + s > len(data):
+            raise ValueError("VP8: truncated token partition")
+        parts.append(BoolDecoder(data[ofs:ofs + s]))
+        ofs += s
+    parts.append(BoolDecoder(data[ofs:]))
+
+    mbs = _parse_mode_info(bd, h, mb_w, mb_h)
+
+    dq = [_quant_factors(h, s) for s in range(4)]
+    probs = h.coeff_probs
+
+    # reconstruction planes (MB-aligned)
+    Y = np.empty((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    U = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    V = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
+
+    # nonzero contexts
+    top_nz_y = np.zeros(mb_w * 4, dtype=np.int32)
+    top_nz_u = np.zeros(mb_w * 2, dtype=np.int32)
+    top_nz_v = np.zeros(mb_w * 2, dtype=np.int32)
+    top_nz_y2 = np.zeros(mb_w, dtype=np.int32)
+
+    coeffs = np.zeros((25, 16), dtype=np.int64)  # y2 at [24]
+
+    for mb_y in range(mb_h):
+        tbd = parts[mb_y % h.n_parts]
+        left_nz_y = [0, 0, 0, 0]
+        left_nz_u = [0, 0]
+        left_nz_v = [0, 0]
+        left_nz_y2 = 0
+        for mb_x in range(mb_w):
+            mi = mbs[mb_y][mb_x]
+            q = dq[mi.segment]
+            i4 = mi.ymode == B_PRED
+            mb_nonzero = 0
+            coeffs[:] = 0
+
+            if mi.skip:
+                for sx in range(4):
+                    top_nz_y[mb_x * 4 + sx] = 0
+                for sx in range(2):
+                    top_nz_u[mb_x * 2 + sx] = 0
+                    top_nz_v[mb_x * 2 + sx] = 0
+                left_nz_y = [0, 0, 0, 0]
+                left_nz_u = [0, 0]
+                left_nz_v = [0, 0]
+                if not i4:
+                    top_nz_y2[mb_x] = 0
+                    left_nz_y2 = 0
+            else:
+                if not i4:
+                    ctx = top_nz_y2[mb_x] + left_nz_y2
+                    nz = _decode_coeffs(tbd, probs[1], 0, ctx,
+                                        q[2], q[3], coeffs[24])
+                    top_nz_y2[mb_x] = left_nz_y2 = nz
+                    mb_nonzero |= nz
+                    first, ptype = 1, probs[0]
+                else:
+                    first, ptype = 0, probs[3]
+                for sy in range(4):
+                    for sx in range(4):
+                        ctx = top_nz_y[mb_x * 4 + sx] + left_nz_y[sy]
+                        nz = _decode_coeffs(tbd, ptype, first, ctx,
+                                            q[0], q[1], coeffs[sy * 4 + sx])
+                        top_nz_y[mb_x * 4 + sx] = left_nz_y[sy] = nz
+                        mb_nonzero |= nz
+                for plane_i, (top_nz, left_nz) in enumerate(
+                        ((top_nz_u, left_nz_u), (top_nz_v, left_nz_v))):
+                    for sy in range(2):
+                        for sx in range(2):
+                            ctx = top_nz[mb_x * 2 + sx] + left_nz[sy]
+                            nz = _decode_coeffs(
+                                tbd, probs[2], 0, ctx, q[4], q[5],
+                                coeffs[16 + plane_i * 4 + sy * 2 + sx])
+                            top_nz[mb_x * 2 + sx] = left_nz[sy] = nz
+                            mb_nonzero |= nz
+
+            mi.nonzero = mb_nonzero
+
+            # ---- reconstruct luma
+            py, px = mb_y * 16, mb_x * 16
+            if not i4:
+                dcs = _iwht(coeffs[24].reshape(4, 4))
+                blocks = coeffs[:16].reshape(16, 4, 4).copy()
+                blocks[:, 0, 0] = dcs.reshape(16)
+                resid = _idct_blocks(blocks)
+                pred = _pred_16_or_8(mi.ymode, Y, py, px, 16, mb_y, mb_x)
+                rec = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4) \
+                    + resid
+                Y[py:py + 16, px:px + 16] = np.clip(
+                    rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16),
+                    0, 255).astype(np.uint8)
+            else:
+                resid = _idct_blocks(coeffs[:16].reshape(16, 4, 4))
+                # top-right pixels for the right-column quirk: the row above
+                # this MB, 4 pixels to the right (127 above frame; replicate
+                # at the right frame edge)
+                if mb_y == 0:
+                    tr_row = np.full(4, 127, dtype=np.int32)
+                elif mb_x == mb_w - 1:
+                    tr_row = np.full(4, int(Y[py - 1, px + 15]), dtype=np.int32)
+                else:
+                    tr_row = Y[py - 1, px + 16:px + 20].astype(np.int32)
+                for sy in range(4):
+                    for sx in range(4):
+                        by, bx = py + sy * 4, px + sx * 4
+                        # above 4
+                        if by == 0:
+                            above = np.full(4, 127, dtype=np.int32)
+                        else:
+                            above = Y[by - 1, bx:bx + 4].astype(np.int32)
+                        # above-right 4
+                        if sx == 3:
+                            if sy == 0:
+                                ar = tr_row
+                            else:
+                                ar = tr_row  # right-column rows reuse row-0 TR
+                        elif sy == 0:
+                            if by == 0:
+                                ar = np.full(4, 127, dtype=np.int32)
+                            else:
+                                ar = Y[by - 1, bx + 4:bx + 8].astype(np.int32)
+                        else:
+                            ar = Y[by - 1, bx + 4:bx + 8].astype(np.int32)
+                        A = np.concatenate([above, ar])
+                        # left 4
+                        if bx == 0:
+                            L = np.full(4, 129, dtype=np.int32)
+                        else:
+                            L = Y[by:by + 4, bx - 1].astype(np.int32)
+                        # above-left
+                        if by == 0:
+                            tl = 127
+                        elif bx == 0:
+                            tl = 129
+                        else:
+                            tl = int(Y[by - 1, bx - 1])
+                        pred = _pred_b(int(mi.bmodes[sy, sx]), A, L, tl)
+                        Y[by:by + 4, bx:bx + 4] = np.clip(
+                            pred + resid[sy * 4 + sx], 0, 255).astype(np.uint8)
+
+            # ---- reconstruct chroma
+            cy, cx = mb_y * 8, mb_x * 8
+            for plane_i, P in enumerate((U, V)):
+                resid = _idct_blocks(
+                    coeffs[16 + plane_i * 4:20 + plane_i * 4].reshape(4, 4, 4))
+                pred = _pred_16_or_8(mi.uv_mode, P, cy, cx, 8, mb_y, mb_x)
+                rec = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4) \
+                    + resid
+                P[cy:cy + 8, cx:cx + 8] = np.clip(
+                    rec.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8),
+                    0, 255).astype(np.uint8)
+
+    _loop_filter(Y, U, V, mbs, h)
+
+    return (Y[:height, :width], U[:(height + 1) >> 1, :(width + 1) >> 1],
+            V[:(height + 1) >> 1, :(width + 1) >> 1])
+
+
+def _loop_filter(Y, U, V, mbs, h: _FrameHeader) -> None:
+    if h.filter_level == 0:
+        return
+    mb_w, mb_h = h.mb_w, h.mb_h
+
+    # precompute per-segment filter parameters
+    params = []
+    for seg in range(4):
+        if h.segmentation:
+            level = h.seg_lf[seg] if h.abs_values else h.filter_level + h.seg_lf[seg]
+        else:
+            level = h.filter_level
+        params.append(level)
+
+    def mb_level(mi):
+        level = params[mi.segment]
+        if h.lf_delta_enabled:
+            level += h.ref_lf_deltas[0]  # intra frame
+            if mi.ymode == B_PRED:
+                level += h.mode_lf_deltas[0]
+        return max(0, min(63, level))
+
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            mi = mbs[mb_y][mb_x]
+            level = mb_level(mi)
+            if level == 0:
+                continue
+            ilim = level
+            if h.sharpness:
+                ilim >>= 2 if h.sharpness > 4 else 1
+                if ilim > 9 - h.sharpness:
+                    ilim = 9 - h.sharpness
+            if ilim < 1:
+                ilim = 1
+            hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+            mb_elim = ((level + 2) * 2) + ilim
+            sb_elim = (level * 2) + ilim
+            inner = bool(mi.nonzero) or mi.ymode == B_PRED
+
+            py, px = mb_y * 16, mb_x * 16
+            cy, cx = mb_y * 8, mb_x * 8
+            if h.filter_simple:
+                if mb_x > 0:
+                    _simple_filter_edge(Y, True, px, py, py + 16, mb_elim)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _simple_filter_edge(Y, True, px + dx, py, py + 16, sb_elim)
+                if mb_y > 0:
+                    _simple_filter_edge(Y, False, py, px, px + 16, mb_elim)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _simple_filter_edge(Y, False, py + dy, px, px + 16, sb_elim)
+            else:
+                if mb_x > 0:
+                    for P, p0, l0, l1 in ((Y, px, py, py + 16),
+                                          (U, cx, cy, cy + 8),
+                                          (V, cx, cy, cy + 8)):
+                        get, put = _edge_io(P, True, p0, l0, l1)
+                        _normal_filter_edge(get, put, True, ilim, mb_elim, hev_t)
+                if inner:
+                    for dx in (4, 8, 12):
+                        get, put = _edge_io(Y, True, px + dx, py, py + 16)
+                        _normal_filter_edge(get, put, False, ilim, sb_elim, hev_t)
+                    for P in (U, V):
+                        get, put = _edge_io(P, True, cx + 4, cy, cy + 8)
+                        _normal_filter_edge(get, put, False, ilim, sb_elim, hev_t)
+                if mb_y > 0:
+                    for P, p0, l0, l1 in ((Y, py, px, px + 16),
+                                          (U, cy, cx, cx + 8),
+                                          (V, cy, cx, cx + 8)):
+                        get, put = _edge_io(P, False, p0, l0, l1)
+                        _normal_filter_edge(get, put, True, ilim, mb_elim, hev_t)
+                if inner:
+                    for dy in (4, 8, 12):
+                        get, put = _edge_io(Y, False, py + dy, px, px + 16)
+                        _normal_filter_edge(get, put, False, ilim, sb_elim, hev_t)
+                    for P in (U, V):
+                        get, put = _edge_io(P, False, cy + 4, cx, cx + 8)
+                        _normal_filter_edge(get, put, False, ilim, sb_elim, hev_t)
+
+
+def _upsample_chroma(C: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear 2x chroma upsample with (9:3:3:1)/16 taps — the same
+    filter shape as libwebp's "fancy upsampler".  Each full-res pixel
+    blends the 4 nearest chroma samples weighted by proximity; edges
+    replicate.  Vectorized over the whole plane."""
+    Cp = np.pad(C.astype(np.int32), 1, mode="edge")
+    c = Cp[1:-1, 1:-1]
+    up, dn = Cp[:-2, 1:-1], Cp[2:, 1:-1]
+    lf, rt = Cp[1:-1, :-2], Cp[1:-1, 2:]
+    ul, ur = Cp[:-2, :-2], Cp[:-2, 2:]
+    dl, dr = Cp[2:, :-2], Cp[2:, 2:]
+    ch, cw = C.shape
+    out = np.empty((ch * 2, cw * 2), dtype=np.int32)
+    out[0::2, 0::2] = (9 * c + 3 * lf + 3 * up + ul + 8) >> 4
+    out[0::2, 1::2] = (9 * c + 3 * rt + 3 * up + ur + 8) >> 4
+    out[1::2, 0::2] = (9 * c + 3 * lf + 3 * dn + dl + 8) >> 4
+    out[1::2, 1::2] = (9 * c + 3 * rt + 3 * dn + dr + 8) >> 4
+    return out[:h, :w]
+
+
+def yuv_to_rgb(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
+    """Studio-swing BT.601 YUV420 → (h, w, 3) RGB uint8.
+
+    Chroma is upsampled with the (9:3:3:1)/16 bilinear filter (the same
+    tap shape as libwebp's fancy upsampler; exact RGB output is still
+    NOT expected to be bit-identical to libwebp — the differential
+    tests compare the YUV planes, which are the normative decoder
+    output)."""
+    h, w = Y.shape
+    u = _upsample_chroma(U, h, w) - 128
+    v = _upsample_chroma(V, h, w) - 128
+    y = Y.astype(np.int32) - 16
+    r = (298 * y + 409 * v + 128) >> 8
+    g = (298 * y - 100 * u - 208 * v + 128) >> 8
+    b = (298 * y + 516 * u + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def vp8_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+    """VP8 keyframe payload → (h, w, 3) RGB uint8."""
+    return yuv_to_rgb(*vp8_decode_yuv(data, max_pixels=max_pixels))
+
+
+# =========================================================== encoder section
+
+class BoolEncoder:
+    """RFC 6386 §8 boolean arithmetic encoder (with carry propagation)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            if self.bottom >= (1 << 32):
+                self._carry()
+                self.bottom -= 1 << 32
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.put(128, (value >> k) & 1)
+
+    def signed_literal(self, value: int, n: int) -> None:
+        self.literal(abs(value), n)
+        self.put(128, 1 if value < 0 else 0)
+
+    def flush(self) -> bytes:
+        # libvpx-style stop: 32 zero bits at prob 128 force every
+        # meaningful bit of `bottom` out through the normal renorm path.
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.out)
+
+
+def _float_idct_mat() -> np.ndarray:
+    s = _IDCT_C2 / 65536.0
+    c = _IDCT_C1 / 65536.0
+    A = np.zeros((16, 16))
+    for j in range(16):
+        blk = np.zeros((4, 4))
+        blk[j // 4, j % 4] = 1.0
+        r0, r1, r2, r3 = blk[0], blk[1], blk[2], blk[3]
+        a1, b1 = r0 + r2, r0 - r2
+        c1 = r1 * s - (r3 + r3 * c)
+        d1 = (r1 + r1 * c) + r3 * s
+        t = np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1])
+        c0, c1_, c2, c3 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+        a1, b1 = c0 + c2, c0 - c2
+        cc = c1_ * s - (c3 + c3 * c)
+        dd = (c1_ + c1_ * c) + c3 * s
+        out = np.stack([a1 + dd, b1 + cc, b1 - cc, a1 - dd], axis=1) / 8.0
+        A[:, j] = out.reshape(16)
+    return A
+
+
+def _float_iwht_mat() -> np.ndarray:
+    A = np.zeros((16, 16))
+    for j in range(16):
+        blk = np.zeros((4, 4))
+        blk[j // 4, j % 4] = 1.0
+        r0, r1, r2, r3 = blk[0], blk[1], blk[2], blk[3]
+        a1, b1, c1, d1 = r0 + r3, r1 + r2, r1 - r2, r0 - r3
+        t = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1])
+        c0, c1_, c2, c3 = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+        a1, b1, c1, d1 = c0 + c3, c1_ + c2, c1_ - c2, c0 - c3
+        out = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1], axis=1) / 8.0
+        A[:, j] = out.reshape(16)
+    return A
+
+
+_FDCT = np.linalg.inv(_float_idct_mat())
+_FWHT = np.linalg.inv(_float_iwht_mat())
+
+
+def _encode_coeffs(be: BoolEncoder, probs, first: int, ctx: int,
+                   levels: np.ndarray) -> int:
+    """Emit one block's quantized levels (raster order).  Mirrors
+    ``_decode_coeffs`` exactly (tree, contexts, zigzag, skip-EOB-after-
+    zero).  Returns 1 if the block has a nonzero coefficient."""
+    zz = [int(levels[ZIGZAG[i]]) for i in range(16)]
+    last = -1
+    for i in range(first, 16):
+        if zz[i] != 0:
+            last = i
+    nonzero = 1 if last >= 0 else 0
+    i = first
+    skip_eob = False
+    bands = COEFF_BANDS
+    while i < 16:
+        p = probs[bands[i]][ctx]
+        if i > last:
+            # EOB (legal: previous token was nonzero or this is the start)
+            be.put(p[0], 0)
+            break
+        if not skip_eob:
+            be.put(p[0], 1)
+        v = zz[i]
+        av = abs(v)
+        if av == 0:
+            be.put(p[1], 0)
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        be.put(p[1], 1)
+        if av == 1:
+            be.put(p[2], 0)
+            ctx = 1
+        else:
+            be.put(p[2], 1)
+            ctx = 2
+            if av <= 4:
+                be.put(p[3], 0)
+                if av == 2:
+                    be.put(p[4], 0)
+                else:
+                    be.put(p[4], 1)
+                    be.put(p[5], 1 if av == 4 else 0)
+            else:
+                be.put(p[3], 1)
+                # pick category
+                cat = next(k for k in range(5, -1, -1) if av >= PCAT[k][0])
+                if cat <= 1:
+                    be.put(p[6], 0)
+                    be.put(p[7], cat)
+                else:
+                    be.put(p[6], 1)
+                    if cat <= 3:
+                        be.put(p[8], 0)
+                        be.put(p[9], cat - 2)
+                    else:
+                        be.put(p[8], 1)
+                        be.put(p[10], cat - 4)
+                base, cat_probs = PCAT[cat]
+                extra = av - base
+                for k, cp in enumerate(cat_probs):
+                    be.put(cp, (extra >> (len(cat_probs) - 1 - k)) & 1)
+        be.put(128, 1 if v < 0 else 0)
+        skip_eob = False
+        i += 1
+    return nonzero
+
+
+def _rgb_to_yuv420(rgb: np.ndarray):
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    y = (((66 * r + 129 * g + 25 * b + 128) >> 8) + 16).astype(np.uint8)
+    u_full = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v_full = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = y.shape
+    ph, pw = (h + 1) & ~1, (w + 1) & ~1
+    up = np.empty((ph, pw), dtype=np.int32)
+    vp = np.empty((ph, pw), dtype=np.int32)
+    up[:h, :w] = u_full; vp[:h, :w] = v_full
+    if ph > h:
+        up[h:, :w] = u_full[-1:, :]; vp[h:, :w] = v_full[-1:, :]
+    if pw > w:
+        up[:, w:] = up[:, w - 1:w]; vp[:, w:] = vp[:, w - 1:w]
+    U = ((up[0::2, 0::2] + up[0::2, 1::2] + up[1::2, 0::2] + up[1::2, 1::2] + 2)
+         >> 2).astype(np.uint8)
+    V = ((vp[0::2, 0::2] + vp[0::2, 1::2] + vp[1::2, 0::2] + vp[1::2, 1::2] + 2)
+         >> 2).astype(np.uint8)
+    return np.clip(y, 0, 255).astype(np.uint8), U, V
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = plane.shape
+    out = np.empty((H, W), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if H > h:
+        out[h:, :w] = plane[-1:, :]
+    if W > w:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def vp8_encode(rgb: np.ndarray, qi: int = 30, filter_level: int = 0,
+               filter_simple: bool = False, n_parts: int = 1,
+               seg_qis=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image as a VP8 keyframe payload.
+
+    Intra 16x16 only (per-MB best of DC/TM/V/H by SAD), flat quantizer
+    ``qi``; optional loop filter emission, multi-partition layout and
+    4-segment absolute-quantizer segmentation (``seg_qis`` — MBs are
+    assigned segments round-robin) to exercise those decoder paths.
+    The output is a *complete, spec-conforming* stream: libwebp decodes
+    it bit-identically to :func:`vp8_decode_yuv` (tested)."""
+    h, w, _ = rgb.shape
+    if not (0 < w < 16384 and 0 < h < 16384):
+        raise ValueError("VP8 encode: bad dimensions")
+    Yp, Up, Vp = _rgb_to_yuv420(rgb)
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+    Y = _pad_to(Yp, mb_h * 16, mb_w * 16)
+    U = _pad_to(Up, mb_h * 8, mb_w * 8)
+    V = _pad_to(Vp, mb_h * 8, mb_w * 8)
+
+    hh = _FrameHeader()
+    hh.segmentation = seg_qis is not None
+    hh.update_map = hh.segmentation
+    hh.abs_values = True
+    hh.seg_quant = list(seg_qis) if seg_qis else [0, 0, 0, 0]
+    hh.seg_lf = [0, 0, 0, 0]
+    hh.y_ac_qi = qi
+    hh.y_dc_delta = hh.y2_dc_delta = hh.y2_ac_delta = 0
+    hh.uv_dc_delta = hh.uv_ac_delta = 0
+    hh.segmentation = seg_qis is not None
+    dq = [_quant_factors(hh, s) for s in range(4)]
+
+    # reconstruction planes (encoder mirrors the decoder bit-for-bit)
+    Yr = np.empty_like(Y)
+    Ur = np.empty_like(U)
+    Vr = np.empty_like(V)
+
+    part0 = BoolEncoder()
+    parts = [BoolEncoder() for _ in range(n_parts)]
+
+    # ---- frame header
+    part0.put(128, 0)  # color space
+    part0.put(128, 0)  # clamping
+    part0.put(128, 1 if hh.segmentation else 0)
+    if hh.segmentation:
+        part0.put(128, 1)  # update map
+        part0.put(128, 1)  # update data
+        part0.put(128, 1)  # absolute values
+        for s in range(4):
+            part0.put(128, 1)
+            part0.signed_literal(hh.seg_quant[s], 7)
+        for s in range(4):
+            part0.put(128, 0)  # no per-segment loop filter
+        for i in range(3):
+            part0.put(128, 1)
+            part0.literal(128, 8)  # uniform segment tree probs
+    part0.put(128, 1 if filter_simple else 0)
+    part0.literal(filter_level, 6)
+    part0.literal(0, 3)  # sharpness
+    part0.put(128, 0)  # no lf deltas
+    part0.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
+    part0.literal(qi, 7)
+    for _ in range(5):
+        part0.put(128, 0)  # no quant deltas
+    part0.put(128, 1)  # refresh entropy
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    part0.put(COEFF_UPDATE_PROBS[t][b][c][p], 0)
+    part0.put(128, 1)  # mb_no_coeff_skip
+    part0.literal(128, 8)  # prob_skip_false
+    skip_prob = 128
+
+    # ---- per-MB: choose mode, transform, quantize — two passes are
+    # avoided by buffering each MB's (skip, levels) and emitting modes
+    # into part0 and tokens into the row's partition as we go.  Mode
+    # decisions and token contexts need the reconstruction, which is
+    # produced in the same sweep.
+    top_nz_y = np.zeros(mb_w * 4, dtype=np.int32)
+    top_nz_u = np.zeros(mb_w * 2, dtype=np.int32)
+    top_nz_v = np.zeros(mb_w * 2, dtype=np.int32)
+    top_nz_y2 = np.zeros(mb_w, dtype=np.int32)
+    mode_bits = []  # (ymode, uv_mode, segment, skip) per MB, raster
+    row_tokens = [[] for _ in range(mb_h)]  # emitted later per partition
+
+    for mb_y in range(mb_h):
+        left_nz_y = [0, 0, 0, 0]
+        left_nz_u = [0, 0]
+        left_nz_v = [0, 0]
+        left_nz_y2 = 0
+        for mb_x in range(mb_w):
+            seg = (mb_y * mb_w + mb_x) % 4 if hh.segmentation else 0
+            q = dq[seg]
+            py, px = mb_y * 16, mb_x * 16
+            cy, cx = mb_y * 8, mb_x * 8
+            src = Y[py:py + 16, px:px + 16].astype(np.int32)
+
+            # pick the 16x16 luma mode with least SAD vs source
+            best_mode, best_pred, best_sad = 0, None, None
+            for mode in (0, 1, 2, 3):
+                pred = _pred_16_or_8(mode, Yr, py, px, 16, mb_y, mb_x)
+                sad = int(np.abs(src - pred).sum())
+                if best_sad is None or sad < best_sad:
+                    best_mode, best_pred, best_sad = mode, pred, sad
+            ymode, pred = best_mode, best_pred
+
+            resid = (src - pred).astype(np.float64)
+            blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+            coefs = blocks @ _FDCT.T
+            dcs = coefs[:, 0].reshape(4, 4)
+            y2 = _FWHT @ dcs.reshape(16)
+            y2_lv = np.round(y2 / np.array([q[2]] + [q[3]] * 15)).astype(np.int64)
+            y2_lv = np.clip(y2_lv, -2047, 2047)
+            ac_lv = np.round(coefs / q[1]).astype(np.int64)
+            ac_lv[:, 0] = 0  # DC carried by Y2
+            ac_lv = np.clip(ac_lv, -2047, 2047)
+
+            # chroma
+            uv_lv = []
+            uv_pred = []
+            for P, Pr in ((U, Ur), (V, Vr)):
+                csrc = P[cy:cy + 8, cx:cx + 8].astype(np.int32)
+                cpred = _pred_16_or_8(0, Pr, cy, cx, 8, mb_y, mb_x)  # DC
+                cresid = (csrc - cpred).astype(np.float64)
+                cblocks = cresid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 16)
+                ccoef = cblocks @ _FDCT.T
+                lv = np.round(ccoef / np.array([q[4]] + [q[5]] * 15)).astype(np.int64)
+                lv = np.clip(lv, -2047, 2047)
+                uv_lv.append(lv)
+                uv_pred.append(cpred)
+
+            skip = (not y2_lv.any()) and (not ac_lv.any()) \
+                and (not uv_lv[0].any()) and (not uv_lv[1].any())
+
+            mode_bits.append((ymode, 0, seg, 1 if skip else 0))
+
+            # ---- token emission bookkeeping (contexts mirror decoder)
+            if skip:
+                for sx in range(4):
+                    top_nz_y[mb_x * 4 + sx] = 0
+                for sx in range(2):
+                    top_nz_u[mb_x * 2 + sx] = 0
+                    top_nz_v[mb_x * 2 + sx] = 0
+                left_nz_y = [0, 0, 0, 0]
+                left_nz_u = [0, 0]
+                left_nz_v = [0, 0]
+                top_nz_y2[mb_x] = 0
+                left_nz_y2 = 0
+            else:
+                toks = row_tokens[mb_y]
+                ctx = top_nz_y2[mb_x] + left_nz_y2
+                lv16 = np.zeros(16, dtype=np.int64)
+                lv16[:] = y2_lv
+                toks.append((1, 0, ctx, lv16))
+                nzf = 1 if y2_lv.any() else 0
+                top_nz_y2[mb_x] = left_nz_y2 = nzf
+                for sy in range(4):
+                    for sx in range(4):
+                        ctx = top_nz_y[mb_x * 4 + sx] + left_nz_y[sy]
+                        lv = ac_lv[sy * 4 + sx]
+                        toks.append((0, 1, ctx, lv.copy()))
+                        nzf = 1 if lv[1:].any() else 0
+                        top_nz_y[mb_x * 4 + sx] = left_nz_y[sy] = nzf
+                for pi, (top_nz, left_nz) in enumerate(
+                        ((top_nz_u, left_nz_u), (top_nz_v, left_nz_v))):
+                    for sy in range(2):
+                        for sx in range(2):
+                            ctx = top_nz[mb_x * 2 + sx] + left_nz[sy]
+                            lv = uv_lv[pi][sy * 2 + sx]
+                            toks.append((2, 0, ctx, lv.copy()))
+                            nzf = 1 if lv.any() else 0
+                            top_nz[mb_x * 2 + sx] = left_nz[sy] = nzf
+
+            # ---- reconstruction (identical integer path to the decoder)
+            coeffs = np.zeros((25, 16), dtype=np.int64)
+            if not skip:
+                coeffs[24][0] = y2_lv[0] * q[2]
+                coeffs[24][1:] = y2_lv[1:] * q[3]
+                for j in range(16):
+                    coeffs[j][1:] = ac_lv[j][1:] * q[1]
+                for pi in range(2):
+                    for j in range(4):
+                        coeffs[16 + pi * 4 + j][0] = uv_lv[pi][j][0] * q[4]
+                        coeffs[16 + pi * 4 + j][1:] = uv_lv[pi][j][1:] * q[5]
+            dcs_r = _iwht(coeffs[24].reshape(4, 4))
+            blk = coeffs[:16].reshape(16, 4, 4).copy()
+            blk[:, 0, 0] = dcs_r.reshape(16)
+            rs = _idct_blocks(blk)
+            rec = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4) + rs
+            Yr[py:py + 16, px:px + 16] = np.clip(
+                rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16),
+                0, 255).astype(np.uint8)
+            for pi, Pr in enumerate((Ur, Vr)):
+                rs = _idct_blocks(coeffs[16 + pi * 4:20 + pi * 4].reshape(4, 4, 4))
+                rec = uv_pred[pi].reshape(2, 4, 2, 4).transpose(0, 2, 1, 3) \
+                    .reshape(4, 4, 4) + rs
+                Pr[cy:cy + 8, cx:cx + 8] = np.clip(
+                    rec.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8),
+                    0, 255).astype(np.uint8)
+
+    # ---- emit MB headers into part0
+    for (ymode, uv_mode, seg, skip) in mode_bits:
+        if hh.segmentation:
+            # uniform probs 128: tree bits = (seg >> 1, seg & 1)
+            part0.put(128, seg >> 1)
+            part0.put(128, seg & 1)
+        part0.put(skip_prob, skip)
+        part0.put(145, 1)  # not B_PRED
+        if ymode in (0, 2):  # DC or V
+            part0.put(156, 0)
+            part0.put(163, 1 if ymode == 2 else 0)
+        else:  # TM or H
+            part0.put(156, 1)
+            part0.put(128, 1 if ymode == 1 else 0)
+        part0.put(142, 0)  # uv DC
+
+    # ---- emit tokens into row partitions
+    probs = [[[list(DEFAULT_COEFF_PROBS[t][b][c]) for c in range(3)]
+              for b in range(8)] for t in range(4)]
+    for mb_y in range(mb_h):
+        be = parts[mb_y % n_parts]
+        for (ptype, first, ctx, lv) in row_tokens[mb_y]:
+            _encode_coeffs(be, probs[ptype], first, ctx, lv)
+
+    p0 = part0.flush()
+    pdata = [be.flush() for be in parts]
+
+    tmp = (0) | (0 << 1) | (1 << 4) | (len(p0) << 5)
+    header = bytes([tmp & 0xFF, (tmp >> 8) & 0xFF, (tmp >> 16) & 0xFF])
+    header += b"\x9d\x01\x2a"
+    header += struct.pack("<HH", w, h)
+    out = bytearray(header + p0)
+    for p in pdata[:-1]:
+        out += bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
+    for p in pdata:
+        out += p
+    return bytes(out)
+
+
+def vp8_encode_webp(rgb: np.ndarray, qi: int = 30, **kw) -> bytes:
+    """Encode RGB → a complete lossy .webp file (RIFF + ``VP8 `` chunk)."""
+    payload = vp8_encode(rgb, qi=qi, **kw)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

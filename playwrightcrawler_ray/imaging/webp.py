@@ -1,10 +1,9 @@
-"""Pure-Python VP8L (lossless WebP) codec.
+"""Pure-Python VP8L (lossless WebP) codec + container dispatch.
 
-Closes the last fully-stubbed major image format: the reference decodes
-WebP via PIL (playwrightcrawler.py:3844-3858). Lossy VP8 needs a full
-video-intra decoder (boolean arithmetic coder, DCT/WHT, loop filter)
-and stays a typed ``CodecUnavailable`` stub; the LOSSLESS half of the
-format is a self-contained entropy format implemented here from the
+The reference decodes WebP via PIL (playwrightcrawler.py:3844-3858).
+Both halves of the format decode for real here: lossy ``VP8 `` chunks
+route to the RFC 6386 keyframe codec in :mod:`.vp8`; the LOSSLESS half
+is a self-contained entropy format implemented in this module from the
 public "WebP Lossless Bitstream Specification":
 
 - **Decoder**: RIFF/VP8X container walk, LSB-first bit reader,
@@ -507,9 +506,8 @@ def _flatten_rgb(argb_img: np.ndarray) -> np.ndarray:
 
 
 def webp_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """RIFF container walk → decode a VP8L payload → (h, w, 3) RGB.
-    Lossy ``VP8 `` payloads raise NotImplementedError (the caller maps
-    it to the CodecUnavailable taxonomy row)."""
+    """RIFF container walk → decode a VP8L (lossless) or ``VP8 ``
+    (lossy keyframe, :mod:`.vp8`) payload → (h, w, 3) RGB."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -520,9 +518,9 @@ def webp_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         if tag == b"VP8L":
             return _flatten_rgb(vp8l_decode_stream(payload, max_pixels))
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP: no VP8 intra decoder in this container"
-            )
+            from .vp8 import vp8_decode
+
+            return vp8_decode(payload, max_pixels=max_pixels)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("no decodable WebP chunk found")
 

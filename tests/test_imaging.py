@@ -53,8 +53,11 @@ def test_decode_errors_taxonomy():
     with pytest.raises(UnidentifiedImageError):
         decode_image(b"this is not an image at all....")
     with pytest.raises(CodecUnavailable):
-        decode_image(  # WebP: genuinely no decoder in this container
-            b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56
+        decode_image(  # WebP VP8 INTERFRAME: not a still image — the one
+            # WebP variant left undecodable (keyframes + VP8L both decode)
+            b"RIFF" + (4 + 8 + 56).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (56).to_bytes(4, "little")
+            + b"\x01\x00\x00" + b"\x00" * 53
         )
     with pytest.raises(CodecUnavailable):
         decode_image(  # arithmetic-coded JPEG (SOF9): genuinely out of scope

@@ -50,7 +50,9 @@ def test_image_resizer_stage(ray_session):
 
     tbl = pa.table({"bytes": pa.array(
         [encode_image(_px(i, 64), "png") for i in range(8)]
-        + [b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56],
+        + [b"RIFF" + (4 + 8 + 56).to_bytes(4, "little") + b"WEBP"
+           + b"VP8 " + (56).to_bytes(4, "little")
+           + b"\x01\x00\x00" + b"\x00" * 53],  # VP8 interframe → stub
             pa.binary())})
     out = (
         ray.data.from_arrow(tbl)

@@ -160,8 +160,23 @@ def test_vp8l_lz77_row_distance():
     assert list(out[0, :, 1]) == [1, 2, 1]
 
 
-def test_webp_lossy_vp8_stays_codec_unavailable():
-    body = b"RIFF" + (64).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 56
+def test_webp_lossy_vp8_decodes_through_facade():
+    """Lossy VP8 keyframes decode for real now (imaging/vp8.py)."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    from playwrightcrawler_ray.imaging.codec import encode_image
+
+    out, fmt = decode_image(encode_image(px, "webp_lossy"))
+    assert fmt == "webp"
+    assert out.shape == px.shape
+
+
+def test_webp_vp8_interframe_stays_codec_unavailable():
+    # bit 0 of the frame tag set → interframe (animation delta frame):
+    # not a still image, genuinely undecodable without reference frames
+    payload = b"\x01\x00\x00" + b"\x00" * 53
+    body = (b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + len(payload).to_bytes(4, "little") + payload)
     with pytest.raises(CodecUnavailable):
         decode_image(body)
 

@@ -263,7 +263,8 @@ def build_corpus(
                 links.append("/latin1.html")
                 links.append("/sjis.html")
             if hi == 1 and pi == 1:
-                links.append("/dynamic.html")  # JS-rendered fixture
+                links.append("/dynamic.html")   # JS-rendered fixture
+                links.append("/computed.html")  # computed-JS fixture
             if pi == 2:
                 links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
             if hi % 3 == 0 and pi == 3:
@@ -347,6 +348,34 @@ def build_corpus(
                     b"rendered DOM</p></body></html>",
             "redirect_to": "",
         }
+        # COMPUTED-JS fixture: these links exist in no string literal —
+        # they are built by a loop + DOM construction, so only real
+        # script execution (functions/jsinterp.py) discovers them; the
+        # round-3 literal scan finds nothing here
+        computed_html = (
+            "<html><body><p>links are computed, not written</p>\n"
+            "<script>\n"
+            "var base = '/js';\n"
+            "for (var i = 0; i < 2; i++) {\n"
+            "  document.write('<a href=\"' + base + 'gen' + i +"
+            " '.html\">g</a>');\n"
+            "}\n"
+            "var a = document.createElement('a');\n"
+            "a.href = base + 'dom.html';\n"
+            "document.body.appendChild(a);\n"
+            "</script></body></html>"
+        )
+        corpus.pages[f"https://{h1}/computed.html"] = {
+            "status": 200, "content_type": "text/html",
+            "body": computed_html.encode(), "redirect_to": "",
+        }
+        for name in ("jsgen0", "jsgen1", "jsdom"):
+            corpus.pages[f"https://{h1}/{name}.html"] = {
+                "status": 200, "content_type": "text/html",
+                "body": (f"<html><body><p>{name}: computed-JS target"
+                         f"</p></body></html>").encode(),
+                "redirect_to": "",
+            }
 
     # seeds: n_seeds hosts incl. one deliberately malformed scheme
     # (FIXTURES.md §2); default 8

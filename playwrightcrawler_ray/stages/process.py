@@ -193,11 +193,12 @@ def process_fetched(
         # BOM → header charset → meta charset → utf-8 → latin-1
         text, _enc = decode_text(body, content_type_raw)
         if ctx.cfg.render_js:
-            # JS-render hook (reference Playwright navigation,
-            # :4926-5207): deterministic stand-in — see functions/render
+            # JS render (reference Playwright navigation, :4926-5207):
+            # inline scripts execute in the sandboxed deterministic
+            # interpreter — see functions/render + functions/jsinterp
             from ..functions.render import render_html
 
-            text = render_html(text)
+            text = render_html(text, url)
         ex = extract_page(text)
         is_od, od_pattern = is_open_directory(text, url)
         min_web = (

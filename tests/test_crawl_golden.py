@@ -54,6 +54,12 @@ def test_oracle_covers_corpus(oracle, corpus):
     # document.write'd link on the dynamic fixture page
     assert any(u.endswith("/dynamic.html") for u in oracle.order)
     assert any(u.endswith("/jsonly.html") for u in oracle.order)
+    # REAL script execution fired (functions/jsinterp.py): these
+    # targets' URLs appear in no string literal — a loop and a DOM
+    # createElement/appendChild build them, so a literal scan can
+    # never discover them
+    for tgt in ("/jsgen0.html", "/jsgen1.html", "/jsdom.html"):
+        assert any(u.endswith(tgt) for u in oracle.order), tgt
 
 
 def test_crawl_ordering_matches_oracle(engine_result, oracle):

@@ -1,0 +1,312 @@
+"""Sandboxed mini-JS interpreter + render hook tests.
+
+The reference renders pages with Playwright so inline scripts RUN
+(playwrightcrawler.py:4926-5207); functions/jsinterp.py executes the
+link-building subset of ECMAScript for real.  These tests pin (a)
+language semantics against values Node/browsers produce, (b) the DOM
+shim's observable render contract, (c) determinism and hostile-input
+bounds — the properties the golden crawl oracle depends on.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from playwrightcrawler_ray.functions.jsinterp import (
+    Interp, JsError, JSArray, JSObject, NativeFn, UNDEF, js_str,
+    std_globals,
+)
+from playwrightcrawler_ray.functions.render import render_html
+
+
+def ev(src: str, **extra):
+    """Run `result = <src>` and return the JS value of `result`."""
+    g = std_globals()
+    g.update(extra)
+    interp = Interp(g)
+    interp.run("var __r = (" + src + ");")
+    return interp.genv.get("__r")
+
+
+def run(src: str, **extra):
+    g = std_globals()
+    g.update(extra)
+    interp = Interp(g)
+    interp.run(src)
+    return interp
+
+
+# ------------------------------------------------------------ language
+
+def test_arithmetic_and_coercion():
+    assert ev("1 + 2 * 3") == 7.0
+    assert ev("'a' + 1") == "a1"
+    assert ev("1 + '2'") == "12"
+    assert ev("'5' - 2") == 3.0
+    assert ev("7 % 3") == 1.0
+    assert ev("-7 % 3") == -1.0  # JS remainder keeps dividend sign
+    assert ev("2 ** 10") == 1024.0
+    assert math.isnan(ev("0 / 0"))
+    assert ev("1 / 0") == math.inf
+    assert ev("5 | 3") == 7.0
+    assert ev("5 & 3") == 1.0
+    assert ev("1 << 4") == 16.0
+    assert ev("-1 >>> 28") == 15.0
+    assert ev("~5") == -6.0
+
+
+def test_equality_and_truthiness():
+    assert ev("1 == '1'") is True
+    assert ev("1 === '1'") is False
+    assert ev("null == undefined") is True
+    assert ev("null === undefined") is False
+    assert ev("'' ? 1 : 2") == 2.0
+    assert ev("0 || 'x'") == "x"
+    assert ev("'a' && 'b'") == "b"
+    assert ev("null ?? 'd'") == "d"
+    assert ev("0 ?? 'd'") == 0.0
+
+
+def test_strings_and_templates():
+    assert ev("'abc'.length") == 3.0
+    assert ev("'a,b,c'.split(',').join('-')") == "a-b-c"
+    assert ev("'Hello'.toLowerCase()") == "hello"
+    assert ev("'  x '.trim()") == "x"
+    assert ev("'abcdef'.slice(1, -1)") == "bcde"
+    assert ev("'aXbXc'.replace('X', '-')") == "a-bXc"   # first only
+    assert ev("'aXbXc'.replaceAll('X', '-')") == "a-b-c"
+    assert ev("'ab'.repeat(3)") == "ababab"
+    assert ev("'abc'.charCodeAt(1)") == 98.0
+    assert ev("'abc'[1]") == "b"
+    interp = run("var n = 7; var s = `p${n * 2}q`;")
+    assert interp.genv.get("s") == "p14q"
+
+
+def test_arrays_and_objects():
+    assert ev("[1,2,3].length") == 3.0
+    assert ev("[3,1,2].sort().join('')") == "123"
+    assert ev("[1,2,3].map(function(x){return x*2}).join(',')") == "2,4,6"
+    assert ev("[1,2,3,4].filter(x => x % 2 == 0).length") == 2.0
+    assert ev("[1,2,3].reduce((a,b) => a+b, 10)") == 16.0
+    assert ev("[1,2].concat([3], 4).length") == 4.0
+    assert ev("({a: 1, b: 2}).a") == 1.0
+    assert ev("({x: {y: 5}}).x.y") == 5.0
+    interp = run("var a = []; for (var i = 0; i < 4; i++) a.push(i);")
+    assert [x for x in interp.genv.get("a").items] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_control_flow_and_functions():
+    src = """
+    function fib(n) { return n < 2 ? n : fib(n-1) + fib(n-2); }
+    var r = fib(10);
+    var s = 0;
+    for (var i = 0; i < 10; i++) { if (i == 5) continue; s += i; }
+    var w = 0; while (w < 100) { w += 7; if (w > 50) break; }
+    var seen = [];
+    for (const v of ['a', 'b']) seen.push(v);
+    for (const k in {p: 1, q: 2}) seen.push(k);
+    """
+    interp = run(src)
+    assert interp.genv.get("r") == 55.0
+    assert interp.genv.get("s") == 40.0
+    assert interp.genv.get("w") == 56.0
+    assert [x for x in interp.genv.get("seen").items] == \
+        ["a", "b", "p", "q"]
+
+
+def test_closures():
+    src = """
+    function counter() { var n = 0; return function() { return ++n; }; }
+    var c = counter();
+    c(); c();
+    var r = c();
+    """
+    assert run(src).genv.get("r") == 3.0
+
+
+def test_try_catch_throw():
+    src = """
+    var msg = '';
+    try { throw 'boom'; } catch (e) { msg = 'got:' + e; }
+    var fin = 0;
+    try { var z = 1; } finally { fin = 1; }
+    """
+    interp = run(src)
+    assert interp.genv.get("msg") == "got:boom"
+    assert interp.genv.get("fin") == 1.0
+
+
+def test_builtins():
+    assert ev("parseInt('42px')") == 42.0
+    assert ev("parseInt('ff', 16)") == 255.0
+    assert ev("parseFloat('3.5rem')") == 3.5
+    assert ev("Math.floor(3.9)") == 3.0
+    assert ev("Math.max(1, 5, 3)") == 5.0
+    assert ev("encodeURIComponent('a b/c')") == "a%20b%2Fc"
+    assert ev("decodeURIComponent('a%20b')") == "a b"
+    assert ev("String(12)") == "12"
+    assert ev("Number('8') + 1") == 9.0
+    assert ev("(255).toString(16)") == "ff"
+    assert ev("isNaN('x')") is True
+    assert ev("typeof 'a'") == "string"
+    assert ev("typeof undefinedGlobal") == "undefined"
+
+
+def test_js_str_number_formatting():
+    assert js_str(1.0) == "1"          # integral floats print as ints
+    assert js_str(1.5) == "1.5"
+    assert js_str(math.nan) == "NaN"
+    assert js_str(UNDEF) == "undefined"
+    assert js_str(None) == "null"
+    assert js_str(JSArray([1.0, "a"])) == "1,a"
+
+
+# ------------------------------------------------------- hostile bounds
+
+def test_infinite_loop_bounded():
+    with pytest.raises(JsError):
+        run("while (true) {}")
+
+
+def test_string_bomb_bounded():
+    with pytest.raises(JsError):
+        run("var s = 'x'; while (true) { s = s + s; }")
+    with pytest.raises(JsError):
+        run("'x'.repeat(99999999)")
+
+
+def test_deep_recursion_bounded():
+    with pytest.raises(JsError):
+        run("function f() { f(); } f();")
+
+
+def test_deep_nesting_bounded():
+    with pytest.raises(JsError):
+        run("var x = " + "(" * 500 + "1" + ")" * 500 + ";")
+
+
+def test_unsupported_constructs_raise():
+    for src in ("class A {}", "async function f() {}",
+                "var re = /a+/;", "x?.y"):
+        with pytest.raises((JsError,)):
+            run(src)
+
+
+def test_no_host_escape():
+    """The sandbox's global env is exactly std_globals + injections —
+    no import, require, eval, Function, or Python-object route."""
+    for name in ("require", "eval", "Function", "globalThis", "process",
+                 "__import__", "open"):
+        interp = run(f"var t = typeof {name};")
+        assert interp.genv.get("t") == "undefined", name
+
+
+def test_determinism():
+    src = "var r = [Math.random(), Math.random(), Date.now()].join(',');"
+    assert run(src).genv.get("r") == run(src).genv.get("r")
+
+
+# ------------------------------------------------------- render contract
+
+def _added(html: str, url: str = "") -> str:
+    out = render_html(html, url)
+    # data-src promotion rewrites in place; compare via marker split
+    return out[len(html):] if out.startswith(html[:40]) and \
+        len(out) >= len(html) else out
+
+
+def test_render_computed_writes():
+    html = ('<html><body><script>var b="/s";'
+            "for (var i = 0; i < 2; i++)"
+            "document.write('<a href=\"' + b + i + '.html\">x</a>');"
+            "</script></body></html>")
+    added = render_html(html)[len(html):]
+    assert '<a href="/s0.html">' in added
+    assert '<a href="/s1.html">' in added
+
+
+def test_render_dom_built_links_attached_only():
+    html = ("<html><body><script>"
+            "var a = document.createElement('a'); a.href = '/built.html';"
+            "document.body.appendChild(a);"
+            "var d = document.createElement('a'); d.href = '/dropped.html';"
+            "</script></body></html>")
+    added = render_html(html)[len(html):]
+    assert 'href="/built.html"' in added
+    assert 'href="/dropped.html"' not in added
+
+
+def test_render_innerhtml_and_location():
+    html = ("<html><body><script>"
+            "document.getElementById('x').innerHTML = "
+            "'<a href=\"/inner.html\">i</a>';"
+            "location.href = '/redir.html';"
+            "</script></body></html>")
+    added = render_html(html)[len(html):]
+    assert "/inner.html" in added
+    assert 'href="/redir.html"' in added
+
+
+def test_render_shared_globals_and_settimeout():
+    html = ("<html><body>"
+            "<script>var base = '/shared';</script>"
+            "<script>setTimeout(function () {"
+            "document.write('<a href=\"' + base + '/t.html\">t</a>');"
+            "}, 50);</script>"
+            "</body></html>")
+    added = render_html(html)[len(html):]
+    assert "/shared/t.html" in added
+
+
+def test_render_location_parts_from_url():
+    html = ("<html><body><script>"
+            "document.write('<a href=\"' + location.pathname + "
+            "'sub.html\">p</a>');</script></body></html>")
+    added = render_html(html, url="https://h.test/dir/")[len(html):]
+    assert '/dir/sub.html' in added
+
+
+def test_render_failed_script_rolls_back_and_falls_back():
+    # script fails midway (undefined var) AFTER one write: the partial
+    # write is rolled back; the literal fallback then contributes the
+    # complete-literal writes only — bad script never double-counts
+    html = ("<html><body><script>"
+            "document.write('<a href=\"/first.html\">f</a>');"
+            "nope();"
+            "document.write('<a href=\"/second.html\">s</a>');"
+            "</script></body></html>")
+    added = render_html(html)[len(html):]
+    assert added.count("/first.html") == 1
+    assert added.count("/second.html") == 1  # via literal fallback
+
+
+def test_render_skips_external_and_nonjs_scripts():
+    html = ('<html><body>'
+            '<script src="/app.js">document.write(\'<a href="/no1">\')'
+            '</script>'
+            '<script type="application/json">'
+            '{"u": "/no2.html"}</script>'
+            "</body></html>")
+    assert render_html(html) == html
+
+
+def test_render_static_page_unchanged_and_datasrc_promoted():
+    static = "<html><body><a href='/x'>x</a></body></html>"
+    assert render_html(static) == static
+    lazy = '<html><body><img data-src="/l.png" alt="z"></body></html>'
+    assert '<img src="/l.png"' in render_html(lazy)
+
+
+def test_render_hostile_page_bounded_and_pure():
+    import time
+    html = ("<html><body><script>while(true){}</script>"
+            "<script>document.write('<a href=\"/after.html\">a</a>');"
+            "</script></body></html>")
+    t0 = time.time()
+    out1 = render_html(html)
+    assert time.time() - t0 < 30
+    # the good script after the hostile one still ran
+    assert "/after.html" in out1[len(html):]
+    assert render_html(html) == out1  # deterministic

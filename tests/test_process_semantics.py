@@ -162,9 +162,15 @@ def test_render_js_hook():
     # static content untouched; idempotent on static pages
     static = "<html><body><a href='/x'>x</a></body></html>"
     assert render_html(static) == static
-    # no JS is evaluated: computed strings are NOT extracted
+    # a script referencing an undefined global crashes (browser
+    # semantics) and degrades to the literal scan — the computed URL
+    # never materializes
     evil = "<script>document.write('<a href=\"/'+secret+'\">x</a>')</script>"
     assert "/secret" not in render_html(evil)
+    # computed URLs from VALID scripts DO materialize now (jsinterp)
+    good = ("<script>var p='/com';document.write("
+            "'<a href=\"'+p+'puted.html\">c</a>');</script>")
+    assert "/computed.html" in render_html(good)
 
 
 def test_render_hook_reaches_parse():

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 31
+shape) and returns the images Dataset. ``queries()`` exposes the 39
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 21
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 25
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 language-ID, fingerprints, and the oracle-verified-in-pytest crawl
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import analytics as A
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
+    from playwrightcrawler_ray.ops import joins as J
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
 
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ts_range": A.q_events_ts_range,
         "supplier_by_nation": A.q_supplier_by_nation,
         "customer_segments": A.q_customer_segments,
+        # temporal joins (operators Ray Data lacks natively)
+        "asof_join": J.q_asof_join,
+        "range_join": J.q_range_join,
         # text analysis
         "token_counts": T.q_token_counts,
         "token_counts_bpe": T.q_token_counts_bpe,
@@ -204,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
     from playwrightcrawler_ray.ops import analytics as A
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
+    from playwrightcrawler_ray.ops import joins as J
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
 
@@ -219,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ts_range": A.SQL_EVENTS_TS_RANGE,
         "supplier_by_nation": A.SQL_SUPPLIER_BY_NATION,
         "customer_segments": A.SQL_CUSTOMER_SEGMENTS,
+        "asof_join": J.SQL_ASOF_JOIN,
+        "range_join": J.SQL_RANGE_JOIN,
         "token_counts": T.SQL_TOKEN_COUNTS,
         "token_counts_bpe": T.SQL_TOKEN_COUNTS_BPE,
         "quality_signals": T.SQL_QUALITY_SIGNALS,

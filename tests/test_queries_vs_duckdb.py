@@ -60,6 +60,7 @@ def _oracle_pairs():
     "region_nation_counts", "part_top3_by_brand", "events_by_type",
     "events_hourly", "user_sessions", "events_ts_range",
     "supplier_by_nation", "customer_segments",
+    "asof_join", "range_join",
     "token_counts", "token_counts_bpe", "quality_signals",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "doc_sample", "docs_per_source_cap",
@@ -260,3 +261,15 @@ def test_doc_neardup_dedup_agreement(entrymod):
     for a, b in zip(hi["doc_a"].astype(int), hi["doc_b"].astype(int)):
         assert lab[a] == lab[b]
         assert e_lab[a] == e_lab[b]
+
+
+def test_temporal_joins_bucket_invariance(ray_session):
+    """The as-of and range joins are hash-bucketed shuffles; the
+    result must be bit-identical under any bucket count (partitioning
+    is an execution detail, never a semantics input)."""
+    from playwrightcrawler_ray.ops.joins import q_asof_join, q_range_join
+
+    for fn in (q_asof_join, q_range_join):
+        a = fn(SF_DIR, n_buckets=3)
+        b = fn(SF_DIR, n_buckets=32)
+        pd.testing.assert_frame_equal(a, b)

@@ -8,6 +8,8 @@
     python -m playwrightcrawler_ray.cli images  --out DIR     # consolidate
     python -m playwrightcrawler_ray.cli verify  --out DIR     # admission audit
     python -m playwrightcrawler_ray.cli urls    --out DIR [--ext RE] [--limit N]
+    python -m playwrightcrawler_ray.cli score   --out DIR [--min-res N]
+        [--threshold P] [--concurrency N]       # NSFW model actor pool
 
 The CLI owns its Ray session (guarded init, shutdown at exit) — library
 code never does (driver contract).
@@ -65,8 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--ext", default=None)
     u.add_argument("--limit", type=int, default=100)
 
+    s = sub.add_parser(
+        "score", help="NSFW-score crawled images (trained logistic "
+        "skin-content model, actor-pool map_batches)")
+    s.add_argument("--out", required=True)
+    s.add_argument("--min-res", type=int, default=16 * 16)
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--concurrency", type=int, default=2)
+
     args = p.parse_args(argv)
-    if args.cmd in ("images", "verify", "urls"):
+    if args.cmd in ("images", "verify", "urls", "score"):
         import glob
         import os
 
@@ -146,6 +156,28 @@ def main(argv: list[str] | None = None) -> int:
                                          batch_size=4096):
                 for url in batch["url"].to_pylist():
                     print(url)
+        elif args.cmd == "score":
+            from .pipelines.crawl import load_images
+            from .stages.nsfw import NSFW_MIN_PROBABILITY, NsfwScorer
+
+            thr = (args.threshold if args.threshold is not None
+                   else NSFW_MIN_PROBABILITY)
+            scored = load_images(args.out).map_batches(
+                NsfwScorer, batch_format="pyarrow", batch_size=32,
+                concurrency=args.concurrency, num_cpus=1,
+                fn_constructor_kwargs={"min_resolution": args.min_res,
+                                       "threshold": thr},
+            )
+            n = scored_n = flagged = 0
+            for batch in scored.iter_batches(batch_format="pyarrow",
+                                             batch_size=1024):
+                n += batch.num_rows
+                col = batch["isnsfw"]
+                scored_n += batch.num_rows - col.null_count
+                flagged += sum(1 for f in batch["nsfw_flag"].to_pylist()
+                               if f)
+            print(json.dumps({"images": n, "scored": scored_n,
+                              "flagged": flagged, "threshold": thr}))
     finally:
         ray.shutdown()
     return 0

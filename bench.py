@@ -99,6 +99,58 @@ def run_bench() -> dict:
         _part, batch_format="pandas"
     ).groupby("part").map_groups(lambda g: g, batch_format="pandas").materialize()
 
+    # --- real-socket sample (reported separately, not in the headline
+    # total): the same crawl semantics over a loopback HTTP vhost
+    # server in its OWN process — every fetch crosses a real TCP
+    # socket (VERDICT r3 item 1). Runs FIRST (before the main crawl)
+    # and best-of-2: the main crawl's leftover per-worker heap state
+    # was measured to contend this leg 3-5x when it ran after, and the
+    # first rep alone pays server+worker spin-up — neither is the
+    # client fetch path this number exists to measure.
+    import subprocess
+
+    http_corpus = build_corpus(
+        seed=43, n_hosts=256, pages_per_host=20, n_seeds=256,
+        text_words=CRAWL_TEXT_WORDS, img_sizes=CRAWL_IMG_SIZES,
+    )
+    srv_proc = subprocess.Popen(
+        [sys.executable, "-m", "playwrightcrawler_ray.corpus.httpserve",
+         "--seed", "43", "--hosts", "256", "--pages", "20",
+         "--n-seeds", "256", "--text-words", str(CRAWL_TEXT_WORDS),
+         "--img-sizes", *[str(s) for s in CRAWL_IMG_SIZES]],
+        stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    http_addr = srv_proc.stdout.readline().strip()
+    http_sec = None
+    res_http = None
+    for rep in range(2):
+        http_out = f"/tmp/pwc_bench_http_{NUM_CPUS}_{rep}"
+        shutil.rmtree(http_out, ignore_errors=True)
+        cfg_http = CrawlConfig(
+            output_dir=http_out, max_waves=3, per_host_per_wave=20,
+            wave_size=200_000, method_weights={"oldest": 1},
+            checkpoint_every=8, wave_batch_size=256,
+            fetch_backend="http", http_addr=http_addr,
+        )
+        t0 = time.perf_counter()
+        r = run_crawl(http_corpus, cfg_http, seen_mode="cuckoo")
+        sec = time.perf_counter() - t0
+        if http_sec is None or sec < http_sec:
+            http_sec, res_http = sec, r
+    try:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://{http_addr}/__corpus_stats__", timeout=5
+        ) as r:
+            http_requests = json.loads(r.read())["requests"]
+    except OSError:
+        http_requests = -1
+    srv_proc.terminate()
+    srv_proc.wait(timeout=10)
+    del http_corpus
+
     # --- flagship crawl (untimed corpus build: driver-side fixture) ---
     corpus = build_corpus(
         seed=42, n_hosts=CRAWL_HOSTS, pages_per_host=CRAWL_PAGES_PER_HOST,
@@ -130,51 +182,6 @@ def run_bench() -> dict:
         if crawl_sec is None or sec < crawl_sec:
             crawl_sec, res = sec, r
     timings["crawl"] = round(crawl_sec, 3)
-
-    # --- real-socket sample (reported separately, not in the headline
-    # total, to keep round-over-round totals comparable): the same
-    # crawl semantics over a loopback HTTP vhost server in its OWN
-    # process (it rebuilds the deterministic corpus from the seed) —
-    # every fetch crosses a real TCP socket (VERDICT r3 item 1). The
-    # single Python server process is the ceiling here, not the
-    # engine; the number measures the real-client fetch path.
-    import subprocess
-
-    http_corpus = build_corpus(
-        seed=43, n_hosts=256, pages_per_host=20, n_seeds=256,
-        text_words=CRAWL_TEXT_WORDS, img_sizes=CRAWL_IMG_SIZES,
-    )
-    srv_proc = subprocess.Popen(
-        [sys.executable, "-m", "playwrightcrawler_ray.corpus.httpserve",
-         "--seed", "43", "--hosts", "256", "--pages", "20",
-         "--n-seeds", "256", "--text-words", str(CRAWL_TEXT_WORDS),
-         "--img-sizes", *[str(s) for s in CRAWL_IMG_SIZES]],
-        stdout=subprocess.PIPE, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    http_addr = srv_proc.stdout.readline().strip()
-    http_out = f"/tmp/pwc_bench_http_{NUM_CPUS}"
-    shutil.rmtree(http_out, ignore_errors=True)
-    cfg_http = CrawlConfig(
-        output_dir=http_out, max_waves=3, per_host_per_wave=20,
-        wave_size=200_000, method_weights={"oldest": 1},
-        checkpoint_every=8, wave_batch_size=256,
-        fetch_backend="http", http_addr=http_addr,
-    )
-    t0 = time.perf_counter()
-    res_http = run_crawl(http_corpus, cfg_http, seen_mode="cuckoo")
-    http_sec = time.perf_counter() - t0
-    try:
-        import urllib.request
-
-        with urllib.request.urlopen(
-            f"http://{http_addr}/__corpus_stats__", timeout=5
-        ) as r:
-            http_requests = json.loads(r.read())["requests"]
-    except OSError:
-        http_requests = -1
-    srv_proc.terminate()
-    srv_proc.wait(timeout=10)
 
     # --- heavy operators over the driver tables (best-of-2: the box
     # has noisy-neighbor variance; one bad sample should not define a

@@ -294,3 +294,55 @@ class VideoFrameSampler:
             .append_column("frame_phashes", pa.array(hashes, pa.list_(pa.int64())))
             .append_column("video_error", pa.array(err, pa.string()))
         )
+
+
+class MediaProber:
+    """Actor-pool stage over a ``media_bytes`` column: header-level
+    container/codec metadata WITHOUT decoding (functions/mediaprobe.py
+    — MP3 frame walk, MP4 box walk, WebM EBML, Ogg Vorbis/Opus).
+
+    This is what a curation pipeline filters compressed media on at
+    scale — duration, rate, channels, codec, frame size — and it is
+    fully real even for the formats whose sample/pixel decode is a
+    typed ``CodecUnavailable`` stub (ffmpeg-less container)."""
+
+    def __init__(self):
+        from ..functions.mediaprobe import probe_media  # once per actor
+
+        self._probe = probe_media
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        container, codec, dur, rate, ch, w, h, ntr, err = (
+            [], [], [], [], [], [], [], [], [])
+        for b in batch.column("media_bytes").to_pylist():
+            try:
+                info = self._probe(b)
+            except ValueError as e:
+                container.append(None); codec.append(None)
+                dur.append(None); rate.append(None); ch.append(None)
+                w.append(None); h.append(None); ntr.append(None)
+                err.append(str(e))
+                continue
+            tracks = info.get("tracks") or []
+            vid = next((t for t in tracks if t.get("kind") == "video"), {})
+            container.append(info.get("container"))
+            codec.append(info.get("codec")
+                         or vid.get("codec_id") or vid.get("fourcc"))
+            dur.append(info.get("duration_sec"))
+            rate.append(info.get("sample_rate"))
+            ch.append(info.get("channels"))
+            w.append(vid.get("w"))
+            h.append(vid.get("h"))
+            ntr.append(len(tracks) if tracks else None)
+            err.append(None)
+        return (
+            batch.append_column("media_container", pa.array(container, pa.string()))
+            .append_column("media_codec", pa.array(codec, pa.string()))
+            .append_column("media_duration_sec", pa.array(dur, pa.float64()))
+            .append_column("media_sample_rate", pa.array(rate, pa.int32()))
+            .append_column("media_channels", pa.array(ch, pa.int32()))
+            .append_column("media_width", pa.array(w, pa.int32()))
+            .append_column("media_height", pa.array(h, pa.int32()))
+            .append_column("media_tracks", pa.array(ntr, pa.int32()))
+            .append_column("probe_error", pa.array(err, pa.string()))
+        )

@@ -310,3 +310,64 @@ def test_render_hostile_page_bounded_and_pure():
     # the good script after the hostile one still ran
     assert "/after.html" in out1[len(html):]
     assert render_html(html) == out1  # deterministic
+
+
+# ------------------------------------------------- property-based fuzz
+
+def test_fuzz_random_scripts_never_crash_render():
+    """Hostile-page property: for ANY byte soup inside <script>, the
+    render either runs it, degrades to the literal scan, or leaves the
+    page unchanged — it never raises and never hangs (step budget).
+    Also pure: same input → same output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    js_atoms = st.sampled_from([
+        "var x = 1;", "x += 2;", "document.write('<a href=\"/f.html\">')",
+        "for(;;){", "}", "(", ")", "{", "}", "'unterminated",
+        "function f(", "`tpl ${", "]]>", "\\u0000", "if(x>1)",
+        "while(x<3){x++}", "document.body.appendChild(q)",
+        "location.href=x", "throw x;", "++", "==", "=>", "null",
+        "newish", "0x1F", "1e999", ".5", "//comment\n", "/*", "*/",
+    ])
+    soup = st.lists(js_atoms, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=120, deadline=None)
+    @given(soup)
+    def run_case(src):
+        html = f"<html><body><script>{src}</script></body></html>"
+        out1 = render_html(html, url="https://h.test/")
+        out2 = render_html(html, url="https://h.test/")
+        assert out1 == out2
+        assert out1.startswith("<html>")
+
+    run_case()
+
+
+def test_fuzz_interpreter_valueish_programs():
+    """Generated small well-formed-ish programs: whatever happens it is
+    a JsError/JsThrow or a clean run — no Python-level exceptions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from playwrightcrawler_ray.functions.jsinterp import JsThrow, run_script
+
+    exprs = st.recursive(
+        st.sampled_from(["1", "'s'", "x", "true", "null", "[1,2]",
+                         "{a: 1}", "undefined"]),
+        lambda c: st.tuples(c, st.sampled_from(
+            ["+", "-", "*", "/", "%", "==", "===", "<", "&&", "||"]), c
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        max_leaves=6,
+    )
+    stmts = exprs.map(lambda e: f"var x = {e}; var y = {e};")
+
+    @settings(max_examples=120, deadline=None)
+    @given(stmts)
+    def run_case(src):
+        try:
+            run_script(src)
+        except (JsError, JsThrow):
+            pass
+
+    run_case()

@@ -226,6 +226,44 @@ def build_corpus(
                            "ranged download", {"caption": "ranged download"})
     corpus.partial[ranged_url] = max(1, len(ranged_body) // 3 + 1)
 
+    # media fixtures on host 2 (audio/video category rows — the
+    # reference stores these via handle_content_type; here the built-in
+    # media handler records a real header-level probe on the doc row)
+    if n_hosts > 2:
+        import numpy as _np
+
+        from ..stages.multimodal import encode_wav
+
+        h2 = hosts[2]
+        tone = (_np.sin(_np.linspace(0, 440.0, 8000)) * 12000).astype(
+            _np.int16)
+        corpus.pages[f"https://{h2}/media/clip.wav"] = {
+            "status": 200, "content_type": "audio/x-wav",
+            "body": encode_wav(tone, rate=16_000), "redirect_to": "",
+        }
+        # 128 kbps 44100 Hz MPEG-1 L3 frames (header-walkable; the
+        # canonical 417-byte frame)
+        mp3_frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
+        corpus.pages[f"https://{h2}/media/song.mp3"] = {
+            "status": 200, "content_type": "audio/mpeg",
+            "body": b"ID3\x04\x00\x00\x00\x00\x00\x00" + mp3_frame * 12,
+            "redirect_to": "",
+        }
+        # minimal ISO-BMFF skeleton: ftyp + moov(mvhd ts=1000 dur=4000)
+        import struct as _st
+
+        def _box(name: bytes, payload: bytes) -> bytes:
+            return _st.pack(">I", 8 + len(payload)) + name + payload
+
+        mvhd = _box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                    + _st.pack(">II", 1000, 4000) + b"\x00" * 80)
+        corpus.pages[f"https://{h2}/media/movie.mp4"] = {
+            "status": 200, "content_type": "video/mp4",
+            "body": _box(b"ftyp", b"isom" + b"\x00" * 8)
+            + _box(b"moov", mvhd) + _box(b"mdat", b"\x00" * 32),
+            "redirect_to": "",
+        }
+
     img_by_host: dict[str, list[tuple[str, str]]] = {}
     for url, body, ctype, cap in images:
         host = url.split("/")[2]
@@ -265,6 +303,10 @@ def build_corpus(
             if hi == 1 and pi == 1:
                 links.append("/dynamic.html")   # JS-rendered fixture
                 links.append("/computed.html")  # computed-JS fixture
+            if hi == 2 and pi == 1:
+                links.append("/media/clip.wav")   # audio rows (probe)
+                links.append("/media/song.mp3")
+                links.append("/media/movie.mp4")  # video row (probe)
             if pi == 2:
                 links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
             if hi % 3 == 0 and pi == 3:

@@ -40,7 +40,7 @@ from __future__ import annotations
 import struct
 
 __all__ = ["probe_media", "probe_mp3", "probe_mp4", "probe_webm",
-           "probe_ogg"]
+           "probe_ogg", "probe_wav", "probe_avi"]
 
 # ---------------------------------------------------------------- MP3
 
@@ -346,12 +346,57 @@ def probe_ogg(data: bytes) -> dict:
             "sample_rate": rate, "duration_sec": dur}
 
 
+# ----------------------------------------------------------- RIFF
+
+def probe_wav(data: bytes) -> dict:
+    """WAV duration/rate/channels from the fmt + data chunk HEADERS
+    (no sample decode; byte-rate arithmetic only)."""
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"fmt " and pos + 8 + 16 <= len(data):
+            fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    _afmt, nch, rate, byte_rate, _ba, bits = fmt
+    dur = round(data_size / byte_rate, 6) if byte_rate else None
+    return {"container": "wav", "codec": f"pcm{bits}",
+            "channels": nch, "sample_rate": rate,
+            "duration_sec": dur}
+
+
+def probe_avi(data: bytes) -> dict:
+    """AVI duration/dimensions from the avih main header."""
+    i = data.find(b"avih")
+    if i < 0 or i + 8 + 40 > len(data):
+        raise ValueError("no avih header")
+    us_per_frame, _mbps, _pad, _flags, total_frames = struct.unpack_from(
+        "<IIIII", data, i + 8)
+    w, h = struct.unpack_from("<II", data, i + 8 + 32)
+    dur = (round(us_per_frame * total_frames / 1e6, 6)
+           if us_per_frame else None)
+    return {"container": "avi", "duration_sec": dur,
+            "tracks": [{"kind": "video", "codec_id": None,
+                        "w": w or None, "h": h or None}],
+            "frames": total_frames}
+
+
 # ------------------------------------------------------------- router
 
 def probe_media(data: bytes) -> dict:
     """Sniff the container and probe it; ValueError on unknowns."""
     if not isinstance(data, (bytes, bytearray)) or len(data) < 12:
         raise ValueError("too short to be a media file")
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return probe_wav(bytes(data))
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return probe_avi(bytes(data))
     if data[:3] == b"ID3" or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         return probe_mp3(bytes(data))
     if data[4:8] == b"ftyp":

@@ -62,6 +62,42 @@ def register_content_handler(category: str, fn) -> None:
     CONTENT_HANDLERS[category] = fn
 
 
+def _media_handler(url, body, content_type, ctx) -> dict:
+    """Built-in audio/video handler: header-level container probe
+    (functions/mediaprobe) — duration, codec, rate/channels or
+    dimensions — summarized into ``min_webcontent`` the same way the
+    plugin recipe does (reference audio/video handlers store the file
+    and record the doc, playwrightcrawler.py:2741-2843; sample/pixel
+    decode for compressed formats stays a typed stub in the
+    multimodal stages)."""
+    from ..functions.mediaprobe import probe_media
+
+    try:
+        info = probe_media(body)
+    except ValueError as e:
+        return {"min_webcontent": f"media:unreadable:{e}"}
+    tracks = info.get("tracks") or []
+    vid = next((t for t in tracks if t.get("kind") == "video"), {})
+    parts = [
+        "media",
+        str(info.get("container")),
+        str(info.get("codec") or vid.get("codec_id")
+            or vid.get("fourcc") or "?"),
+        f"dur={info.get('duration_sec')}",
+    ]
+    if info.get("sample_rate"):
+        parts.append(f"rate={info['sample_rate']}")
+    if info.get("channels"):
+        parts.append(f"ch={info['channels']}")
+    if vid.get("w"):
+        parts.append(f"{vid['w']}x{vid['h']}")
+    return {"min_webcontent": ":".join(parts)}
+
+
+CONTENT_HANDLERS.setdefault("audio", _media_handler)
+CONTENT_HANDLERS.setdefault("video", _media_handler)
+
+
 @dataclass
 class ProcessContext:
     """Per-process compiled state: router + policy + config."""

@@ -204,3 +204,53 @@ def test_probe_media_router():
         probe_media(b"short")
     with pytest.raises(ValueError):
         probe_media(np.zeros(64, np.uint8).tobytes())
+
+
+# -------------------------------------------------- RIFF (wav / avi)
+
+def test_wav_header_probe():
+    from playwrightcrawler_ray.stages.multimodal import encode_wav
+
+    s = np.zeros(16000, np.int16)
+    info = probe_media(encode_wav(s, rate=16000))
+    assert info == {"container": "wav", "codec": "pcm16", "channels": 1,
+                    "sample_rate": 16000, "duration_sec": 1.0}
+
+
+def test_avi_header_probe():
+    from playwrightcrawler_ray.stages.multimodal import encode_avi_mjpeg
+
+    frames = [np.full((16, 24, 3), i * 40, np.uint8) for i in range(4)]
+    info = probe_media(encode_avi_mjpeg(frames, fps=10))
+    assert info["container"] == "avi"
+    assert info["frames"] == 4
+    assert info["duration_sec"] == pytest.approx(0.4)
+    assert info["tracks"][0]["w"] == 24 and info["tracks"][0]["h"] == 16
+
+
+# ------------------------------------------ built-in content handler
+
+def test_media_handler_on_crawl_rows():
+    """audio/video category docs get a real probe summary in
+    min_webcontent via the built-in handler (oracle + engine share
+    process_fetched, so this covers both)."""
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.stages.multimodal import encode_wav
+    from playwrightcrawler_ray.stages.process import (
+        ProcessContext, process_fetched,
+    )
+
+    ctx = ProcessContext(CrawlConfig(hunt_open_directories=False))
+    body = encode_wav(np.zeros(8000, np.int16), rate=16000)
+    rows, offers, imgs = process_fetched(
+        "https://h.test/a.wav", "h.test", 0, 200, "audio/x-wav",
+        body, "", ctx)
+    assert len(rows) == 1
+    assert rows[0]["category"] == "audio"
+    assert rows[0]["min_webcontent"] == \
+        "media:wav:pcm16:dur=0.5:rate=16000:ch=1"
+    # malformed media → unreadable marker, not a crash
+    rows, _, _ = process_fetched(
+        "https://h.test/b.mp3", "h.test", 0, 200, "audio/mpeg",
+        b"\x00" * 64, "", ctx)
+    assert rows[0]["min_webcontent"].startswith("media:unreadable:")

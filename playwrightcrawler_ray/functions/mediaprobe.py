@@ -220,6 +220,11 @@ def probe_mp4(data: bytes) -> dict:
                         if se - ss >= 16:
                             info["fourcc"] = data[ss + 12:ss + 16].decode(
                                 "latin-1", "replace")
+                    stsz = _find_box(data, stbl[0], stbl[1], b"stsz")
+                    if stsz is not None and stsz[1] - stsz[0] >= 12:
+                        # sample count without decoding one sample
+                        (info["samples"],) = struct.unpack_from(
+                            ">I", data, stsz[0] + 8)
         tracks.append(info)
         pos = te  # continue after this trak
     return {"container": "mp4", "brand": brand,

@@ -256,6 +256,30 @@ def _decode_coeffs(bd: BoolDecoder, probs, first: int, ctx: int,
     nonzero = 0
     i = first
     skip_eob = False
+
+    # one closure per CALL (not per coefficient — creating it inside
+    # the token loop measured ~10% of whole-image decode time)
+    def getbit(prob):
+        nonlocal value, rng, bit_count, pos
+        split = 1 + (((rng - 1) * prob) >> 8)
+        big = split << 8
+        if value >= big:
+            value -= big
+            rng -= split
+            ret = 1
+        else:
+            rng = split
+            ret = 0
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                value |= buf[pos]
+                pos += 1
+        return ret
+
     while i < 16:
         p = probs[bands[i]][ctx]
         # --- inline tree walk over coeff_tree -------------------------
@@ -286,27 +310,6 @@ def _decode_coeffs(bd: BoolDecoder, probs, first: int, ctx: int,
                     bit_count = 0
                     value |= buf[pos]
                     pos += 1
-
-        def getbit(prob):
-            nonlocal value, rng, bit_count, pos
-            split = 1 + (((rng - 1) * prob) >> 8)
-            big = split << 8
-            if value >= big:
-                value -= big
-                rng -= split
-                ret = 1
-            else:
-                rng = split
-                ret = 0
-            while rng < 128:
-                value <<= 1
-                rng <<= 1
-                bit_count += 1
-                if bit_count == 8:
-                    bit_count = 0
-                    value |= buf[pos]
-                    pos += 1
-            return ret
 
         if not getbit(p[1]):
             # DCT_0

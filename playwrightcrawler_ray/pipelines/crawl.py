@@ -77,6 +77,19 @@ def _wave_chunk_task(fns_ref, tbl: pa.Table, path: str) -> int:
     import pyarrow.parquet as pq
 
     fetch_fn, parse_fn, imgfetch_fn, decode_fn = fns_ref
+    if os.environ.get("PWC_STAGE_TIMING"):
+        import time as _t
+
+        ts = [_t.perf_counter()]
+        a = fetch_fn(tbl); ts.append(_t.perf_counter())
+        b = parse_fn(a); ts.append(_t.perf_counter())
+        c = imgfetch_fn(b); ts.append(_t.perf_counter())
+        out = decode_fn(c); ts.append(_t.perf_counter())
+        pq.write_table(out, path); ts.append(_t.perf_counter())
+        d = [round(ts[i + 1] - ts[i], 3) for i in range(5)]
+        print(f"[stage-timing] rows={tbl.num_rows} fetch={d[0]} "
+              f"parse={d[1]} imgfetch={d[2]} decode={d[3]} write={d[4]}")
+        return out.num_rows
     out = decode_fn(imgfetch_fn(parse_fn(fetch_fn(tbl))))
     pq.write_table(out, path)
     return out.num_rows

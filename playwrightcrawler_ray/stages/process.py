@@ -15,6 +15,7 @@ preprocess enrichment :1783-1946.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from urllib.parse import urljoin, urlsplit
 
@@ -354,6 +355,52 @@ def process_fetched(
     return content_rows, offers, imgrefs
 
 
+# per-process decode memo: body sha1 → ("ok", w, h, fmt, phash, psha)
+# or ("err", source_label). Byte-identical payloads (the common case on
+# a real crawl: one logo/thumbnail served from many URLs) pay the codec
+# ONCE per worker process; everything downstream — pixel-hash dedup
+# claims, ord-keyed conflict resolution, the oracle — is unchanged
+# because the memo is a pure-function cache over the payload bytes.
+# Derived fields only (~100 B/entry), LRU-capped.
+_DECODE_MEMO: OrderedDict = OrderedDict()
+_DECODE_MEMO_CAP = 65536
+
+_ERR_SOURCES = {
+    UnidentifiedImageError: "content_type_images_unidentified_image_error",
+    DecompressionBombError: "content_type_images_decompression_bomb_error",
+    CodecUnavailable: "content_type_images_codec_unavailable",
+    OSError: "content_type_images_oserror",
+}
+
+
+def _decode_image_memo(body: bytes) -> tuple:
+    import hashlib
+
+    key = hashlib.sha1(bytes(body)).digest()
+    hit = _DECODE_MEMO.get(key)
+    if hit is not None:
+        _DECODE_MEMO.move_to_end(key)
+        return hit
+    try:
+        pixels, fmt = decode_image(body)
+        h, w = pixels.shape[:2]
+        out = ("ok", int(w), int(h), fmt, int(dhash64(pixels)),
+               pixel_hash(pixels))
+    except (UnidentifiedImageError, DecompressionBombError,
+            CodecUnavailable, OSError) as e:
+        for klass in (UnidentifiedImageError, DecompressionBombError,
+                      CodecUnavailable):
+            if isinstance(e, klass):
+                out = ("err", _ERR_SOURCES[klass])
+                break
+        else:
+            out = ("err", _ERR_SOURCES[OSError])
+    _DECODE_MEMO[key] = out
+    if len(_DECODE_MEMO) > _DECODE_MEMO_CAP:
+        _DECODE_MEMO.popitem(last=False)
+    return out
+
+
 def process_image_payload(
     url: str,
     host: str,
@@ -369,31 +416,16 @@ def process_image_payload(
     (engine: DedupShard actors; oracle: a dict). Error taxonomy follows
     the reference image handler (:3896-3930) plus the explicit
     ``codec_unavailable`` stub label for formats PIL would have decoded
-    but this container cannot (module docstring in imaging/)."""
+    but this container cannot (module docstring in imaging/). Decode
+    results are memoized per process by payload sha1 (``_DECODE_MEMO``)."""
     base = dict(status=200, category="image", content_type="",
                 parent_host=parent_host)
-    try:
-        pixels, fmt = decode_image(body)
-    except UnidentifiedImageError:
-        row = _base_row(url, host, wave, **base,
-                        source="content_type_images_unidentified_image_error")
-        return enrich_content_row(row, ctx), None
-    except DecompressionBombError:
-        row = _base_row(url, host, wave, **base,
-                        source="content_type_images_decompression_bomb_error")
-        return enrich_content_row(row, ctx), None
-    except CodecUnavailable:
-        row = _base_row(url, host, wave, **base,
-                        source="content_type_images_codec_unavailable")
-        return enrich_content_row(row, ctx), None
-    except OSError:
-        row = _base_row(url, host, wave, **base,
-                        source="content_type_images_oserror")
+    res = _decode_image_memo(body)
+    if res[0] == "err":
+        row = _base_row(url, host, wave, **base, source=res[1])
         return enrich_content_row(row, ctx), None
 
-    h, w = pixels.shape[:2]
-    phash = dhash64(pixels)
-    psha = pixel_hash(pixels)
+    _, w, h, fmt, phash, psha = res
     doc = _base_row(url, host, wave, **base,
                     source="content_type_images_download")
     doc["resolution"] = h * w

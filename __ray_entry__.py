@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 39
+shape) and returns the images Dataset. ``queries()`` exposes the 40
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 25
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -127,6 +127,24 @@ def _q_crawl_trainset(_sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def _q_crawl_media_probe(_sf_dir: str):
+    """Audio/video doc rows from the crawl with their header-level
+    probe summaries (functions/mediaprobe via the built-in content
+    handler) — rows-only; the probe values are spec-fixture-verified
+    in tests/test_mediaprobe.py."""
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+
+    df = load_unified(
+        _crawl_output_dir(),
+        columns=["kind", "category", "url", "min_webcontent"],
+    ).to_pandas()
+    out = df[(df["kind"] == "page")
+             & df["category"].isin(["audio", "video"])]
+    out = out[["url", "category", "min_webcontent"]].rename(
+        columns={"min_webcontent": "probe"})
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_crawl_phash_buckets(_sf_dir: str):
     from playwrightcrawler_ray.pipelines.export import phash_buckets
 
@@ -150,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pages_by_source": _q_crawl_pages_by_source,
         "crawl_phash_buckets": _q_crawl_phash_buckets,
         "crawl_trainset": _q_crawl_trainset,
+        "crawl_media_probe": _q_crawl_media_probe,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,
         "top_customers": A.q_top_customers,

@@ -111,6 +111,9 @@ class _Dom:
         self.sink = sink
         self.roots: list[dict] = []   # attached subtree roots, in order
         self.url = url
+        # 'load'/'DOMContentLoaded' callbacks — fired once after every
+        # script has run (the settle point Playwright waits for)
+        self.load_handlers: list = []
 
     # ---- element model
     def new_elem(self, tag: str) -> JSObject:
@@ -261,6 +264,19 @@ class _Dom:
         def _query_all(this, args):
             return JSArray([self.attached_elem("div")])
 
+        def _ael(this, args):
+            # collect load-time callbacks; other event types never fire
+            # in a render (no user input exists)
+            if len(args) >= 2 and js_str(args[0]) in (
+                    "load", "DOMContentLoaded", "readystatechange"):
+                self.load_handlers.append(args[1])
+            return UNDEF
+
+        def _onload_set(obj, a):
+            obj.props[a[0]] = a[1]
+            if a[0] in ("onload", "ondomcontentloaded"):
+                self.load_handlers.append(a[1])
+
         document = JSObject({
             "write": NativeFn(_write, "write"),
             "writeln": NativeFn(_writeln, "writeln"),
@@ -277,10 +293,10 @@ class _Dom:
             "location": loc,
             "cookie": "",
             "title": "",
-            "addEventListener": NativeFn(lambda this, a: UNDEF, "ael"),
+            "addEventListener": NativeFn(_ael, "ael"),
             "__set__": NativeFn(
                 lambda obj, a: (
-                    obj.props.__setitem__(a[0], a[1]),
+                    _onload_set(obj, a),
                     sink.add(f'<a href="{_esc_attr(js_str(a[1]))}"></a>')
                     if a[0] == "location" else None)[0],
                 "setdoc"),
@@ -289,7 +305,7 @@ class _Dom:
         window = JSObject({
             "document": document,
             "location": loc,
-            "addEventListener": NativeFn(lambda this, a: UNDEF, "ael"),
+            "addEventListener": NativeFn(_ael, "ael"),
             "open": NativeFn(
                 lambda this, a: (sink.add(
                     f'<a href="{_esc_attr(js_str(a[0]))}"></a>')
@@ -299,7 +315,7 @@ class _Dom:
             "scrollTo": NativeFn(lambda this, a: UNDEF, "scrollTo"),
             "__set__": NativeFn(
                 lambda obj, a: (
-                    obj.props.__setitem__(a[0], a[1]),
+                    _onload_set(obj, a),
                     sink.add(f'<a href="{_esc_attr(js_str(a[1]))}"></a>')
                     if a[0] == "location" else None)[0],
                 "setwin"),
@@ -392,6 +408,15 @@ def render_html(text: str, url: str = "") -> str:
                     break
         except RecursionError:  # pragma: no cover - parser depth caps first
             sink.rollback(mark)
+
+    # fire load-time callbacks once all scripts ran (the settle point
+    # Playwright waits for); a crashing handler keeps its prior effects
+    # (browser semantics) but never fails the render
+    for fn in dom.load_handlers:
+        try:
+            interp.call_function(fn, [])
+        except (JsError, JsThrow, RecursionError):
+            pass
 
     chunks = sink.chunks + dom.serialize_roots()
     if chunks:

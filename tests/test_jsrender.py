@@ -371,3 +371,30 @@ def test_fuzz_interpreter_valueish_programs():
             pass
 
     run_case()
+
+
+def test_render_onload_handlers_fire():
+    """Link-building deferred to load time (the pattern Playwright's
+    settle-wait captures) renders: both addEventListener('load') and
+    window.onload assignment run after all scripts."""
+    html = ("<html><body>"
+            "<script>window.addEventListener('load', function () {"
+            "document.write('<a href=\"/ael.html\">a</a>');});</script>"
+            "<script>window.onload = function () {"
+            "var a = document.createElement('a');"
+            "a.href = '/onload.html'; document.body.appendChild(a);"
+            "};</script>"
+            "<script>document.addEventListener('DOMContentLoaded',"
+            "() => document.write('<a href=\"/dcl.html\">d</a>'));"
+            "</script>"
+            "</body></html>")
+    added = render_html(html)[len(html):]
+    assert '/ael.html' in added
+    assert 'href="/onload.html"' in added
+    assert '/dcl.html' in added
+    # a crashing handler keeps earlier effects and never fails the render
+    bad = ("<html><body><script>window.onload = function () {"
+           "document.write('<a href=\"/kept.html\">k</a>'); nope();"
+           "};</script></body></html>")
+    out = render_html(bad)
+    assert '/kept.html' in out[len(bad):]

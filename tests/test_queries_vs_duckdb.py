@@ -87,7 +87,8 @@ def test_rows_only_queries_run(entrymod):
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
                  "crawl_images",
-                 "crawl_pages_by_source", "crawl_phash_buckets", "crawl_trainset"]:
+                 "crawl_pages_by_source", "crawl_phash_buckets",
+                 "crawl_trainset", "crawl_media_probe"]:
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()

@@ -128,11 +128,12 @@ class JSFunction:
 
 
 class NativeFn:
-    __slots__ = ("fn", "name")
+    __slots__ = ("fn", "name", "props")
 
-    def __init__(self, fn, name="native"):
+    def __init__(self, fn, name="native", props=None):
         self.fn = fn
         self.name = name
+        self.props = props or {}  # static members (String.fromCharCode…)
 
 
 # ---------------------------------------------------------------- lexer
@@ -249,8 +250,7 @@ _KEYWORDS = {"var", "let", "const", "function", "return", "if", "else",
              "catch", "finally", "throw", "delete", "void", "instanceof",
              "this", "switch", "case", "default", "class", "async",
              "yield", "await"}
-_UNSUPPORTED_KW = {"switch", "case", "default", "class", "async",
-                   "yield", "await", "instanceof"}
+_UNSUPPORTED_KW = {"class", "async", "yield", "await", "instanceof"}
 
 
 class Parser:
@@ -356,6 +356,8 @@ class Parser:
                 return ("throw", e)
             if self.at("try"):
                 return self.try_stmt()
+            if self.at("switch"):
+                return self.switch_stmt()
             e = self.expression()
             self.eat(";")
             return ("expr", e)
@@ -451,6 +453,30 @@ class Parser:
         update = None if self.at(")") else self.expression()
         self.expect(")")
         return ("for", init, cond, update, self.statement())
+
+    def switch_stmt(self):
+        self.expect("switch")
+        self.expect("(")
+        disc = self.expression()
+        self.expect(")")
+        self.expect("{")
+        cases = []  # (test_expr | None for default, [stmts])
+        while not self.at("}"):
+            if self.eat("case"):
+                test = self.expression()
+            else:
+                self.expect("default")
+                test = None
+            self.expect(":")
+            body = []
+            while not (self.at("case") or self.at("default")
+                       or self.at("}")):
+                if self.peek()[0] == "eof":
+                    raise JsError("unterminated switch")
+                body.append(self.statement())
+            cases.append((test, body))
+        self.expect("}")
+        return ("switch", disc, cases)
 
     def try_stmt(self):
         self.expect("try")
@@ -1006,6 +1032,28 @@ class Interp:
             finally:
                 if fin is not None:
                     self.exec_stmt(fin, env)
+        elif op == "switch":
+            _, disc_e, cases = st
+            disc = self.eval(disc_e, env)
+            start = None
+            for idx, (test, _body) in enumerate(cases):
+                if test is not None and self._strict_eq(
+                        disc, self.eval(test, env)):
+                    start = idx
+                    break
+            if start is None:
+                for idx, (test, _body) in enumerate(cases):
+                    if test is None:
+                        start = idx
+                        break
+            if start is not None:
+                sub = Env(env)
+                try:
+                    for _test, body in cases[start:]:  # fallthrough
+                        for s2 in body:
+                            self.exec_stmt(s2, sub)
+                except _Break:
+                    pass
         elif op == "empty":
             pass
         else:  # pragma: no cover - parser produces only the above
@@ -1242,6 +1290,8 @@ class Interp:
             return self._array_member(obj, name)
         if isinstance(obj, float):
             return self._number_member(obj, name)
+        if isinstance(obj, NativeFn) and name in obj.props:
+            return obj.props[name]
         if isinstance(obj, (JSFunction, NativeFn)):
             if name == "call":
                 return NativeFn(lambda this, args:
@@ -1786,8 +1836,107 @@ def std_globals() -> dict:
             return JSArray([UNDEF] * n)
         return JSArray(list(args))
 
-    str_ctor = NativeFn(_string_ctor, "ctor:String")
-    arr_ctor = NativeFn(_array_ctor, "ctor:Array")
+    def _from_char_code(this, args):
+        out = []
+        for a in args:
+            c = int(js_num(a)) & 0xFFFF
+            out.append(chr(c))
+        return _cap("".join(out))
+
+    str_ctor = NativeFn(_string_ctor, "ctor:String", props={
+        "fromCharCode": NativeFn(_from_char_code, "fromCharCode"),
+    })
+    arr_ctor = NativeFn(_array_ctor, "ctor:Array", props={
+        "isArray": NativeFn(
+            lambda this, a: isinstance(a[0], JSArray) if a else False,
+            "isArray"),
+        "from": NativeFn(
+            lambda this, a: JSArray(
+                list(a[0].items) if a and isinstance(a[0], JSArray)
+                else list(a[0]) if a and isinstance(a[0], str)
+                else []), "from"),
+    })
+
+    def _obj_keys(this, a):
+        if a and isinstance(a[0], JSObject):
+            return JSArray([k for k in a[0].props
+                            if k not in ("_rec", "__set__")])
+        if a and isinstance(a[0], JSArray):
+            return JSArray([js_str(float(i))
+                            for i in range(len(a[0].items))])
+        return JSArray([])
+
+    def _obj_values(this, a):
+        if a and isinstance(a[0], JSObject):
+            return JSArray([v for k, v in a[0].props.items()
+                            if k not in ("_rec", "__set__")])
+        if a and isinstance(a[0], JSArray):
+            return JSArray(list(a[0].items))
+        return JSArray([])
+
+    def _obj_assign(this, a):
+        if not a or not isinstance(a[0], JSObject):
+            raise JsThrow("TypeError: Object.assign target")
+        for src in a[1:]:
+            if isinstance(src, JSObject):
+                a[0].props.update(src.props)
+        return a[0]
+
+    def _json_stringify(this, a):
+        def ser(v, depth):
+            if depth > 16:
+                raise JsThrow("TypeError: cyclic or too-deep JSON")
+            if v is True:
+                return "true"
+            if v is False:
+                return "false"
+            if v is None or v is UNDEF:
+                return "null"
+            if isinstance(v, float):
+                return js_str(v) if math.isfinite(v) else "null"
+            if isinstance(v, str):
+                return ('"' + v.replace("\\", "\\\\").replace('"', '\\"')
+                        .replace("\n", "\\n").replace("\r", "\\r")
+                        .replace("\t", "\\t") + '"')
+            if isinstance(v, JSArray):
+                return "[" + ",".join(ser(x, depth + 1)
+                                      for x in v.items) + "]"
+            if isinstance(v, JSObject):
+                parts = []
+                for k, x in v.props.items():
+                    if k in ("_rec", "__set__") or isinstance(
+                            x, (JSFunction, NativeFn)):
+                        continue
+                    parts.append(ser(k, depth + 1) + ":"
+                                 + ser(x, depth + 1))
+                return "{" + ",".join(parts) + "}"
+            return "null"  # functions at top level → null-ish
+
+        return _cap(ser(a[0] if a else UNDEF, 0))
+
+    def _json_parse(this, a):
+        import json as _json
+
+        try:
+            data = _json.loads(js_str(a[0]) if a else "")
+        except ValueError:
+            raise JsThrow("SyntaxError: JSON.parse")
+
+        def conv(v):
+            if isinstance(v, bool):
+                return v
+            if v is None:
+                return None
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, str):
+                return v
+            if isinstance(v, list):
+                return JSArray([conv(x) for x in v])
+            return JSObject({k: conv(x) for k, x in v.items()})
+
+        return conv(data)
+
     return {
         "Math": _math_obj(),
         "parseInt": NativeFn(_parse_int, "parseInt"),
@@ -1801,9 +1950,30 @@ def std_globals() -> dict:
         "decodeURIComponent": NativeFn(_decode_uri_component, "dUC"),
         "encodeURI": NativeFn(_encode_uri_component, "eU"),
         "String": str_ctor,
-        "Number": NativeFn(_number_ctor, "ctor:Number"),
+        "Number": NativeFn(_number_ctor, "ctor:Number", props={
+            "parseInt": NativeFn(_parse_int, "parseInt"),
+            "parseFloat": NativeFn(_parse_float, "parseFloat"),
+            "isInteger": NativeFn(
+                lambda this, a: isinstance(a[0], float)
+                and float(a[0]).is_integer() if a else False, "isInteger"),
+            "isFinite": NativeFn(
+                lambda this, a: isinstance(a[0], float)
+                and math.isfinite(a[0]) if a else False, "isFinite"),
+            "MAX_SAFE_INTEGER": float(2**53 - 1),
+        }),
         "Boolean": NativeFn(_bool_ctor, "ctor:Boolean"),
         "Array": arr_ctor,
+        "Object": NativeFn(
+            lambda this, a: a[0] if a and isinstance(a[0], JSObject)
+            else JSObject({}), "ctor:Object", props={
+                "keys": NativeFn(_obj_keys, "keys"),
+                "values": NativeFn(_obj_values, "values"),
+                "assign": NativeFn(_obj_assign, "assign"),
+            }),
+        "JSON": JSObject({
+            "stringify": NativeFn(_json_stringify, "stringify"),
+            "parse": NativeFn(_json_parse, "parse"),
+        }),
         "NaN": math.nan,
         "Infinity": math.inf,
         "Date": JSObject({"now": NativeFn(lambda this, a: 1.7e12, "now")}),

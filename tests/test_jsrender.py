@@ -398,3 +398,57 @@ def test_render_onload_handlers_fire():
            "};</script></body></html>")
     out = render_html(bad)
     assert '/kept.html' in out[len(bad):]
+
+
+def test_switch_statement():
+    src = """
+    function name(code) {
+      switch (code) {
+        case 1: return 'one';
+        case 2:
+        case 3: return 'two-or-three';
+        default: return 'other';
+      }
+    }
+    var a = name(1), b = name(2), c = name(3), d = name(9);
+    var fall = [];
+    switch (2) {
+      case 1: fall.push('a');
+      case 2: fall.push('b');
+      case 3: fall.push('c'); break;
+      case 4: fall.push('d');
+    }
+    var f = fall.join('');
+    """
+    interp = run(src)
+    assert interp.genv.get("a") == "one"
+    assert interp.genv.get("b") == "two-or-three"
+    assert interp.genv.get("c") == "two-or-three"
+    assert interp.genv.get("d") == "other"
+    assert interp.genv.get("f") == "bc"  # fallthrough until break
+
+
+def test_stdlib_object_array_json_fromcharcode():
+    assert ev("String.fromCharCode(47, 104, 105)") == "/hi"
+    assert ev("Array.isArray([1])") is True
+    assert ev("Array.isArray('x')") is False
+    assert ev("Object.keys({a: 1, b: 2}).join(',')") == "a,b"
+    assert ev("Object.values({a: 1, b: 2}).join(',')") == "1,2"
+    assert ev("Object.assign({a: 1}, {b: 2}).b") == 2.0
+    assert ev("JSON.stringify({u: '/x', n: [1, 2]})") == \
+        '{"u":"/x","n":[1,2]}'
+    assert ev("JSON.parse('{\"a\": [1, \"s\"]}').a[1]") == "s"
+    assert ev("Number.parseInt('42')") == 42.0
+    assert ev("Number.isInteger(3)") is True
+
+
+def test_render_obfuscated_link_via_fromcharcode():
+    """The classic obfuscation shape: URL assembled from char codes —
+    only real execution discovers it."""
+    html = ("<html><body><script>"
+            "var u = String.fromCharCode(47, 111, 98, 102)"
+            " + '.html';"
+            "document.write('<a href=\"' + u + '\">o</a>');"
+            "</script></body></html>")
+    added = render_html(html)[len(html):]
+    assert 'href="/obf.html"' in added

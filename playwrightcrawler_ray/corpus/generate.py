@@ -133,9 +133,11 @@ def build_corpus(
             px = ((px >> 6) << 6).astype(px.dtype)
             body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
         elif i % 9 == 7:
-            # TIFF through the real codec — alternating uncompressed and
-            # LZW+predictor (the dominant real-world TIFF profile)
-            tfmt = "tiff_lzw" if (i // 9) % 2 else "tiff"
+            # TIFF through the real codec — rotating uncompressed,
+            # LZW+predictor, TILED (§15) and PLANAR (§12) profiles so
+            # every decoder layout sees golden-path traffic
+            tfmt = ("tiff", "tiff_lzw", "tiff_tiled",
+                    "tiff_planar")[(i // 9) % 4]
             body, ctype, name = (encode_image(px, tfmt), "image/tiff",
                                  f"pic{i}.tiff")
         elif i % 9 == 2:

@@ -24,9 +24,9 @@ quantized lossy format), ``webp`` (real VP8L lossless decoder —
 transforms, color cache, LZ77, meta-prefix — AND real lossy VP8
 keyframe decode via imaging/vp8.py, differential-tested bit-exact
 against libwebp), PNG incl. Adam7 interlace, TIFF incl. LZW +
-horizontal predictor. The remaining typed ``CodecUnavailable``
-variants: VP8 interframes, arithmetic-coded/hierarchical JPEG,
-JPEG-in-TIFF, tiled/planar TIFF.
+horizontal predictor, TILES (§15) and PLANAR sample layout (§12).
+The remaining typed ``CodecUnavailable`` variants: VP8 interframes,
+arithmetic-coded/hierarchical JPEG, JPEG-in-TIFF.
 """
 
 from __future__ import annotations
@@ -96,6 +96,15 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .tiff import tiff_encode
 
         return tiff_encode(pixels, compression="lzw", predictor=True)
+    if fmt == "tiff_tiled":
+        from .tiff import tiff_encode
+
+        return tiff_encode(pixels, compression="lzw", layout="tiles")
+    if fmt == "tiff_planar":
+        from .tiff import tiff_encode
+
+        return tiff_encode(pixels, compression="lzw", predictor=True,
+                           planar=True)
     if fmt == "webp":
         from .webp import vp8l_encode
 
@@ -182,7 +191,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = tiff_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # LZW/tiled/planar/16-bit TIFF: beyond the baseline
+                # JPEG-in-TIFF and exotic variants: beyond the baseline
                 raise CodecUnavailable(str(e)) from e
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)

@@ -3,13 +3,16 @@
 Covers the uncompressed, PackBits and **LZW**-compressed profiles
 (TIFF 6.0 §13: MSB-first variable-width codes with early change, plus
 the horizontal-differencing predictor, tag 317) — grayscale
-(bilevel/8-bit), RGB and RGBA, strip-organized, both byte orders,
-depths 1 and 8 per sample. JPEG-in-TIFF, tiles, planar configuration 2
-and 16-bit samples raise ``NotImplementedError`` (→
+(bilevel/8-bit), RGB and RGBA, 16-bit samples in both byte orders,
+**strip- AND tile-organized** (§15: TileWidth/TileLength/TileOffsets,
+right/bottom tiles padded to full size) in **both chunky and planar
+(PlanarConfiguration=2, §12) sample layouts**.  JPEG-in-TIFF and
+exotic photometrics raise ``NotImplementedError`` (→
 ``CodecUnavailable`` through the codec facade, like the other
-genuinely-undecodable variants). Encoders (uncompressed and LZW RGB)
-exist so the corpus can serve real TIFF payloads through the golden
-path.
+genuinely-undecodable variants).  Encoders (uncompressed and LZW;
+strips or tiles; chunky or planar) exist so the corpus can serve real
+TIFF payloads through the golden path and every decode path has a
+round-trip twin.
 """
 
 from __future__ import annotations
@@ -29,6 +32,10 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -183,8 +190,28 @@ def _lzw_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _decompress(seg: bytes, expected: int, compression: int) -> bytes:
+    if compression == 32773:
+        return _unpackbits(seg, expected)
+    if compression == 5:
+        return _lzw_decode(seg, expected)
+    if len(seg) < expected:
+        raise ValueError("short TIFF pixel data")
+    return seg[:expected]
+
+
+def _undo_predictor(px: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (tag 317 = 2) over an (h, w, c) uint8
+    block: cumulative sum per sample channel along the row.  Applies
+    per strip/tile — the predictor resets at every row start, so
+    block-local application is exact."""
+    out = np.cumsum(px.astype(np.int64), axis=1) & 0xFF
+    return out.astype(np.uint8)
+
+
 def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """Decode baseline TIFF bytes → (h, w, 3|4) uint8."""
+    """Decode baseline TIFF bytes → (h, w, 3|4) uint8 (module
+    docstring: strips or tiles, chunky or planar, both byte orders)."""
     if data[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF stream")
     endian = "<" if data[:2] == b"II" else ">"
@@ -193,12 +220,20 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     try:
         w = ifd[_TAG_WIDTH][0]
         h = ifd[_TAG_HEIGHT][0]
-        offsets = ifd[_TAG_STRIP_OFFSETS]
-        counts = ifd[_TAG_STRIP_COUNTS]
     except KeyError as e:
         raise ValueError(f"missing required TIFF tag: {e}") from e
     if w * h > max_pixels:
         raise MemoryError(f"decompression bomb: {w}x{h}")
+    tiled = _TAG_TILE_OFFSETS in ifd
+    if tiled:
+        offsets = ifd[_TAG_TILE_OFFSETS]
+        counts = ifd.get(_TAG_TILE_COUNTS, [])
+    else:
+        try:
+            offsets = ifd[_TAG_STRIP_OFFSETS]
+            counts = ifd[_TAG_STRIP_COUNTS]
+        except KeyError as e:
+            raise ValueError(f"missing required TIFF tag: {e}") from e
     compression = ifd.get(_TAG_COMPRESSION, [1])[0]
     photometric = ifd.get(_TAG_PHOTOMETRIC, [1])[0]
     spp = ifd.get(_TAG_SPP, [1])[0]
@@ -206,8 +241,8 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     rows_per_strip = ifd.get(_TAG_ROWS_PER_STRIP, [h])[0] or h
     planar = ifd.get(_TAG_PLANAR, [1])[0]
     predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
-    if planar != 1:
-        raise NotImplementedError("planar configuration 2")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar}")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     if predictor not in (1, 2):
@@ -219,102 +254,220 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     depth = bits[0]
     if depth == 16 and predictor == 2:
         raise NotImplementedError("predictor 2 at 16-bit samples")
-    if depth == 1 and spp != 1:
-        raise NotImplementedError("multi-sample bilevel")
+    if depth == 1 and (spp != 1 or tiled or planar != 1):
+        raise NotImplementedError("non-baseline bilevel layout")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"{spp} samples per pixel")
 
-    row_bytes = (w * spp * depth + 7) // 8
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = data[off : off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("truncated strip")
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        if compression == 32773:
-            strip = _unpackbits(strip, nrows * row_bytes)
-        elif compression == 5:
-            strip = _lzw_decode(strip, nrows * row_bytes)
-        raw += strip[: nrows * row_bytes]
-    if len(raw) < h * row_bytes:
-        raise ValueError("short TIFF pixel data")
-    arr = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8)
-    rows = arr.reshape(h, row_bytes)
-    if predictor == 2:
-        if depth != 8:
-            raise NotImplementedError("predictor 2 at depth != 8")
-        # horizontal differencing: cumulative sum per sample channel
-        px = rows[:, : w * spp].reshape(h, w, spp).astype(np.int64)
-        px = np.cumsum(px, axis=1) & 0xFF
-        rows = px.astype(np.uint8).reshape(h, w * spp)
+    # ---- bilevel strips (chunky only): original compact path
     if depth == 1:
+        row_bytes = (w + 7) // 8
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            seg = data[off : off + cnt]
+            if len(seg) != cnt:
+                raise ValueError("truncated strip")
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            raw += _decompress(seg, nrows * row_bytes, compression)
+        if len(raw) < h * row_bytes:
+            raise ValueError("short TIFF pixel data")
+        rows = np.frombuffer(bytes(raw[: h * row_bytes]),
+                             dtype=np.uint8).reshape(h, row_bytes)
         sam = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8) * 255
         if photometric == 0:  # WhiteIsZero
             sam = 255 - sam
         return np.stack([sam, sam, sam], axis=2)
+
+    bps = depth // 8
+    u8 = np.uint8 if depth == 8 else np.dtype(endian + "u2")
+    n_planes = 1 if planar == 1 else spp
+    cpp = spp if planar == 1 else 1  # channels per segment
+    sam = np.zeros((h, w, spp), dtype=np.uint8 if depth == 8 else np.uint16)
+
+    def place(block: np.ndarray, y0: int, x0: int, plane: int) -> None:
+        bh = min(block.shape[0], h - y0)
+        bw = min(block.shape[1], w - x0)
+        if planar == 1:
+            sam[y0:y0 + bh, x0:x0 + bw, :] = block[:bh, :bw, :]
+        else:
+            sam[y0:y0 + bh, x0:x0 + bw, plane] = block[:bh, :bw, 0]
+
+    if tiled:
+        try:
+            tw = ifd[_TAG_TILE_WIDTH][0]
+            th = ifd[_TAG_TILE_LENGTH][0]
+        except KeyError as e:
+            raise ValueError(f"missing tile tag: {e}") from e
+        if tw <= 0 or th <= 0:
+            raise ValueError("bad tile dimensions")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) < across * down * n_planes:
+            raise ValueError("too few tiles")
+        seg_bytes = th * tw * cpp * bps
+        i = 0
+        for plane in range(n_planes):
+            for ty in range(down):
+                for tx in range(across):
+                    off, cnt = offsets[i], counts[i]
+                    i += 1
+                    seg = data[off : off + cnt]
+                    if len(seg) != cnt:
+                        raise ValueError("truncated tile")
+                    raw = _decompress(seg, seg_bytes, compression)
+                    block = np.frombuffer(raw, dtype=u8).reshape(
+                        th, tw, cpp)
+                    if predictor == 2:
+                        block = _undo_predictor(block)
+                    place(block, ty * th, tx * tw, plane)
+    else:
+        strips_per_plane = -(-h // rows_per_strip)
+        if len(offsets) < strips_per_plane * n_planes:
+            raise ValueError("too few strips")
+        i = 0
+        for plane in range(n_planes):
+            for si in range(strips_per_plane):
+                off, cnt = offsets[i], counts[i]
+                i += 1
+                seg = data[off : off + cnt]
+                if len(seg) != cnt:
+                    raise ValueError("truncated strip")
+                nrows = min(rows_per_strip, h - si * rows_per_strip)
+                raw = _decompress(seg, nrows * w * cpp * bps, compression)
+                block = np.frombuffer(raw, dtype=u8).reshape(
+                    nrows, w, cpp)
+                if predictor == 2:
+                    block = _undo_predictor(block)
+                place(block, si * rows_per_strip, 0, plane)
+
     if depth == 16:
-        # 16-bit samples in file byte order, reduced to the high byte
-        # (PIL's I;16→L convention, matching the PNG decoder)
-        wide = np.frombuffer(bytes(raw[: h * row_bytes]),
-                             dtype=endian + "u2").reshape(h, -1)
-        rows = (wide >> 8).astype(np.uint8)
-    px = rows[:, : w * spp].reshape(h, w, spp)
+        # reduce to the high byte (PIL's I;16→L convention, matching
+        # the PNG decoder); `sam` holds native-order u16 already
+        sam = (sam >> 8).astype(np.uint8)
     if spp == 1:
-        g = px[:, :, 0]
+        g = sam[:, :, 0]
         if photometric == 0:
             g = 255 - g
         return np.stack([g, g, g], axis=2)
-    if spp in (3, 4):
-        return px.copy()
-    raise NotImplementedError(f"{spp} samples per pixel")
+    return sam.copy()
+
+
+def _hdiff(block: np.ndarray) -> np.ndarray:
+    diff = block.astype(np.int16)
+    diff[:, 1:, :] = diff[:, 1:, :] - block[:, :-1, :].astype(np.int16)
+    return (diff & 0xFF).astype(np.uint8)
 
 
 def tiff_encode(pixels: np.ndarray, compression: str = "none",
-                predictor: bool = False) -> bytes:
+                predictor: bool = False, layout: str = "strips",
+                planar: bool = False, tile: int = 16) -> bytes:
     """Encode (h, w, 3) uint8 RGB as little-endian TIFF — uncompressed
     by default, ``compression="lzw"`` (optionally with the horizontal
-    predictor) for the compressed profile."""
+    predictor) for the compressed profile; ``layout="tiles"`` emits a
+    tiled file (§15, ``tile``×``tile``, multiples of 16 per spec) and
+    ``planar=True`` the PlanarConfiguration=2 sample layout — every
+    variant the decoder accepts has a round-trip twin here."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("expected (h, w, 3) uint8 array")
     if compression not in ("none", "lzw"):
         raise ValueError("compression must be 'none' or 'lzw'")
     if predictor and compression != "lzw":
         raise ValueError("predictor requires lzw")
+    if layout not in ("strips", "tiles"):
+        raise ValueError("layout must be 'strips' or 'tiles'")
+    if layout == "tiles" and tile % 16:
+        raise ValueError("tile dimensions must be multiples of 16")
     h, w, _ = pixels.shape
-    body = pixels
-    if predictor:
-        diff = pixels.astype(np.int16)
-        diff[:, 1:, :] = diff[:, 1:, :] - pixels[:, :-1, :].astype(np.int16)
-        body = (diff & 0xFF).astype(np.uint8)
-    pixel_data = body.tobytes()
-    if compression == "lzw":
-        pixel_data = _lzw_encode(pixel_data)
     comp_tag = 5 if compression == "lzw" else 1
-    # layout: header(8) | pixel data | IFD
-    data_off = 8
-    ifd_off = data_off + len(pixel_data)
+
+    def pack(seg: np.ndarray) -> bytes:
+        if predictor:
+            seg = _hdiff(seg)
+        raw = seg.tobytes()
+        return _lzw_encode(raw) if compression == "lzw" else raw
+
+    planes = ([pixels[:, :, c:c + 1] for c in range(3)] if planar
+              else [pixels])
+    segments: list[bytes] = []
+    if layout == "tiles":
+        across, down = -(-w // tile), -(-h // tile)
+        for pl in planes:
+            padded = np.zeros((down * tile, across * tile, pl.shape[2]),
+                              np.uint8)
+            padded[:h, :w] = pl
+            for ty in range(down):
+                for tx in range(across):
+                    segments.append(pack(
+                        padded[ty * tile:(ty + 1) * tile,
+                               tx * tile:(tx + 1) * tile]))
+    else:
+        for pl in planes:
+            segments.append(pack(pl))
+
+    seg_off: list[int] = []
+    data = bytearray()
+    for s in segments:
+        seg_off.append(8 + len(data))
+        data += s
+    ifd_off = 8 + len(data)
+    n_seg = len(segments)
+
     entries = [
         (_TAG_WIDTH, 3, 1, w),
         (_TAG_HEIGHT, 3, 1, h),
-        (_TAG_BITS, 3, 3, None),       # needs external value block
+        (_TAG_BITS, 3, 3, None),       # external value block
         (_TAG_COMPRESSION, 3, 1, comp_tag),
         (_TAG_PHOTOMETRIC, 3, 1, 2),   # RGB
-        (_TAG_STRIP_OFFSETS, 4, 1, data_off),
         (_TAG_SPP, 3, 1, 3),
-        (_TAG_ROWS_PER_STRIP, 3, 1, h),
-        (_TAG_STRIP_COUNTS, 4, 1, len(pixel_data)),
     ]
+    if layout == "tiles":
+        entries += [(_TAG_TILE_WIDTH, 3, 1, tile),
+                    (_TAG_TILE_LENGTH, 3, 1, tile),
+                    (_TAG_TILE_OFFSETS, 4, n_seg, None),
+                    (_TAG_TILE_COUNTS, 4, n_seg, None)]
+    else:
+        entries += [(_TAG_STRIP_OFFSETS, 4, n_seg, None),
+                    (_TAG_ROWS_PER_STRIP, 3, 1, h),
+                    (_TAG_STRIP_COUNTS, 4, n_seg, None)]
+    if planar:
+        entries.append((_TAG_PLANAR, 3, 1, 2))
     if predictor:
         entries.append((_TAG_PREDICTOR, 3, 1, 2))
     entries.sort()
-    bits_off = ifd_off + 2 + 12 * len(entries) + 4
+
+    # external value blocks after the IFD: bits(6B) then offset/count
+    # arrays when n_seg > 1
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    bits_off = ext_off
+    ext_off += 6
+    arr_offs: dict[int, int] = {}
+    off_tag = _TAG_TILE_OFFSETS if layout == "tiles" else _TAG_STRIP_OFFSETS
+    cnt_tag = _TAG_TILE_COUNTS if layout == "tiles" else _TAG_STRIP_COUNTS
+    if n_seg > 1:
+        arr_offs[off_tag] = ext_off
+        ext_off += 4 * n_seg
+        arr_offs[cnt_tag] = ext_off
+        ext_off += 4 * n_seg
+
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", ifd_off)
-    out += pixel_data
+    out += data
     out += struct.pack("<H", len(entries))
     for tag, typ, count, val in entries:
         if tag == _TAG_BITS:
             out += struct.pack("<HHII", tag, typ, count, bits_off)
+        elif tag == off_tag:
+            out += struct.pack("<HHII", tag, typ, count,
+                               arr_offs[tag] if n_seg > 1 else seg_off[0])
+        elif tag == cnt_tag:
+            out += struct.pack("<HHII", tag, typ, count,
+                               arr_offs[tag] if n_seg > 1
+                               else len(segments[0]))
         else:
             out += struct.pack("<HHII", tag, typ, count, val)
     out += struct.pack("<I", 0)  # next IFD
     out += struct.pack("<HHH", 8, 8, 8)  # bits-per-sample value block
+    if n_seg > 1:
+        out += struct.pack(f"<{n_seg}I", *seg_off)
+        out += struct.pack(f"<{n_seg}I", *[len(s) for s in segments])
     return bytes(out)

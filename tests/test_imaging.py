@@ -557,3 +557,54 @@ def test_tiff_16bit_samples_high_byte():
     assert out2.shape == (1, 2, 3)
     assert out2[0, 0].tolist() == [0x11, 0x22, 0x33]
     assert out2[0, 1].tolist() == [0x44, 0x55, 0x66]
+
+
+def test_tiff_tiled_and_planar_roundtrips():
+    """TIFF §15 tiles (right/bottom padding) and §12 planar layout —
+    every encoder variant decodes bit-exactly, including combinations
+    with LZW and the horizontal predictor."""
+    import numpy as np
+
+    from playwrightcrawler_ray.imaging.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(16, 16), (17, 23), (48, 33), (1, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for comp in ("none", "lzw"):
+            for pred in ((False, True) if comp == "lzw" else (False,)):
+                for layout in ("strips", "tiles"):
+                    for planar in (False, True):
+                        data = tiff_encode(px, compression=comp,
+                                           predictor=pred, layout=layout,
+                                           planar=planar)
+                        assert np.array_equal(tiff_decode(data), px), (
+                            h, w, comp, pred, layout, planar)
+
+
+def test_tiff_tiled_planar_through_facade():
+    import numpy as np
+
+    from playwrightcrawler_ray.imaging.codec import decode_image, encode_image
+
+    px = _pixels(20)
+    for fmt in ("tiff_tiled", "tiff_planar"):
+        out, kind = decode_image(encode_image(px, fmt))
+        assert kind == "tiff"
+        assert np.array_equal(out, px)
+
+
+def test_tiff_tiled_malformed():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from playwrightcrawler_ray.imaging.tiff import tiff_decode, tiff_encode
+
+    good = tiff_encode(np.zeros((20, 20, 3), np.uint8), layout="tiles")
+    # truncations raise the corruption family codec.py maps to OSError
+    # (ValueError / struct.error / NotImplementedError) — never crash
+    for cut in range(8, len(good), max(1, len(good) // 17)):
+        with _pytest.raises((ValueError, NotImplementedError,
+                             struct.error)):
+            tiff_decode(good[:cut])

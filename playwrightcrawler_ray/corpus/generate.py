@@ -134,10 +134,11 @@ def build_corpus(
             body, ctype, name = encode_image(px, "gif"), "image/gif", f"pic{i}.gif"
         elif i % 9 == 7:
             # TIFF through the real codec — rotating uncompressed,
-            # LZW+predictor, TILED (§15) and PLANAR (§12) profiles so
-            # every decoder layout sees golden-path traffic
+            # LZW+predictor, TILED (§15), PLANAR (§12) and
+            # JPEG-in-TIFF (compression 7) profiles so every decoder
+            # layout sees golden-path traffic
             tfmt = ("tiff", "tiff_lzw", "tiff_tiled",
-                    "tiff_planar")[(i // 9) % 4]
+                    "tiff_planar", "tiff_jpeg")[(i // 9) % 5]
             body, ctype, name = (encode_image(px, tfmt), "image/tiff",
                                  f"pic{i}.tiff")
         elif i % 9 == 2:

@@ -24,9 +24,11 @@ quantized lossy format), ``webp`` (real VP8L lossless decoder —
 transforms, color cache, LZ77, meta-prefix — AND real lossy VP8
 keyframe decode via imaging/vp8.py, differential-tested bit-exact
 against libwebp), PNG incl. Adam7 interlace, TIFF incl. LZW +
-horizontal predictor, TILES (§15) and PLANAR sample layout (§12).
+horizontal predictor, TILES (§15) and PLANAR sample layout (§12),
+and new-style JPEG-in-TIFF (compression 7: shared JPEGTables +
+abbreviated per-segment streams, composed with the T.81 decoder).
 The remaining typed ``CodecUnavailable`` variants: VP8 interframes,
-arithmetic-coded/hierarchical JPEG, JPEG-in-TIFF.
+arithmetic-coded/hierarchical JPEG.
 """
 
 from __future__ import annotations
@@ -105,6 +107,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         return tiff_encode(pixels, compression="lzw", predictor=True,
                            planar=True)
+    if fmt == "tiff_jpeg":
+        from .tiff import tiff_encode_jpeg
+
+        return tiff_encode_jpeg(pixels, quality=95)
     if fmt == "webp":
         from .webp import vp8l_encode
 
@@ -191,7 +197,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = tiff_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # JPEG-in-TIFF and exotic variants: beyond the baseline
+                # exotic TIFF variants: beyond the implemented profiles
                 raise CodecUnavailable(str(e)) from e
         else:  # qimg
             w, h = struct.unpack_from(">II", data, 4)

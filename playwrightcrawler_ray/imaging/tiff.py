@@ -6,13 +6,14 @@ the horizontal-differencing predictor, tag 317) — grayscale
 (bilevel/8-bit), RGB and RGBA, 16-bit samples in both byte orders,
 **strip- AND tile-organized** (§15: TileWidth/TileLength/TileOffsets,
 right/bottom tiles padded to full size) in **both chunky and planar
-(PlanarConfiguration=2, §12) sample layouts**.  JPEG-in-TIFF and
-exotic photometrics raise ``NotImplementedError`` (→
-``CodecUnavailable`` through the codec facade, like the other
-genuinely-undecodable variants).  Encoders (uncompressed and LZW;
-strips or tiles; chunky or planar) exist so the corpus can serve real
-TIFF payloads through the golden path and every decode path has a
-round-trip twin.
+(PlanarConfiguration=2, §12) sample layouts**, plus **new-style
+JPEG-in-TIFF** (compression 7, TTN2: shared ``JPEGTables`` DQT/DHT +
+abbreviated per-segment streams, decoded by composing the in-repo
+T.81 codec).  Exotic photometrics raise ``NotImplementedError`` (→
+``CodecUnavailable`` through the codec facade).  Encoders
+(uncompressed, LZW and JPEG; strips or tiles; chunky or planar) exist
+so the corpus can serve real TIFF payloads through the golden path
+and every decode path has a round-trip twin.
 """
 
 from __future__ import annotations
@@ -36,9 +37,10 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
+_TAG_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}
 
 
 def _read_ifd(data: bytes, endian: str, off: int) -> dict[int, list[int]]:
@@ -243,11 +245,25 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
     if planar not in (1, 2):
         raise NotImplementedError(f"planar configuration {planar}")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 32773, 7):
         raise NotImplementedError(f"TIFF compression {compression}")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TTN2): segments are abbreviated JPEG
+        # streams sharing the JPEGTables (tag 347) DQT/DHT state —
+        # decoded by composing the in-repo T.81 decoder
+        if planar != 1 or photometric != 6 or spp != 3:
+            raise NotImplementedError(
+                "JPEG-in-TIFF: only chunky YCbCr (photometric 6) RGB")
+        jpeg_prefix = b""
+        if _TAG_JPEG_TABLES in ifd:
+            tb = bytes(ifd[_TAG_JPEG_TABLES])
+            if tb[-2:] == b"\xff\xd9":
+                tb = tb[:-2]  # strip EOI: segments append their own SOI
+            jpeg_prefix = tb
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2) and not (
+            photometric == 6 and compression == 7):
         raise NotImplementedError(f"TIFF photometric {photometric}")
     if any(b not in (1, 8, 16) for b in bits) or len(set(bits)) != 1:
         raise NotImplementedError(f"TIFF bits per sample {bits}")
@@ -314,11 +330,17 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                     seg = data[off : off + cnt]
                     if len(seg) != cnt:
                         raise ValueError("truncated tile")
-                    raw = _decompress(seg, seg_bytes, compression)
-                    block = np.frombuffer(raw, dtype=u8).reshape(
-                        th, tw, cpp)
-                    if predictor == 2:
-                        block = _undo_predictor(block)
+                    if compression == 7:
+                        from .jpeg import jpeg_decode
+
+                        block = jpeg_decode(jpeg_prefix + bytes(seg),
+                                            max_pixels=max_pixels)
+                    else:
+                        raw = _decompress(seg, seg_bytes, compression)
+                        block = np.frombuffer(raw, dtype=u8).reshape(
+                            th, tw, cpp)
+                        if predictor == 2:
+                            block = _undo_predictor(block)
                     place(block, ty * th, tx * tw, plane)
     else:
         strips_per_plane = -(-h // rows_per_strip)
@@ -333,11 +355,18 @@ def tiff_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 if len(seg) != cnt:
                     raise ValueError("truncated strip")
                 nrows = min(rows_per_strip, h - si * rows_per_strip)
-                raw = _decompress(seg, nrows * w * cpp * bps, compression)
-                block = np.frombuffer(raw, dtype=u8).reshape(
-                    nrows, w, cpp)
-                if predictor == 2:
-                    block = _undo_predictor(block)
+                if compression == 7:
+                    from .jpeg import jpeg_decode
+
+                    block = jpeg_decode(jpeg_prefix + bytes(seg),
+                                        max_pixels=max_pixels)
+                else:
+                    raw = _decompress(seg, nrows * w * cpp * bps,
+                                      compression)
+                    block = np.frombuffer(raw, dtype=u8).reshape(
+                        nrows, w, cpp)
+                    if predictor == 2:
+                        block = _undo_predictor(block)
                 place(block, si * rows_per_strip, 0, plane)
 
     if depth == 16:
@@ -471,3 +500,133 @@ def tiff_encode(pixels: np.ndarray, compression: str = "none",
         out += struct.pack(f"<{n_seg}I", *seg_off)
         out += struct.pack(f"<{n_seg}I", *[len(s) for s in segments])
     return bytes(out)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG into (tables stream: SOI+DQT/DHT+EOI, the
+    abbreviated image stream without its DQT/DHT) — the TTN2
+    JPEGTables layout for compression-7 TIFF."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        segment = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT → shared tables
+            tables += segment
+        else:
+            body += segment
+            if marker == 0xDA:  # SOS: the rest is entropy data + EOI
+                body += stream[pos + 2 + seglen :]
+                break
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
+def tiff_encode_jpeg(pixels: np.ndarray, quality: int = 95,
+                     layout: str = "strips", tile: int = 16) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a compression-7 (new-style
+    JPEG-in-TIFF) file: shared JPEGTables (tag 347) + abbreviated
+    per-segment streams, strips or tiles — the round-trip twin of the
+    decoder's compression-7 path."""
+    from .jpeg import jpeg_encode
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 array")
+    if layout not in ("strips", "tiles"):
+        raise ValueError("layout must be 'strips' or 'tiles'")
+    if layout == "tiles" and tile % 16:
+        raise ValueError("tile dimensions must be multiples of 16")
+    h, w, _ = pixels.shape
+
+    blocks: list[np.ndarray] = []
+    if layout == "tiles":
+        across, down = -(-w // tile), -(-h // tile)
+        padded = np.pad(pixels,
+                        ((0, down * tile - h), (0, across * tile - w),
+                         (0, 0)), mode="edge")
+        for ty in range(down):
+            for tx in range(across):
+                blocks.append(padded[ty * tile:(ty + 1) * tile,
+                                     tx * tile:(tx + 1) * tile])
+    else:
+        blocks.append(pixels)
+
+    tables: bytes | None = None
+    segments: list[bytes] = []
+    for b in blocks:
+        full = jpeg_encode(b, quality=quality, subsampling="444")
+        t, body = _split_jpeg_tables(full)
+        if tables is None:
+            tables = t  # identical for every block (fixed quality)
+        segments.append(body)
+    assert tables is not None
+
+    seg_off: list[int] = []
+    data = bytearray()
+    for s in segments:
+        seg_off.append(8 + len(data))
+        data += s
+    ifd_off = 8 + len(data)
+    n_seg = len(segments)
+
+    entries = [
+        (_TAG_WIDTH, 3, 1), (_TAG_HEIGHT, 3, 1), (_TAG_BITS, 3, 3),
+        (_TAG_COMPRESSION, 3, 1), (_TAG_PHOTOMETRIC, 3, 1),
+        (_TAG_SPP, 3, 1), (_TAG_JPEG_TABLES, 7, len(tables)),
+    ]
+    if layout == "tiles":
+        entries += [(_TAG_TILE_WIDTH, 3, 1), (_TAG_TILE_LENGTH, 3, 1),
+                    (_TAG_TILE_OFFSETS, 4, n_seg),
+                    (_TAG_TILE_COUNTS, 4, n_seg)]
+    else:
+        entries += [(_TAG_STRIP_OFFSETS, 4, n_seg),
+                    (_TAG_ROWS_PER_STRIP, 3, 1),
+                    (_TAG_STRIP_COUNTS, 4, n_seg)]
+    entries.sort()
+
+    ext_off = ifd_off + 2 + 12 * len(entries) + 4
+    ext = bytearray()
+
+    def external(blob: bytes) -> int:
+        nonlocal ext_off
+        at = ext_off
+        ext.extend(blob)
+        ext_off += len(blob)
+        return at
+
+    off_tag = _TAG_TILE_OFFSETS if layout == "tiles" else _TAG_STRIP_OFFSETS
+    cnt_tag = _TAG_TILE_COUNTS if layout == "tiles" else _TAG_STRIP_COUNTS
+    inline = {
+        _TAG_WIDTH: w, _TAG_HEIGHT: h, _TAG_COMPRESSION: 7,
+        _TAG_PHOTOMETRIC: 6, _TAG_SPP: 3,
+        _TAG_TILE_WIDTH: tile, _TAG_TILE_LENGTH: tile,
+        _TAG_ROWS_PER_STRIP: h,
+    }
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    for tag, typ, count in entries:
+        if tag == _TAG_BITS:
+            val = external(struct.pack("<HHH", 8, 8, 8))
+        elif tag == _TAG_JPEG_TABLES:
+            val = external(tables)
+        elif tag == off_tag:
+            val = (seg_off[0] if n_seg == 1
+                   else external(struct.pack(f"<{n_seg}I", *seg_off)))
+        elif tag == cnt_tag:
+            val = (len(segments[0]) if n_seg == 1
+                   else external(struct.pack(
+                       f"<{n_seg}I", *[len(s) for s in segments])))
+        else:
+            val = inline[tag]
+        ifd += struct.pack("<HHII", tag, typ, count, val)
+    ifd += struct.pack("<I", 0)
+
+    return bytes(b"II*\x00" + struct.pack("<I", ifd_off) + data + ifd + ext)

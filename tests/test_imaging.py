@@ -608,3 +608,30 @@ def test_tiff_tiled_malformed():
         with _pytest.raises((ValueError, NotImplementedError,
                              struct.error)):
             tiff_decode(good[:cut])
+
+
+def test_tiff_jpeg_compression7():
+    """New-style JPEG-in-TIFF (TTN2): shared JPEGTables + abbreviated
+    per-segment streams, strips and tiles — decoded by composing the
+    in-repo T.81 codec; the strips layout is BIT-IDENTICAL to decoding
+    the equivalent standalone JPEG."""
+    import numpy as np
+
+    from playwrightcrawler_ray.imaging.codec import decode_image, encode_image
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode, jpeg_encode
+    from playwrightcrawler_ray.imaging.tiff import (
+        tiff_decode, tiff_encode_jpeg,
+    )
+
+    px = _pixels(13)
+    for layout in ("strips", "tiles"):
+        data = tiff_encode_jpeg(px, quality=95, layout=layout)
+        out = tiff_decode(data)
+        assert out.shape == px.shape
+        assert psnr(px, out) >= 40
+    full = jpeg_encode(px, quality=95, subsampling="444")
+    assert np.array_equal(
+        tiff_decode(tiff_encode_jpeg(px, 95, "strips")), jpeg_decode(full))
+    # through the facade
+    out, kind = decode_image(encode_image(px, "tiff_jpeg"))
+    assert kind == "tiff" and psnr(px, out) >= 40

@@ -635,3 +635,29 @@ def test_tiff_jpeg_compression7():
     # through the facade
     out, kind = decode_image(encode_image(px, "tiff_jpeg"))
     assert kind == "tiff" and psnr(px, out) >= 40
+
+
+def test_tiff_variant_matrix_property():
+    """Property fuzz over the full TIFF encoder matrix: arbitrary
+    sizes/content round-trip bit-exactly through every lossless
+    layout combination."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from playwrightcrawler_ray.imaging.tiff import tiff_decode, tiff_encode
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.integers(0, 2**32 - 1),
+           st.sampled_from(["none", "lzw"]),
+           st.sampled_from(["strips", "tiles"]),
+           st.booleans())
+    def roundtrip(h, w, seed, comp, layout, planar):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = tiff_encode(px, compression=comp,
+                           predictor=(comp == "lzw"), layout=layout,
+                           planar=planar)
+        assert np.array_equal(tiff_decode(data), px)
+
+    roundtrip()

@@ -26,6 +26,13 @@ class CrawlConfig:
     # functions/render.py — document.write literals + lazy-load
     # promotion). Off = static fetch only.
     render_js: bool = True
+    # fetch + execute external <script src> subresources during the
+    # render (browser semantics — the reference's Playwright runs every
+    # page script, playwrightcrawler.py:5174-5185). Sources are fetched
+    # through the same backend as the page (corpus index / real socket)
+    # with a per-process LRU source cache (a browser's script cache).
+    # Requires render_js; off = inline scripts only (round-4 behavior).
+    execute_external_scripts: bool = True
     use_octet_stream: bool = True             # USE_OCTET_STREAM
     words_remove_special_chars: bool = True   # WORDS_REMOVE_SPECIAL_CHARS
     words_to_lower: bool = True               # WORDS_TO_LOWER

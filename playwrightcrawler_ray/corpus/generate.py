@@ -306,10 +306,13 @@ def build_corpus(
             if hi == 1 and pi == 1:
                 links.append("/dynamic.html")   # JS-rendered fixture
                 links.append("/computed.html")  # computed-JS fixture
+
             if hi == 2 and pi == 1:
                 links.append("/media/clip.wav")   # audio rows (probe)
                 links.append("/media/song.mp3")
                 links.append("/media/movie.mp4")  # video row (probe)
+            if hi == 3 and pi == 1:
+                links.append("/external.html")  # external-script fixture
             if pi == 2:
                 links.append(f"/loop/a/b/a/b/a/b/x{pi}.html")  # trap
             if hi % 3 == 0 and pi == 3:
@@ -418,6 +421,46 @@ def build_corpus(
             corpus.pages[f"https://{h1}/{name}.html"] = {
                 "status": 200, "content_type": "text/html",
                 "body": (f"<html><body><p>{name}: computed-JS target"
+                         f"</p></body></html>").encode(),
+                "redirect_to": "",
+            }
+    # EXTERNAL-script fixture (host 3 — no crawl-delay, so the targets
+    # are reached within the wave budget): the link URLs exist ONLY
+    # inside a fetched /app.js (computed there, no literal in the
+    # page), and a following inline script reads a global the external
+    # script defined — only a renderer that FETCHES and EXECUTES
+    # external scripts in document order (round 5) discovers
+    # /extgen*.html and /extdom.html
+    if n_hosts > 3:
+        h3 = hosts[3]
+        app_js = (
+            "var extbase = '/ext';\n"
+            "function mk(n) { return extbase + 'gen' + n + '.html'; }\n"
+            "for (var i = 0; i < 2; i++) {\n"
+            "  document.write('<a href=\"' + mk(i) + '\">x</a>');\n"
+            "}\n"
+        )
+        corpus.pages[f"https://{h3}/app.js"] = {
+            "status": 200, "content_type": "application/javascript",
+            "body": app_js.encode(), "redirect_to": "",
+        }
+        external_html = (
+            "<html><body><p>links live in the external script</p>\n"
+            '<script src="/app.js"></script>\n'
+            "<script>\n"
+            "var a = document.createElement('a');\n"
+            "a.href = extbase + 'dom.html';\n"
+            "document.body.appendChild(a);\n"
+            "</script></body></html>"
+        )
+        corpus.pages[f"https://{h3}/external.html"] = {
+            "status": 200, "content_type": "text/html",
+            "body": external_html.encode(), "redirect_to": "",
+        }
+        for name in ("extgen0", "extgen1", "extdom"):
+            corpus.pages[f"https://{h3}/{name}.html"] = {
+                "status": 200, "content_type": "text/html",
+                "body": (f"<html><body><p>{name}: external-JS target"
                          f"</p></body></html>").encode(),
                 "redirect_to": "",
             }

@@ -14,8 +14,8 @@ and a tree-walking evaluator.
 Supported subset (chosen from what link-building inline scripts use):
 ``var``/``let``/``const``, functions (declarations, expressions,
 arrows, closures), ``if``/``else``, ``for`` (classic, ``of``, ``in``),
-``while``/``do``, ``switch``-free control flow (``break``,
-``continue``, ``return``), ``try``/``catch``/``finally`` + ``throw``,
+``while``/``do``, ``switch``, ``break``/``continue``/``return``,
+``try``/``catch``/``finally`` + ``throw``,
 all arithmetic/comparison/logical/bitwise operators, template
 literals with ``${}``, arrays + objects with the common methods
 (``push``/``join``/``map``/``filter``/``forEach``/``slice``/...),

@@ -6,12 +6,15 @@ extracted from the LIVE DOM (playwrightcrawler.py:4926-5207,
 :5174-5185, :4384-4397).  A sealed sandbox has no browser, so the
 crawl pipeline exposes a render HOOK with the contract
 
-    render_html(html: str, url: str = "") -> str
+    render_html(html: str, url: str = "", script_fetch=None) -> str
 
 and this module provides the implementation: inline ``<script>``
-blocks are **executed for real** by the sandboxed deterministic
-mini-JavaScript interpreter in :mod:`.jsinterp` against a small DOM
-shim, so scripts that *compute* URLs — string concatenation, loops,
+blocks — and, when the caller supplies a ``script_fetch`` callback,
+external ``<script src=…>`` sources fetched through it — are
+**executed for real**, in document order (browser semantics), by the
+sandboxed deterministic mini-JavaScript interpreter in
+:mod:`.jsinterp` against a small DOM shim, so scripts that *compute*
+URLs — string concatenation, loops,
 ``createElement``/``appendChild``, ``innerHTML``, ``location``
 assignment, ``setTimeout`` bodies — contribute their links and images
 to the rendered document.  Observable render behaviors:
@@ -63,6 +66,8 @@ _WRITE_RE = re.compile(
 )
 _DATASRC_RE = re.compile(r"(<img\b[^>]*?)\bdata-src(\s*=)", re.I)
 _SRC_ATTR_RE = re.compile(r"""\bsrc\s*=""", re.I)
+_SRC_VAL_RE = re.compile(
+    r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>'"]+))""", re.I)
 _TYPE_ATTR_RE = re.compile(r"""\btype\s*=\s*["']?([^"'\s>]+)""", re.I)
 
 _JS_TYPES = {"", "text/javascript", "application/javascript",
@@ -366,17 +371,42 @@ def _literal_writes(script_src: str) -> list[str]:
     return [m.group(2) for m in _WRITE_RE.finditer(script_src)]
 
 
-def render_html(text: str, url: str = "") -> str:
-    """Render dynamic HTML deterministically (module docstring)."""
+def render_html(text: str, url: str = "",
+                script_fetch=None) -> str:
+    """Render dynamic HTML deterministically (module docstring).
+
+    ``script_fetch(abs_url) -> str | None`` resolves external
+    ``<script src=…>`` sources (the browser's subresource fetch during
+    navigation — the reference's Playwright runs every such script,
+    playwrightcrawler.py:5174-5185); ``None``/no callback skips that
+    script, matching the pre-round-5 behavior. Inline and external
+    scripts execute interleaved in document order against ONE shared
+    page environment, exactly as a browser would."""
+    from urllib.parse import urljoin
+
     scripts = []
     for m in _SCRIPT_RE.finditer(text):
         attrs, src = m.group(1), m.group(2)
-        if _SRC_ATTR_RE.search(attrs):
-            continue  # external script: separate resource, not inline
         tm = _TYPE_ATTR_RE.search(attrs)
         if tm and tm.group(1).lower() not in _JS_TYPES:
             continue  # JSON / template payloads are not executed
-        scripts.append(src)
+        sm = _SRC_VAL_RE.search(attrs)
+        if sm:
+            if script_fetch is None:
+                continue  # external script, no fetcher: skip (round-4)
+            rel = sm.group(1) or sm.group(2) or sm.group(3) or ""
+            rel = rel.strip()
+            if not rel or rel.lower().startswith(("data:", "javascript:")):
+                continue
+            try:
+                fetched = script_fetch(urljoin(url, rel))
+            except Exception:
+                fetched = None  # unfetchable subresource: browser skips
+            if fetched is None:
+                continue
+            scripts.append(fetched)
+        else:
+            scripts.append(src)
 
     out = _DATASRC_RE.sub(r"\1src\2", text)
     if not scripts:

@@ -369,7 +369,12 @@ class CrawlEngine:
             backoff_base_s=cfg.fetch_backoff_base_s,
         )
         decode_fn = make_decode_fn(cfg, self.dedup, self.shards)
-        parse_fn = make_parse_fn(cfg)
+        parse_fn = make_parse_fn(
+            cfg, corpus_ref=self.corpus_ref, http_addr=http_addr,
+            retries=cfg.fetch_retries,
+            backoff_base_s=cfg.fetch_backoff_base_s,
+            range_resume=cfg.range_resume,
+        )
         limit = max_waves if max_waves is not None else cfg.max_waves
 
         t0 = time.perf_counter()

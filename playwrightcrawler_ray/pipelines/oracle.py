@@ -43,6 +43,17 @@ def run_oracle(corpus: CorpusData, cfg: CrawlConfig | None = None,
                max_waves: int | None = None) -> OracleResult:
     cfg = cfg or CrawlConfig()
     ctx = ProcessContext(cfg)
+    if cfg.render_js and cfg.execute_external_scripts:
+        # external <script src> resolver over the same corpus the
+        # engine broadcasts — decode/canonicalization shared through
+        # process.make_script_fetcher
+        from ..stages.process import make_script_fetcher
+
+        def _script_bytes(u: str):
+            rec = corpus.pages.get(u)
+            return rec["body"] if rec and rec["status"] == 200 else None
+
+        ctx.script_fetch = make_script_fetcher(_script_bytes)
     res = OracleResult()
 
     seen: set[int] = set()

@@ -101,11 +101,21 @@ CONTENT_HANDLERS.setdefault("video", _media_handler)
 
 @dataclass
 class ProcessContext:
-    """Per-process compiled state: router + policy + config."""
+    """Per-process compiled state: router + policy + config.
+
+    ``script_fetch(abs_url) -> str | None`` is the external-script
+    subresource resolver the render pass uses (browser semantics: a
+    ``<script src=…>`` is fetched during navigation and executed in
+    document order). The engine wires a memoized corpus/HTTP-backed
+    fetcher (stages/ray_stages.py), the oracle a corpus-dict one —
+    both through :func:`make_script_fetcher` so decode + URL
+    canonicalization are shared. ``None`` (or
+    ``cfg.execute_external_scripts`` off) skips external scripts."""
 
     cfg: CrawlConfig
     router: ContentTypeRouter = field(init=False)
     policy: UrlPolicy = field(init=False)
+    script_fetch: object = field(default=None, compare=False)
 
     def __post_init__(self):
         import importlib
@@ -119,6 +129,24 @@ class ProcessContext:
             url_block=self.cfg.url_regex_block_list,
             max_url_length=self.cfg.max_url_length,
         )
+
+
+def make_script_fetcher(lookup_bytes):
+    """Adapt a ``url -> bytes | None`` byte source into the
+    ``script_fetch`` contract: canonicalize the URL (same form the
+    corpus keys on) and charset-decode the body to JS source text.
+    Shared by engine and oracle so both sides resolve + decode
+    identically."""
+    from ..functions.charset import decode_text
+
+    def fetch(abs_url: str) -> str | None:
+        body = lookup_bytes(canonicalize_url(abs_url))
+        if body is None:
+            return None
+        text, _enc = decode_text(body, "application/javascript")
+        return text
+
+    return fetch
 
 
 def enrich_content_row(row: dict, ctx: ProcessContext) -> dict | None:
@@ -231,11 +259,15 @@ def process_fetched(
         text, _enc = decode_text(body, content_type_raw)
         if ctx.cfg.render_js:
             # JS render (reference Playwright navigation, :4926-5207):
-            # inline scripts execute in the sandboxed deterministic
-            # interpreter — see functions/render + functions/jsinterp
+            # inline scripts — and external <script src> sources when a
+            # subresource fetcher is wired — execute in the sandboxed
+            # deterministic interpreter in document order, see
+            # functions/render + functions/jsinterp
             from ..functions.render import render_html
 
-            text = render_html(text, url)
+            fetcher = (ctx.script_fetch
+                       if ctx.cfg.execute_external_scripts else None)
+            text = render_html(text, url, script_fetch=fetcher)
         ex = extract_page(text)
         is_od, od_pattern = is_open_directory(text, url)
         min_web = (

@@ -17,7 +17,7 @@ reference's hot path is the same shape (SURVEY.md §2.2 M15-M23).
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 from itertools import chain
 
 import pyarrow as pa
@@ -92,6 +92,50 @@ def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     if key not in _CTX_CACHE:
         _CTX_CACHE[key] = ProcessContext(cfg)
     return _CTX_CACHE[key]
+
+
+# per-process external-script source cache: abs url → decoded source
+# (or None for unfetchable). A browser's script cache — the same
+# /app.js is referenced by nearly every page of a host, so each worker
+# process pays the fetch + charset decode once. Sources are small text;
+# LRU-capped.
+_SCRIPT_MEMO: OrderedDict = OrderedDict()
+_SCRIPT_MEMO_CAP = 4096
+_SCRIPT_MISS = object()
+
+
+def _script_fetcher(corpus_ref, http_addr: str | None, retries: int,
+                    backoff_base_s: float, range_resume: bool):
+    """Build the per-process ``script_fetch`` callback for the parse
+    stage: bytes come from the same backend the page came from (the
+    zero-copy broadcast corpus index, or the real-socket client under
+    ``fetch_backend="http"``), decode + canonicalization are shared
+    with the oracle via process.make_script_fetcher."""
+    from ..stages.process import make_script_fetcher
+
+    def lookup_bytes(url: str):
+        if http_addr:
+            client = _http_client(http_addr, retries, backoff_base_s,
+                                  range_resume)
+            status, _ct, body, _r = client.lookup([url])
+        else:
+            status, _ct, body, _r = _corpus_reader(corpus_ref).lookup([url])
+        return body[0] if status[0] == 200 else None
+
+    base = make_script_fetcher(lookup_bytes)
+
+    def fetch(abs_url: str):
+        hit = _SCRIPT_MEMO.get(abs_url, _SCRIPT_MISS)
+        if hit is not _SCRIPT_MISS:
+            _SCRIPT_MEMO.move_to_end(abs_url)
+            return hit
+        src = base(abs_url)
+        _SCRIPT_MEMO[abs_url] = src
+        if len(_SCRIPT_MEMO) > _SCRIPT_MEMO_CAP:
+            _SCRIPT_MEMO.popitem(last=False)
+        return src
+
+    return fetch
 
 
 def _range_resume(full: bytes, chunk: int, enabled: bool) -> bytes:
@@ -184,8 +228,18 @@ def make_fetch_fn(corpus_ref, latency_ref=None, flaky_ref=None,
     return fetch
 
 
-def make_parse_fn(cfg: CrawlConfig):
+def make_parse_fn(cfg: CrawlConfig, corpus_ref=None,
+                  http_addr: str | None = None, retries: int = 3,
+                  backoff_base_s: float = 0.01,
+                  range_resume: bool = True):
     """Fetched batch → unified page/imgref/link rows.
+
+    With ``corpus_ref``/``http_addr`` and
+    ``cfg.execute_external_scripts``, the render pass resolves external
+    ``<script src>`` subresources through the same fetch backend as the
+    page (memoized per process — ``_SCRIPT_MEMO``) and executes them in
+    document order (reference: Playwright runs every page script,
+    playwrightcrawler.py:5174-5185).
 
     Discovered links are emitted IN-BAND as ``kind='link'`` rows (the
     reference persists its links index the same way,
@@ -197,6 +251,12 @@ def make_parse_fn(cfg: CrawlConfig):
 
     def parse(batch: pa.Table) -> pa.Table:
         ctx = _ctx_for(cfg)
+        if (cfg.execute_external_scripts and cfg.render_js
+                and ctx.script_fetch is None
+                and (corpus_ref is not None or http_addr)):
+            ctx.script_fetch = _script_fetcher(
+                corpus_ref, http_addr, retries, backoff_base_s,
+                range_resume)
         rows_out: list[dict] = []
         link_url, link_host, link_parent, link_wave = [], [], [], []
         cols = batch.select(

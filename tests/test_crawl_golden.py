@@ -60,6 +60,13 @@ def test_oracle_covers_corpus(oracle, corpus):
     # never discover them
     for tgt in ("/jsgen0.html", "/jsgen1.html", "/jsdom.html"):
         assert any(u.endswith(tgt) for u in oracle.order), tgt
+    # EXTERNAL script execution fired (round 5): these targets' URLs
+    # exist only inside the fetched /app.js (and a global it defines,
+    # read by a later inline script) — discovering them requires
+    # fetching the subresource and executing it in document order
+    for tgt in ("/external.html", "/extgen0.html", "/extgen1.html",
+                "/extdom.html"):
+        assert any(u.endswith(tgt) for u in oracle.order), tgt
 
 
 def test_crawl_ordering_matches_oracle(engine_result, oracle):

@@ -289,7 +289,62 @@ def test_render_skips_external_and_nonjs_scripts():
             '<script type="application/json">'
             '{"u": "/no2.html"}</script>'
             "</body></html>")
-    assert render_html(html) == html
+    assert render_html(html) == html  # no fetcher: external skipped
+
+
+def test_render_external_scripts_execute_in_document_order():
+    # external + inline share one page environment, run in document
+    # order: the external script defines `base`, writes one computed
+    # link; the inline script after it reads `base`
+    html = ('<html><body>'
+            '<script>var pre = "/p";</script>'
+            '<script src="js/app.js"></script>'
+            '<script>document.write(\'<a href="\' + base + \'2.html\">\');'
+            '</script></body></html>')
+    fetched = []
+
+    def fetch(abs_url):
+        fetched.append(abs_url)
+        return 'var base = pre + "re";document.write(\'<a href="\' + base + \'1.html\">\');'
+
+    out = render_html(html, "https://h.test/dir/page.html",
+                      script_fetch=fetch)
+    # relative src resolved against the PAGE url
+    assert fetched == ["https://h.test/dir/js/app.js"]
+    added = out[len(html):]
+    assert added.index("/pre1.html") < added.index("/pre2.html")
+
+
+def test_render_external_script_fetch_failures_are_skipped():
+    html = ('<html><body>'
+            '<script src="/missing.js"></script>'
+            '<script src="/boom.js"></script>'
+            '<script src="data:text/javascript,document.write(1)">'
+            '</script>'
+            '<script>document.write(\'<a href="/after.html">\');</script>'
+            "</body></html>")
+
+    def fetch(abs_url):
+        if "boom" in abs_url:
+            raise OSError("socket reset")
+        return None  # 404
+
+    added = render_html(html, "https://h.test/", script_fetch=fetch)[
+        len(html):]
+    # unfetchable externals skipped, later scripts still run
+    assert "/after.html" in added
+
+
+def test_render_failed_external_script_rolls_back_with_fallback():
+    # the FETCHED source fails midway: its partial write rolls back and
+    # the literal fallback applies to the fetched source, same contract
+    # as inline scripts
+    html = '<html><body><script src="/app.js"></script></body></html>'
+    src = ('document.write(\'<a href="/lit.html">\');'
+           "nope();")
+    added = render_html(html, "https://h.test/",
+                        script_fetch=lambda u: src)[len(html):]
+    assert added.count("/lit.html") == 1
 
 
 def test_render_static_page_unchanged_and_datasrc_promoted():

@@ -449,7 +449,8 @@ def build_corpus(
             '<script src="/app.js"></script>\n'
             "<script>\n"
             "var a = document.createElement('a');\n"
-            "a.href = extbase + 'dom.html';\n"
+            "var kind = 'go:dom!'.match(/go:(\\w+)/)[1];\n"
+            "a.href = extbase + kind + '.html';\n"
             "document.body.appendChild(a);\n"
             "</script></body></html>"
         )

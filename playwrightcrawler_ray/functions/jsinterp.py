@@ -38,11 +38,20 @@ Determinism and safety are structural:
   pure function of its bytes — the property the golden crawl oracle
   relies on.
 
-Anything outside the subset (regex literals, ``class``, generators,
-``async``, real DOM queries...) raises ``JsError`` at parse or eval
-time; the caller falls back to the literal ``document.write`` scan for
-that script, so unsupported pages degrade to round-3 behavior instead
-of failing.
+Regex literals (``/re/gi``), ``new RegExp``, and the regex forms of
+``match``/``matchAll``/``replace``/``replaceAll``/``search``/``split``
+/``test``/``exec`` are supported over a SAFE TRANSLATED SUBSET of JS
+regex syntax (see ``_translate_js_regex``): patterns are compiled to
+Python ``re`` with named-group/backreference rewriting, a 512-char
+source cap, and a ReDoS guard that rejects unbounded quantifiers over
+groups containing unbounded quantifiers; match work is charged against
+the same step budget as evaluation.
+
+Anything outside the subset (``class``, generators, ``async``, real
+DOM queries, rejected regex constructs...) raises ``JsError`` at parse
+or eval time; the caller falls back to the literal ``document.write``
+scan for that script, so unsupported pages degrade to round-3 behavior
+instead of failing.
 """
 
 from __future__ import annotations
@@ -109,10 +118,31 @@ class JSObject:
 
 
 class JSArray:
-    __slots__ = ("items",)
+    __slots__ = ("items", "js_props")
 
-    def __init__(self, items=None):
+    def __init__(self, items=None, js_props=None):
         self.items = items if items is not None else []
+        # extra named properties (regex match arrays carry .index and
+        # .input); None for ordinary arrays
+        self.js_props = js_props
+
+
+class JSRegExp:
+    """A JS regular-expression value: the original source/flags plus
+    the translated, compiled Python pattern (``_compile_js_regex``).
+    ``lastIndex`` carries the /g and /y iteration state, per-object
+    (ES5+ semantics: a regex literal evaluates to a fresh object)."""
+
+    __slots__ = ("source", "flags", "pattern", "global_", "sticky",
+                 "last_index")
+
+    def __init__(self, source: str, flags: str, pattern):
+        self.source = source
+        self.flags = flags
+        self.pattern = pattern
+        self.global_ = "g" in flags
+        self.sticky = "y" in flags
+        self.last_index = 0
 
 
 class JSFunction:
@@ -184,12 +214,229 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+# ------------------------------------------------------------- JS regex
+#
+# JS regex sources are translated to Python ``re`` syntax over a SAFE
+# SUBSET and compiled once per (source, flags) (process-level cache).
+# Outside-subset constructs raise JsError → the calling script fails →
+# the render's per-script rollback + literal fallback applies, so an
+# exotic page degrades instead of crashing a fetch task.  Rejected:
+# patterns > _MAX_REGEX_SRC chars, ``\c``/``\u{…}`` escapes, and — the
+# ReDoS guard — any unbounded quantifier applied to a group that itself
+# contains an unbounded quantifier (the classic catastrophic
+# backtracking shape, e.g. ``(a+)+``), because Python's backtracking
+# engine cannot be budgeted mid-match.
+
+_MAX_REGEX_SRC = 512
+_REGEX_CACHE: dict = {}
+_REGEX_CACHE_CAP = 256
+_UNBOUNDED_REP_CAP = 64  # {m,n} with n above this counts as unbounded
+
+
+def _translate_js_regex(src: str) -> str:
+    out = []
+    i, n = 0, len(src)
+    in_class = False
+    class_start = -1
+    # per-group-depth flag: does this depth contain an unbounded
+    # quantifier? (index 0 = top level)
+    unbounded = [False]
+
+    def quant_after(j):
+        """classify the quantifier starting at src[j]: None | 'bounded'
+        | 'unbounded'; returns (kind, end_index)."""
+        if j >= n:
+            return None, j
+        c = src[j]
+        if c in "*+":
+            return "unbounded", j + 1
+        if c == "?":
+            return "bounded", j + 1
+        if c == "{":
+            m = re.match(r"\{(\d+)(,(\d*)?)?\}", src[j:])
+            if not m:
+                return None, j
+            hi = m.group(3)
+            if m.group(2) is not None and (hi == "" or hi is None):
+                kind = "unbounded"
+            else:
+                top = int(hi) if hi else int(m.group(1))
+                kind = "unbounded" if top > _UNBOUNDED_REP_CAP else "bounded"
+            return kind, j + m.end()
+        return None, j
+
+    while i < n:
+        c = src[i]
+        if in_class:
+            if c == "\\":
+                if i + 1 >= n:
+                    raise JsError("regex: trailing backslash")
+                if src[i + 1] == "c":
+                    raise JsError("regex: unsupported escape")
+                i += 2  # class content copied whole at the closing ]
+                continue
+            if c == "]":
+                body = src[class_start + 1:i]
+                if body == "^":
+                    out.append(r"[\s\S]")   # JS [^] = any char
+                elif body == "":
+                    out.append(r"(?!)")     # JS [] never matches
+                else:
+                    out.append("[" + body + "]")
+                in_class = False
+            i += 1
+            continue
+        if c == "\\":
+            if i + 1 >= n:
+                raise JsError("regex: trailing backslash")
+            nxt = src[i + 1]
+            if nxt == "c" or (nxt == "u" and i + 2 < n and src[i + 2] == "{"):
+                raise JsError("regex: unsupported escape")
+            if nxt == "k" and i + 2 < n and src[i + 2] == "<":
+                j = src.find(">", i + 3)
+                if j < 0:
+                    raise JsError("regex: bad \\k<…>")
+                out.append("(?P=" + src[i + 3:j] + ")")
+                i = j + 1
+                continue
+            out.append(src[i:i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+            class_start = i
+            i += 1
+            continue
+        if c == "(":
+            if src.startswith("(?<", i) and not src.startswith("(?<=", i) \
+                    and not src.startswith("(?<!", i):
+                out.append("(?P<")
+                i += 3
+            else:
+                out.append(c)
+                i += 1
+            unbounded.append(False)
+            continue
+        if c == ")":
+            out.append(c)
+            i += 1
+            if len(unbounded) < 2:
+                raise JsError("regex: unbalanced )")
+            inner = unbounded.pop()
+            kind, j = quant_after(i)
+            if kind == "unbounded":
+                if inner:
+                    raise JsError("regex: nested unbounded quantifier "
+                                  "(outside safe subset)")
+                unbounded[-1] = True
+            elif inner:
+                unbounded[-1] = True
+            out.append(src[i:j])
+            i = j
+            continue
+        kind, j = quant_after(i)
+        if kind is not None and j > i:
+            if kind == "unbounded":
+                unbounded[-1] = True
+            out.append(src[i:j])
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    if in_class:
+        raise JsError("regex: unterminated character class")
+    if len(unbounded) != 1:
+        raise JsError("regex: unbalanced (")
+    return "".join(out)
+
+
+def _compile_js_regex(source: str, flags: str) -> "JSRegExp":
+    if len(source) > _MAX_REGEX_SRC:
+        raise JsError("regex too long")
+    if any(f not in "gimsuy" for f in flags) or \
+            len(set(flags)) != len(flags):
+        raise JsError(f"invalid regex flags {flags!r}")
+    key = (source, flags)
+    pat = _REGEX_CACHE.get(key)
+    if pat is None:
+        pyflags = 0
+        if "i" in flags:
+            pyflags |= re.I
+        if "m" in flags:
+            pyflags |= re.M
+        if "s" in flags:
+            pyflags |= re.S
+        try:
+            pat = re.compile(_translate_js_regex(source), pyflags)
+        except re.error as e:
+            raise JsError(f"regex: {e}") from None
+        if len(_REGEX_CACHE) >= _REGEX_CACHE_CAP:
+            _REGEX_CACHE.clear()
+        _REGEX_CACHE[key] = pat
+    return JSRegExp(source, flags, pat)
+
+
+# after these, a `/` must be division, not a regex literal (the
+# standard lexer disambiguation: value-ending tokens precede division)
+_REGEX_DISALLOW_PUNCT = {")", "]", "}", "++", "--"}
+_VALUE_IDENTS = {"this", "true", "false", "null", "undefined"}
+
+
+def _regex_allowed(toks) -> bool:
+    if not toks:
+        return True
+    k, v = toks[-1]
+    if k in ("num", "str", "template", "regex"):
+        return False
+    if k == "ident":
+        # after a keyword (return, typeof, case, in, of, …) a regex may
+        # start; after a value-producing identifier `/` is division
+        return v in _KEYWORDS and v not in _VALUE_IDENTS
+    if k == "punct":
+        return v not in _REGEX_DISALLOW_PUNCT
+    return True
+
+
+def _scan_regex(src: str, i: int) -> tuple:
+    """Scan a regex literal starting at src[i] == '/'; returns
+    ((body, flags), end_index)."""
+    j, n = i + 1, len(src)
+    in_class = False
+    while j < n:
+        c = src[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "\n":
+            break
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "/":
+            body = src[i + 1:j]
+            k = j + 1
+            while k < n and (src[k].isalpha() or src[k] == "_"):
+                k += 1
+            return (body, src[j + 1:k]), k
+        j += 1
+    raise JsError("unterminated regex literal")
+
+
 def tokenize(src: str):
     """→ list of (kind, value) + ('eof', None).  Template literals are
-    scanned manually (nested ``${}`` needs bracket counting)."""
+    scanned manually (nested ``${}`` needs bracket counting); regex
+    literals too (the `/` division ambiguity needs the previous
+    token)."""
     toks = []
     i, n = 0, len(src)
     while i < n:
+        if (src[i] == "/" and i + 1 < n and src[i + 1] not in "/*"
+                and _regex_allowed(toks)):
+            val, i = _scan_regex(src, i)
+            toks.append(("regex", val))
+            continue
         if src[i] == "`":
             j = i + 1
             parts = []  # alternating literal / ('expr', src)
@@ -628,11 +875,22 @@ class Parser:
     def call_member(self):
         if self.at("new"):
             self.next()
-            callee = self.call_member()
-            if callee[0] != "call":
-                raise JsError("new without call")
-            return ("new", callee[1], callee[2])
-        e = self.primary()
+            ctor = self.primary()
+            while self.eat("."):  # e.g. new ns.Thing(...)
+                ctor = ("member", ctor, self._membername())
+            args = []
+            if self.at("("):
+                self.next()
+                while not self.at(")"):
+                    args.append(self.assignment())
+                    if not self.eat(","):
+                        break
+                self.expect(")")
+            e = ("new", ctor, args)
+            # fall through: members/calls chain off the new expression
+            # (new RegExp(p, 'g').exec(s) …)
+        else:
+            e = self.primary()
         while True:
             if self.eat("."):
                 e = ("member", e, self._membername())
@@ -669,6 +927,11 @@ class Parser:
             if k == "str":
                 self.next()
                 return ("str", v)
+            if k == "regex":
+                self.next()
+                body, flags = v
+                _compile_js_regex(body, flags)  # validate at parse time
+                return ("regexlit", body, flags)
             if k == "template":
                 self.next()
                 parts = []
@@ -798,6 +1061,8 @@ def js_str(v) -> str:
                         for x in v.items)
     if isinstance(v, JSObject):
         return "[object Object]"
+    if isinstance(v, JSRegExp):
+        return f"/{v.source}/{v.flags}"
     if isinstance(v, (JSFunction, NativeFn)):
         return "function"
     return str(v)
@@ -1121,6 +1386,10 @@ class Interp:
         if op == "comma":
             self.eval(e[1], env)
             return self.eval(e[2], env)
+        if op == "regexlit":
+            # fresh object per evaluation (ES5+): lastIndex is
+            # per-object state; the compiled pattern is cached
+            return _compile_js_regex(e[1], e[2])
         if op == "bin":
             return self.eval_bin(e[1], self.eval(e[2], env),
                                  self.eval(e[3], env))
@@ -1288,6 +1557,8 @@ class Interp:
             return self._string_member(obj, name)
         if isinstance(obj, JSArray):
             return self._array_member(obj, name)
+        if isinstance(obj, JSRegExp):
+            return self._regexp_member(obj, name)
         if isinstance(obj, float):
             return self._number_member(obj, name)
         if isinstance(obj, NativeFn) and name in obj.props:
@@ -1330,6 +1601,11 @@ class Interp:
         return self.get_member(obj, js_str(key))
 
     def set_member(self, obj, name, value):
+        if isinstance(obj, JSRegExp):
+            if name == "lastIndex":
+                obj.last_index = max(0, int(js_num(value))
+                                     if math.isfinite(js_num(value)) else 0)
+            return  # other regex props read-only (JS semantics)
         if isinstance(obj, JSObject):
             setter = obj.props.get("__set__")
             if isinstance(setter, NativeFn):
@@ -1525,15 +1801,48 @@ class Interp:
             def _split(a):
                 if not a or a[0] is UNDEF:
                     return JSArray([s])
+                if isinstance(a[0], JSRegExp):
+                    self._charge(1 + len(s) // 16)
+                    parts = a[0].pattern.split(s)
+                    return JSArray([UNDEF if p is None else p
+                                    for p in parts])
                 sep = js_str(a[0])
                 if sep == "":
                     return JSArray(list(s))
                 return JSArray(s.split(sep))
             return m(_split)
+
+        def _regex_replace(rx: JSRegExp, rep, all_matches: bool):
+            if all_matches:
+                matches = self._regex_find_all(rx, s)
+            else:
+                self._charge(1 + len(s) // 32)
+                mm = rx.pattern.search(s)
+                matches = [mm] if mm else []
+            if not matches:
+                return s
+            out = []
+            pos = 0
+            for mt in matches:
+                out.append(s[pos:mt.start()])
+                if isinstance(rep, (JSFunction, NativeFn)):
+                    args = [mt.group(0)]
+                    args += [UNDEF if g is None else g
+                             for g in mt.groups()]
+                    args += [float(mt.start()), s]
+                    out.append(js_str(self._invoke(rep, args, UNDEF)))
+                else:
+                    out.append(self._expand_replacement(js_str(rep), mt))
+                pos = mt.end()
+            out.append(s[pos:])
+            return _cap("".join(out))
+
         if name == "replace":
             def _replace(a):
-                pat = js_str(a[0]) if a else ""
                 rep = a[1] if len(a) > 1 else UNDEF
+                if a and isinstance(a[0], JSRegExp):
+                    return _regex_replace(a[0], rep, a[0].global_)
+                pat = js_str(a[0]) if a else ""
                 if isinstance(rep, (JSFunction, NativeFn)):
                     i = s.find(pat)
                     if i < 0:
@@ -1543,9 +1852,62 @@ class Interp:
                 return _cap(s.replace(pat, js_str(rep), 1))
             return m(_replace)
         if name == "replaceAll":
-            return m(lambda a: _cap(s.replace(js_str(a[0]),
-                                              js_str(a[1]) if len(a) > 1
-                                              else "undefined")))
+            def _replace_all(a):
+                rep = a[1] if len(a) > 1 else UNDEF
+                if a and isinstance(a[0], JSRegExp):
+                    if not a[0].global_:
+                        raise JsThrow("TypeError: replaceAll must be "
+                                      "called with a global RegExp")
+                    return _regex_replace(a[0], rep, True)
+                if isinstance(rep, (JSFunction, NativeFn)):
+                    pat = js_str(a[0]) if a else ""
+                    out, pos = [], 0
+                    while True:
+                        i = s.find(pat, pos)
+                        if i < 0 or not pat:
+                            break
+                        out.append(s[pos:i])
+                        out.append(js_str(self._invoke(
+                            rep, [pat, float(i), s], UNDEF)))
+                        pos = i + len(pat)
+                    out.append(s[pos:])
+                    return _cap("".join(out))
+                return _cap(s.replace(js_str(a[0]) if a else "undefined",
+                                      js_str(rep) if len(a) > 1
+                                      else "undefined"))
+            return m(_replace_all)
+        if name == "match":
+            def _match(a):
+                if not a:
+                    return None
+                rx = a[0] if isinstance(a[0], JSRegExp) else \
+                    _compile_js_regex(js_str(a[0]), "")
+                if rx.global_:
+                    found = self._regex_find_all(rx, s)
+                    return (JSArray([mt.group(0) for mt in found])
+                            if found else None)
+                mt = self._regex_exec(rx, s)
+                return None if mt is None else self._match_array(mt, s)
+            return m(_match)
+        if name == "matchAll":
+            def _match_all(a):
+                if not a or not isinstance(a[0], JSRegExp) \
+                        or not a[0].global_:
+                    raise JsThrow("TypeError: matchAll needs a global "
+                                  "RegExp")
+                return JSArray([self._match_array(mt, s)
+                                for mt in self._regex_find_all(a[0], s)])
+            return m(_match_all)
+        if name == "search":
+            def _search(a):
+                if not a:
+                    return -1.0
+                rx = a[0] if isinstance(a[0], JSRegExp) else \
+                    _compile_js_regex(js_str(a[0]), "")
+                self._charge(1 + len(s) // 32)
+                mt = rx.pattern.search(s)
+                return float(mt.start()) if mt else -1.0
+            return m(_search)
         if name == "repeat":
             def _repeat(a):
                 n = int(js_num(a[0])) if a else 0
@@ -1692,6 +2054,128 @@ class Interp:
                         return x
                 return UNDEF
             return m(_find)
+        if arr.js_props is not None and name in arr.js_props:
+            return arr.js_props[name]  # match-array .index / .input
+        return UNDEF
+
+    # -- regex support
+    def _charge(self, cost: int):
+        """Budget non-AST work (regex matching) against the same step
+        counter that bounds evaluation."""
+        self.steps -= cost
+        if self.steps <= 0:
+            raise JsError("step budget exhausted")
+
+    def _match_array(self, m, subject: str) -> JSArray:
+        groups = [m.group(0)]
+        for g in m.groups():
+            groups.append(UNDEF if g is None else g)
+        return JSArray(groups, js_props={
+            "index": float(m.start()), "input": subject})
+
+    def _regex_exec(self, rx: JSRegExp, s: str):
+        """One exec step honoring /g and /y lastIndex state; returns a
+        Python match or None (and updates lastIndex)."""
+        self._charge(1 + len(s) // 32)
+        stateful = rx.global_ or rx.sticky
+        pos = rx.last_index if stateful else 0
+        if pos > len(s):
+            m = None
+        elif rx.sticky:
+            m = rx.pattern.match(s, pos)
+        else:
+            m = rx.pattern.search(s, pos)
+        if stateful:
+            if m is None:
+                rx.last_index = 0
+            else:
+                # zero-width match still advances (JS exec loop rule is
+                # caller-side, but lastIndex=end; guard infinite loops
+                # by bumping past a zero-width match)
+                rx.last_index = m.end() + (1 if m.end() == m.start() else 0)
+        return m
+
+    def _regex_find_all(self, rx: JSRegExp, s: str):
+        """All non-overlapping matches from 0 (the /g sweep), bounded
+        by the step budget."""
+        self._charge(1 + len(s) // 16)
+        out = []
+        pos = 0
+        while pos <= len(s):
+            m = rx.pattern.search(s, pos)
+            if m is None:
+                break
+            out.append(m)
+            pos = m.end() + (1 if m.end() == m.start() else 0)
+            self._charge(1)
+        return out
+
+    def _expand_replacement(self, template: str, m) -> str:
+        """JS $-patterns in a string replacement: $$ $& $` $' $1..$99."""
+        out = []
+        i, n = 0, len(template)
+        while i < n:
+            c = template[i]
+            if c == "$" and i + 1 < n:
+                nx = template[i + 1]
+                if nx == "$":
+                    out.append("$")
+                    i += 2
+                    continue
+                if nx == "&":
+                    out.append(m.group(0))
+                    i += 2
+                    continue
+                if nx == "`":
+                    out.append(m.string[:m.start()])
+                    i += 2
+                    continue
+                if nx == "'":
+                    out.append(m.string[m.end():])
+                    i += 2
+                    continue
+                if nx.isdigit():
+                    j = i + 2
+                    if j < n and template[j].isdigit() and \
+                            int(template[i + 1:j + 1]) <= len(m.groups()):
+                        j += 1
+                    gi = int(template[i + 1:j])
+                    if 1 <= gi <= len(m.groups()):
+                        out.append(m.group(gi) or "")
+                        i = j
+                        continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _regexp_member(self, rx: JSRegExp, name: str):
+        if name == "source":
+            return rx.source
+        if name == "flags":
+            return rx.flags
+        if name == "global":
+            return rx.global_
+        if name == "ignoreCase":
+            return "i" in rx.flags
+        if name == "multiline":
+            return "m" in rx.flags
+        if name == "sticky":
+            return rx.sticky
+        if name == "lastIndex":
+            return float(rx.last_index)
+        if name == "test":
+            return NativeFn(
+                lambda this, a: self._regex_exec(
+                    rx, js_str(a[0]) if a else "undefined") is not None,
+                "test")
+        if name == "exec":
+            def _exec(this, a):
+                s = js_str(a[0]) if a else "undefined"
+                m = self._regex_exec(rx, s)
+                return None if m is None else self._match_array(m, s)
+            return NativeFn(_exec, "exec")
+        if name == "toString":
+            return NativeFn(lambda this, a: js_str(rx), "toString")
         return UNDEF
 
     def _number_member(self, v: float, name: str):
@@ -1962,6 +2446,15 @@ def std_globals() -> dict:
             "MAX_SAFE_INTEGER": float(2**53 - 1),
         }),
         "Boolean": NativeFn(_bool_ctor, "ctor:Boolean"),
+        "RegExp": NativeFn(
+            lambda this, a: (
+                a[0] if a and isinstance(a[0], JSRegExp) and len(a) < 2
+                else _compile_js_regex(
+                    (a[0].source if isinstance(a[0], JSRegExp)
+                     else js_str(a[0])) if a else "",
+                    js_str(a[1]) if len(a) > 1 and a[1] is not UNDEF
+                    else "")),
+            "ctor:RegExp"),
         "Array": arr_ctor,
         "Object": NativeFn(
             lambda this, a: a[0] if a and isinstance(a[0], JSObject)

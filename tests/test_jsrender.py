@@ -188,10 +188,79 @@ def test_deep_nesting_bounded():
 
 
 def test_unsupported_constructs_raise():
-    for src in ("class A {}", "async function f() {}",
-                "var re = /a+/;", "x?.y"):
+    for src in ("class A {}", "async function f() {}", "x?.y",
+                # regex OUTSIDE the safe subset still rejects: the
+                # catastrophic-backtracking shape and \c escapes
+                "var re = /(a+)+b/;", "var re = /\\cJ/;"):
         with pytest.raises((JsError,)):
             run(src)
+
+
+def test_regex_literals_and_methods():
+    """JS regex over the translated safe subset: literals, flags,
+    exec/test with /g lastIndex state, string match/replace/split/
+    search, $-patterns, function replacers — values pinned to what
+    Node produces."""
+    cases = [
+        ("/ab+c/.test('xabbc')", True),
+        ("/ab+c/.test('xac')", False),
+        ("/a(b)(c)?/.exec('zab')[1]", "b"),
+        ("/ab/.exec('zab').index", 1.0),
+        ("/AB/i.test('xab')", True),
+        ("'a\\nb'.match(/^b/m)[0]", "b"),
+        ("'a1b22c'.replace(/\\d+/g, '#')", "a#b#c"),
+        ("'a1b22c'.replace(/\\d+/, '#')", "a#b22c"),
+        ("'x-y-z'.split(/-/).join('|')", "x|y|z"),
+        ("'a1b2'.match(/\\d/g).length", 2.0),
+        ("'a1b2'.search(/\\d/)", 1.0),
+        ("'ab'.match(/c/)", None),
+        ("'john smith'.replace(/(\\w+) (\\w+)/, '$2 $1')", "smith john"),
+        ("'abc'.replace(/b/, function(m){return m.toUpperCase();})",
+         "aBc"),
+        ("new RegExp('a.c', 'i').test('ABC')", True),
+        ("/(?<w>ab)\\k<w>/.test('abab')", True),
+        ("/(a)\\1/.test('aa')", True),
+        ("/a[^]c/.test('a\\nc')", True),  # [^] = any char incl newline
+        ("'a1b2'.replaceAll(/\\d/g, '.')", "a.b."),
+        ("/ab/gi.source", "ab"),
+        ("'' + /ab/g", "/ab/g"),
+        ("typeof /x/", "object"),
+        ("6 / 2 / 3", 1.0),  # division still lexes as division
+        ("'aaa'.replace(/a/g, '$&$&')", "aaaaaa"),
+        ("'abc'.replace(/b/, \"[$`|$']\")", "a[a|c]c"),
+    ]
+    for src, want in cases:
+        got = ev(src)
+        assert got == want or (got is want), (src, got, want)
+
+
+def test_regex_exec_global_loop_and_sticky():
+    # the minified while((m = re.exec(s))) idiom
+    src = ("var re = /(\\w+)=(\\w+)/g, s = 'a=1&b=2', m, out = [];"
+           "while ((m = re.exec(s)) !== null)"
+           "{ out.push(m[1] + ':' + m[2]); }"
+           "var got = out.join(',');")
+    assert run(src).genv.get("got") == "a:1,b:2"
+    # sticky /y anchors at lastIndex
+    src2 = ("var r = /ab/y; r.lastIndex = 2; var hit = r.test('xxab');"
+            "var r2 = /ab/y; r2.lastIndex = 1; var miss = r2.test('xxab');")
+    interp = run(src2)
+    assert interp.genv.get("hit") is True
+    assert interp.genv.get("miss") is False
+    # zero-width /g matches terminate (lastIndex bumps)
+    assert ev("'abc'.replace(/x*/g, '-')") == "-a-b-c-"
+
+
+def test_render_regex_built_links():
+    # a page whose link URL is assembled via regex extraction — the
+    # round-4 literal scan finds nothing here
+    html = ("<html><body><script>"
+            "var cfg = 'page=detail42;lang=en';"
+            "var id = cfg.match(/detail(\\d+)/)[1];"
+            "document.write('<a href=\"/item' + id + '.html\">x</a>');"
+            "</script></body></html>")
+    out = render_html(html)
+    assert '/item42.html' in out[len(html):]
 
 
 def test_no_host_escape():

@@ -20,6 +20,15 @@ puts a real TCP socket in the loop without leaving the sandbox:
     downloader.py:212-302);
   * ``corpus.latency_ms[host]`` → per-request server-side sleep
     (enable with ``latency=True``).
+  Round 5 adds the real-web HTTP surface (VERDICT r4 item 3):
+  ``Content-Encoding: gzip``/``deflate`` for compressible types,
+  ``Transfer-Encoding: chunked`` on a deterministic subset of
+  responses, and TLS via a per-process self-signed cert
+  (``tls=True`` → the ``addr`` carries an ``https://`` prefix).
+  Ranged requests and ``partial``-cut URLs always serve identity
+  (ranges address the served representation); ``gzip_truncate``
+  injects mid-ENCODED-stream cuts, which the client must full-retry
+  since Range offsets into a coding are meaningless.
 
 - ``HttpFetchClient``: the client the fetch stages use in
   ``fetch_backend="http"`` mode, behind the SAME ``lookup(urls) ->
@@ -45,9 +54,12 @@ it is pure stdlib ``http.client`` + threads, no extra deps.
 
 from __future__ import annotations
 
+import gzip as _gzip
 import http.client
+import ssl
 import threading
 import time
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlsplit
@@ -56,21 +68,124 @@ from .generate import CorpusData
 
 _TERMINAL = (599, "", b"", "")  # retries exhausted (fetch_error_599 doc)
 
+# content types worth compressing (what real servers gzip); binary
+# image/media payloads ship identity
+_COMPRESSIBLE_PREFIXES = ("text/", "application/javascript",
+                          "application/json", "application/xml")
+_CHUNK_SIZE = 2048
+
+_CERT_CACHE: tuple[str, str] | None = None
+_CERT_LOCK = threading.Lock()
+
+
+def _self_signed_cert() -> tuple[str, str]:
+    """(certfile, keyfile) for the loopback TLS listener, generated
+    once per process. The fetch client runs with verification off —
+    the reference's ``ignore_https_errors`` contract
+    (playwrightcrawler.py:5001-5006) — so only a syntactically valid
+    self-signed chain is needed."""
+    global _CERT_CACHE
+    with _CERT_LOCK:
+        if _CERT_CACHE is not None:
+            return _CERT_CACHE
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="pwc_ray_tls_")
+        cert_path = os.path.join(d, "cert.pem")
+        key_path = os.path.join(d, "key.pem")
+        try:
+            import datetime
+
+            from cryptography import x509
+            from cryptography.hazmat.primitives import hashes, serialization
+            from cryptography.hazmat.primitives.asymmetric import rsa
+            from cryptography.x509.oid import NameOID
+
+            key = rsa.generate_private_key(public_exponent=65537,
+                                           key_size=2048)
+            name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                                 "127.0.0.1")])
+            now = datetime.datetime.now(datetime.timezone.utc)
+            cert = (
+                x509.CertificateBuilder()
+                .subject_name(name).issuer_name(name)
+                .public_key(key.public_key())
+                .serial_number(x509.random_serial_number())
+                .not_valid_before(now - datetime.timedelta(days=1))
+                .not_valid_after(now + datetime.timedelta(days=7))
+                .sign(key, hashes.SHA256())
+            )
+            with open(key_path, "wb") as f:
+                f.write(key.private_bytes(
+                    serialization.Encoding.PEM,
+                    serialization.PrivateFormat.TraditionalOpenSSL,
+                    serialization.NoEncryption()))
+            with open(cert_path, "wb") as f:
+                f.write(cert.public_bytes(serialization.Encoding.PEM))
+        except ImportError:  # pragma: no cover - cryptography present here
+            import subprocess
+
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+                 "-nodes", "-keyout", key_path, "-out", cert_path,
+                 "-days", "7", "-subj", "/CN=127.0.0.1"],
+                check=True, capture_output=True,
+            )
+        _CERT_CACHE = (cert_path, key_path)
+        return _CERT_CACHE
+
 
 class CorpusHTTPServer:
     """Loopback vhost server over a CorpusData. Use as a context
     manager or call ``close()``; ``addr`` is ``(host, port)``."""
 
-    def __init__(self, corpus: CorpusData, latency: bool = False):
+    def __init__(self, corpus: CorpusData, latency: bool = False,
+                 compress: bool = True, chunked: bool = True,
+                 tls: bool = False,
+                 gzip_truncate: set[str] | None = None):
+        """``compress``: serve gzip/deflate ``Content-Encoding`` for
+        compressible types when the client accepts it (alternating by
+        URL hash so both codings see traffic). ``chunked``: a
+        deterministic subset of 200-responses uses chunked transfer
+        instead of Content-Length. ``tls``: listen over HTTPS with a
+        per-process self-signed cert (``addr`` then carries the
+        ``https://`` prefix the client parses). ``gzip_truncate``:
+        URLs whose ENCODED stream is cut mid-body — unlike the
+        identity ``partial`` cut, byte offsets into the decoded entity
+        are unknowable, so the client must full-request-retry (and
+        eventually surface a terminal 599) instead of Range-resuming.
+        Ranged requests and ``partial``-injected URLs always ship
+        identity: ranges apply to the served representation, and real
+        servers answer Range with identity coding."""
         pages = corpus.pages
         robots = corpus.robots
         flaky = dict(corpus.flaky)
         partial = dict(corpus.partial)
+        gzip_cut = set(gzip_truncate or ())
         latency_ms = dict(corpus.latency_ms) if latency else {}
         attempts: dict[str, int] = {}
         lock = threading.Lock()
         self.request_count = 0
+        self.encoded_count = 0   # responses served gzip/deflate
+        self.chunked_count = 0   # responses served chunked
+        self.tls = tls
+        # wire-level politeness observability: per-vhost log of PAGE
+        # request (path, monotonic-time) and the max number of page
+        # requests in flight simultaneously per vhost. Subresources
+        # (/img/, /media/, *.js) and robots.txt are exempt — the
+        # reference's browser fetches those in parallel during
+        # navigation; pop-level politeness governs page fetches.
+        self.page_log: dict[str, list] = {}
+        self.max_inflight: dict[str, int] = {}
+        self._inflight: dict[str, int] = {}
         outer = self
+
+        def _is_page(path: str) -> bool:
+            return not (path.startswith(("/img/", "/media/"))
+                        or path == "/robots.txt"
+                        or path.endswith(".js")
+                        or path == "/__corpus_stats__")
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"  # keep-alive: one server
@@ -81,6 +196,25 @@ class CorpusHTTPServer:
                 pass
 
             def do_GET(self):  # noqa: N802 (stdlib naming)
+                vhost0 = (self.headers.get("Host") or "").split(":")[0]
+                page = _is_page(self.path)
+                if page:
+                    with lock:
+                        outer.page_log.setdefault(vhost0, []).append(
+                            (self.path, time.monotonic()))
+                        outer._inflight[vhost0] = \
+                            outer._inflight.get(vhost0, 0) + 1
+                        outer.max_inflight[vhost0] = max(
+                            outer.max_inflight.get(vhost0, 0),
+                            outer._inflight[vhost0])
+                try:
+                    self._handle()
+                finally:
+                    if page:
+                        with lock:
+                            outer._inflight[vhost0] -= 1
+
+            def _handle(self):
                 if self.path == "/__corpus_stats__":
                     # out-of-band stats endpoint (used when the server
                     # runs as a subprocess and the object is remote)
@@ -141,20 +275,68 @@ class CorpusHTTPServer:
                         status = 206
                 remaining = body[start:]
                 chunk = partial.get(url)
+                ctype = rec.get("content_type") or ""
+                accept = (self.headers.get("Accept-Encoding") or "").lower()
+                # content coding: compressible types, willing client,
+                # no Range in play (ranges apply to the served
+                # representation — identity, like real servers), no
+                # identity-truncation injection on this URL
+                encoding, payload = "", remaining
+                if (compress and status == 200 and remaining
+                        and not rng and chunk is None
+                        and ctype.startswith(_COMPRESSIBLE_PREFIXES)):
+                    want_gz = "gzip" in accept
+                    want_df = "deflate" in accept
+                    if want_gz or want_df:
+                        if want_gz and (not want_df or
+                                        zlib.crc32(url.encode()) % 2 == 0):
+                            encoding = "gzip"
+                            payload = _gzip.compress(remaining, 6, mtime=0)
+                        else:
+                            encoding = "deflate"
+                            payload = zlib.compress(remaining, 6)
+                # truncated-GZIP injection: cut the ENCODED stream —
+                # the client cannot Range-resume this (offsets are into
+                # the coding, not the entity) and must retry in full
+                cut_at = (max(1, len(payload) // 2)
+                          if encoding and url in gzip_cut else None)
+                use_chunked = (
+                    chunked and status in (200, 206) and cut_at is None
+                    and chunk is None and len(payload) > 0
+                    and zlib.crc32(b"c|" + url.encode()) % 3 == 0
+                )
                 self.send_response(status)
-                if rec.get("content_type"):
-                    self.send_header("Content-Type", rec["content_type"])
+                if ctype:
+                    self.send_header("Content-Type", ctype)
                 if redirect:
                     self.send_header("Location", redirect)
-                # ALWAYS claim the full remaining length — with a
-                # `partial` entry the connection is then cut after
-                # `chunk` bytes: a real truncated transfer
-                self.send_header("Content-Length", str(len(remaining)))
-                if chunk and len(remaining) > chunk:
+                if encoding:
+                    self.send_header("Content-Encoding", encoding)
+                    with lock:
+                        outer.encoded_count += 1
+                if use_chunked:
+                    with lock:
+                        outer.chunked_count += 1
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for i in range(0, len(payload), _CHUNK_SIZE):
+                        part = payload[i:i + _CHUNK_SIZE]
+                        self.wfile.write(b"%x\r\n" % len(part)
+                                         + part + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                # ALWAYS claim the full payload length — with a cut
+                # (identity `partial` or encoded gzip_truncate) the
+                # connection is then closed mid-body: a real truncated
+                # transfer the client sees as IncompleteRead
+                self.send_header("Content-Length", str(len(payload)))
+                cut = cut_at if cut_at is not None else (
+                    chunk if chunk and len(payload) > chunk else None)
+                if cut:
                     self.send_header("Connection", "close")
                 self.end_headers()
-                if chunk and len(remaining) > chunk:
-                    self.wfile.write(remaining[:chunk])
+                if cut:
+                    self.wfile.write(payload[:cut])
                     self.wfile.flush()
                     # close the socket mid-body → client IncompleteRead
                     self.close_connection = True
@@ -163,11 +345,20 @@ class CorpusHTTPServer:
                     except OSError:
                         pass
                 else:
-                    self.wfile.write(remaining)
+                    self.wfile.write(payload)
 
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._srv.daemon_threads = True
-        self.addr = f"127.0.0.1:{self._srv.server_address[1]}"
+        if tls:
+            cert, keyf = _self_signed_cert()
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, keyf)
+            self._srv.socket = ctx.wrap_socket(self._srv.socket,
+                                               server_side=True)
+        port = self._srv.server_address[1]
+        # the https:// prefix tells HttpFetchClient to speak TLS
+        self.addr = (f"https://127.0.0.1:{port}" if tls
+                     else f"127.0.0.1:{port}")
         self._thread = threading.Thread(
             target=self._srv.serve_forever, kwargs={"poll_interval": 0.05},
             daemon=True,
@@ -194,22 +385,39 @@ class HttpFetchClient:
 
     def __init__(self, addr: str, retries: int = 3,
                  backoff_base_s: float = 0.01, range_resume: bool = True,
-                 pool_size: int = 16, timeout_s: float = 30.0):
+                 pool_size: int = 16, timeout_s: float = 30.0,
+                 accept_encoding: str = "gzip, deflate"):
+        # an https:// prefix on the server address selects TLS;
+        # verification is off — the reference crawls with
+        # ignore_https_errors (playwrightcrawler.py:5001-5006), and the
+        # loopback server's cert is self-signed by construction
+        self._tls = addr.startswith("https://")
+        addr = addr.split("://", 1)[-1]
         host, port = addr.rsplit(":", 1)
         self._host, self._port = host, int(port)
         self.retries = retries
         self.backoff_base_s = backoff_base_s
         self.range_resume = range_resume
         self.timeout_s = timeout_s
+        self.accept_encoding = accept_encoding
         self._pool = ThreadPoolExecutor(max_workers=pool_size)
         self._local = threading.local()  # keep-alive conn per pool thread
 
     def _conn(self) -> http.client.HTTPConnection:
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = http.client.HTTPConnection(
-                self._host, self._port, timeout=self.timeout_s
-            )
+            if self._tls:
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+                conn = http.client.HTTPSConnection(
+                    self._host, self._port, timeout=self.timeout_s,
+                    context=ctx,
+                )
+            else:
+                conn = http.client.HTTPConnection(
+                    self._host, self._port, timeout=self.timeout_s
+                )
             self._local.conn = conn
         return conn
 
@@ -228,7 +436,11 @@ class HttpFetchClient:
         (fresh-connection retry on a stale socket). Returns (status,
         headers, body, truncated) where ``truncated`` means the server
         cut the connection mid-body."""
-        headers = {"Host": vhost, "Accept-Encoding": "identity",
+        # ranged re-requests always ask identity: the resume offset
+        # indexes the entity bytes, not a content coding
+        headers = {"Host": vhost,
+                   "Accept-Encoding": ("identity" if start
+                                       else self.accept_encoding),
                    "X-Forwarded-Proto": scheme}
         if start:
             headers["Range"] = f"bytes={start}-"
@@ -279,6 +491,26 @@ class HttpFetchClient:
             redirect = hdrs.get("Location", "")
             if 300 <= status < 400:
                 return status, ctype, b"", redirect
+            ce = (hdrs.get("Content-Encoding") or "").lower()
+            if ce in ("gzip", "deflate"):
+                # a cut ENCODED stream cannot be Range-resumed (the
+                # offset indexes the coding, not the entity): retry the
+                # whole request; persistent cuts exhaust to terminal
+                if truncated:
+                    if attempt + 1 >= self.retries:
+                        return _TERMINAL
+                    time.sleep(backoff)
+                    backoff *= 2
+                    continue
+                try:
+                    body = (_gzip.decompress(body) if ce == "gzip"
+                            else zlib.decompress(body))
+                except (OSError, zlib.error, EOFError):
+                    if attempt + 1 >= self.retries:
+                        return _TERMINAL
+                    time.sleep(backoff)
+                    backoff *= 2
+                    continue
             if truncated and self.range_resume:
                 # real Range-resume loop: re-request from the byte
                 # after the last one received until complete

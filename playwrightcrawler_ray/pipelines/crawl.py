@@ -143,24 +143,13 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.corpus = corpus
         self.seen_mode = seen_mode
-        RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
-        RemoteDedup = ray.remote(num_cpus=0)(DedupShard)
-        spill_root = os.path.join(self.cfg.output_dir, "spill")
-        self.shards = [
-            RemoteShard.remote(
-                i, seen_mode,
-                host_queue_cap=self.cfg.host_queue_cap,
-                spill_dir=os.path.join(spill_root, f"shard_{i:03d}"),
-            )
-            for i in range(self.cfg.num_frontier_shards)
-        ]
-        self.dedup = [
-            RemoteDedup.remote(
-                i, self.cfg.image_seen_mode,
-                capacity=self.cfg.image_seen_capacity,
-            )
-            for i in range(self.cfg.num_seen_shards)
-        ]
+        self._RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
+        self._RemoteDedup = ray.remote(num_cpus=0)(DedupShard)
+        self.shards = [self._make_frontier(i)
+                       for i in range(self.cfg.num_frontier_shards)]
+        self.dedup = [self._make_dedup(i)
+                      for i in range(self.cfg.num_seen_shards)]
+        self.actor_recoveries = 0
         from ..corpus.store import put_corpus_index
 
         self.corpus_ref = put_corpus_index(corpus.pages)
@@ -172,16 +161,88 @@ class CrawlEngine:
         from ..stages.process import ProcessContext
 
         self._pctx = ProcessContext(self.cfg)
+        self._seed_robots()
+
+    def _make_frontier(self, i: int):
+        spill_root = os.path.join(self.cfg.output_dir, "spill")
+        return self._RemoteShard.remote(
+            i, self.seen_mode,
+            host_queue_cap=self.cfg.host_queue_cap,
+            spill_dir=os.path.join(spill_root, f"shard_{i:03d}"),
+        )
+
+    def _make_dedup(self, i: int):
+        return self._RemoteDedup.remote(
+            i, self.cfg.image_seen_mode,
+            capacity=self.cfg.image_seen_capacity,
+        )
+
+    def _seed_robots(self) -> None:
         # robots preload: "fetched once per host through the corpus
         # interface", cached on the owning shard (north-rule robots cache)
-        if self.cfg.respect_robots and corpus.robots:
+        if self.cfg.respect_robots and self.corpus.robots:
             by_shard: dict[int, list] = {}
-            for host, text in corpus.robots.items():
+            for host, text in self.corpus.robots.items():
                 by_shard.setdefault(
                     shard_of(host, self.cfg.num_frontier_shards), []
                 ).append((host, text))
             ray.get([self.shards[s].set_robots.remote(items)
                      for s, items in by_shard.items()])
+
+    # --- actor-loss recovery (VERDICT r4 item 5) ---
+
+    def _alive(self, actor) -> bool:
+        try:
+            ray.get(actor.ping.remote())
+            return True
+        except ray.exceptions.RayActorError:
+            return False
+
+    def _recover_from_actor_loss(self) -> bool:
+        """On a real multi-node cluster shard-actor loss (node death,
+        OOM kill) is routine. Recreate every dead frontier/dedup shard
+        and rewind the WHOLE fleet to the last published per-wave
+        checkpoint — live shards hold mid-wave state ahead of the
+        barrier, and mixing barrier states across shards would be
+        inconsistent. The caller then replays from the checkpoint wave
+        (the wave loop is deterministic, so the replay reproduces the
+        uninterrupted run exactly). Returns False when no actor is
+        actually dead — the failure was something else; re-raise it."""
+        revived = 0
+        for i, a in enumerate(self.shards):
+            if not self._alive(a):
+                self.shards[i] = self._make_frontier(i)
+                revived += 1
+        for i, a in enumerate(self.dedup):
+            if not self._alive(a):
+                self.dedup[i] = self._make_dedup(i)
+                revived += 1
+        if revived == 0:
+            return False
+        # the background checkpoint thread may hold blob refs owned by
+        # a dead actor — join and swallow; we rewind past it anyway
+        try:
+            self._join_checkpoint()
+        except BaseException:
+            pass
+        root = os.path.join(self.cfg.output_dir, "checkpoints")
+        has_ck = os.path.isdir(root) and any(
+            d.startswith("wave=") and not d.endswith(".tmp")
+            for d in os.listdir(root)
+        )
+        if not has_ck:
+            # death before the first barrier: no state to rewind to —
+            # restart from seeds with an ALL-fresh fleet (surviving
+            # shards hold partial wave-0 state)
+            for i, a in enumerate(self.shards):
+                ray.kill(a, no_restart=True)
+                self.shards[i] = self._make_frontier(i)
+            for i, a in enumerate(self.dedup):
+                ray.kill(a, no_restart=True)
+                self.dedup[i] = self._make_dedup(i)
+        self._seed_robots()  # fresh shards need rules; restore overwrites
+        self.actor_recoveries += revived
+        return True
 
     # --- frontier plumbing ---
 
@@ -307,43 +368,11 @@ class CrawlEngine:
 
     # --- the wave loop ---
 
-    def run(self, resume: bool = False, max_waves: int | None = None,
-            collect_seen_ids: bool = False) -> CrawlResult:
+    def _build_stage_fns(self):
+        """The four wave-stage closures. Rebuilt after actor-loss
+        recovery — they capture frontier/dedup actor handles, and the
+        recovered fleet has new ones."""
         cfg = self.cfg
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        order_dir = os.path.join(cfg.output_dir, "order")
-        os.makedirs(order_dir, exist_ok=True)
-        order_files: list[str] = []
-        pages_fetched = 0
-        wave_log: list[dict] = []
-        start_wave = 0
-        meta = self.restore_latest_checkpoint() if resume else None
-        if meta is not None:
-            wave_log = list(meta["wave_log"])
-            start_wave = meta["wave"] + 1
-            # wave outputs and order logs beyond the checkpoint are
-            # replayed — clear them so nothing can duplicate
-            import glob as _glob
-
-            for d in _glob.glob(os.path.join(cfg.output_dir, "wave=*")):
-                if int(d.rsplit("=", 1)[1]) >= start_wave:
-                    shutil.rmtree(d, ignore_errors=True)
-            for p in sorted(_glob.glob(os.path.join(order_dir, "wave=*.txt"))):
-                w = int(os.path.basename(p)[5:10])
-                if w >= start_wave:
-                    os.remove(p)
-                else:
-                    order_files.append(p)
-                    with open(p) as f:
-                        pages_fetched += sum(1 for _ in f)
-        else:
-            shutil.rmtree(order_dir, ignore_errors=True)
-            os.makedirs(order_dir, exist_ok=True)
-            self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
-
-        # real-socket backend: latency/flaky/truncation happen on the
-        # server and in the client's own retry/Range loops — the
-        # simulation refs must not double-apply
         use_http = cfg.fetch_backend == "http" and bool(cfg.http_addr)
         http_addr = cfg.http_addr if use_http else None
         flaky_ref = (
@@ -375,136 +404,209 @@ class CrawlEngine:
             backoff_base_s=cfg.fetch_backoff_base_s,
             range_resume=cfg.range_resume,
         )
+        return fetch_fn, parse_fn, imgfetch_fn, decode_fn
+
+    def _init_run_state(self, resume: bool) -> tuple[int, list, list, int]:
+        """(start_wave, wave_log, order_files, pages_fetched) — shared
+        by resume-at-start and mid-run actor-loss recovery. With
+        ``resume`` the shard fleet is restored from the last published
+        checkpoint and outputs beyond it are cleared for replay; with
+        no checkpoint (or ``resume=False``) the run starts from seeds."""
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        order_dir = os.path.join(cfg.output_dir, "order")
+        os.makedirs(order_dir, exist_ok=True)
+        order_files: list[str] = []
+        pages_fetched = 0
+        wave_log: list[dict] = []
+        start_wave = 0
+        meta = self.restore_latest_checkpoint() if resume else None
+        if meta is not None:
+            wave_log = list(meta["wave_log"])
+            start_wave = meta["wave"] + 1
+            # wave outputs and order logs beyond the checkpoint are
+            # replayed — clear them so nothing can duplicate
+            import glob as _glob
+
+            for d in _glob.glob(os.path.join(cfg.output_dir, "wave=*")):
+                if int(d.rsplit("=", 1)[1]) >= start_wave:
+                    shutil.rmtree(d, ignore_errors=True)
+            for p in sorted(_glob.glob(os.path.join(order_dir, "wave=*.txt"))):
+                w = int(os.path.basename(p)[5:10])
+                if w >= start_wave:
+                    os.remove(p)
+                else:
+                    order_files.append(p)
+                    with open(p) as f:
+                        pages_fetched += sum(1 for _ in f)
+        else:
+            shutil.rmtree(order_dir, ignore_errors=True)
+            os.makedirs(order_dir, exist_ok=True)
+            self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
+        return start_wave, wave_log, order_files, pages_fetched
+
+    def run(self, resume: bool = False, max_waves: int | None = None,
+            collect_seen_ids: bool = False) -> CrawlResult:
+        cfg = self.cfg
+        order_dir = os.path.join(cfg.output_dir, "order")
+        start_wave, wave_log, order_files, pages_fetched = \
+            self._init_run_state(resume)
+
+        # real-socket backend: latency/flaky/truncation happen on the
+        # server and in the client's own retry/Range loops — the
+        # simulation refs must not double-apply
+        fetch_fn, parse_fn, imgfetch_fn, decode_fn = self._build_stage_fns()
         limit = max_waves if max_waves is not None else cfg.max_waves
 
         t0 = time.perf_counter()
         wave = start_wave
         empty_streak = 0
+        recoveries = 0
         last_wave_stats = ""
         fns_ref = None  # one object-store put of the stage chain, lazy
         while wave < limit:
-            candidates = self._pop_merged(wave)
-            if not candidates:
-                if self._queued() == 0:
-                    break
-                wave += 1
-                empty_streak += 1
-                if empty_streak > 64:
-                    break
-                continue
-            rng = wave_rng(cfg.seed, wave)
-            strategy = choose_strategy(rng, cfg.method_weights)
-            selected, leftover = apply_strategy(
-                strategy, candidates, cfg.wave_size, rng,
-                cfg.reproduce_reference_bugs,
-            )
-            self._push_back(leftover)
-            if not selected:
-                wave += 1
-                empty_streak += 1
-                if empty_streak > 64:
-                    break
-                continue
-            empty_streak = 0
-            urls = [u for _, u, _ in selected]
-            hosts = [h for _, _, h in selected]
-
-            tw = time.perf_counter()
-            tbl = pa.table(
-                {
-                    "url": pa.array(urls, pa.string()),
-                    "host": pa.array(hosts, pa.string()),
-                    "wave": pa.array([wave] * len(urls), pa.int32()),
-                    # lineage ord: position in the wave's selected order
-                    "ord": pa.array(range(len(urls)), pa.int64()),
-                }
-            )
-            # pre-slice into one Arrow table per wave block: from_arrow
-            # makes each a block directly (no Repartition operator), and
-            # a uniform batch_size across the fused stage chain keeps
-            # task granularity = one block (see CrawlConfig note).
-            # Adaptive: small waves shrink the batch so every CPU gets
-            # ~4 tasks of slack (a 1k-URL wave at batch 256 is only 4
-            # tasks — idle cores on an 8-CPU cluster); large waves cap
-            # at wave_batch_size.
             try:
-                ncpu = max(1, int(ray.cluster_resources().get("CPU", 1)))
-            except Exception:  # pragma: no cover - resources always known
-                ncpu = 1
-            bs = min(cfg.wave_batch_size,
-                     max(32, -(-len(urls) // (ncpu * 4))))
-            chunks = [tbl.slice(i, bs) for i in range(0, len(urls), bs)]
-            wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
-            shutil.rmtree(wave_dir, ignore_errors=True)
-            # link offers + dedup claims happen INSIDE the decode stage
-            # (awaited per batch) — the write barrier (all chunk tasks
-            # done / write_parquet returned) therefore means: every link
-            # row is durable AND offered, every dedup claim staged.
-            if (cfg.small_wave_task_path_max > 0
-                    and len(urls) <= cfg.small_wave_task_path_max):
-                # small-wave fast path: same fns, same chunk boundaries,
-                # one plain Ray task per chunk — skips the streaming
-                # executor's ~1.5 s fixed per-job driver overhead that
-                # dominates sub-second waves (the barrier-bound waves of
-                # BENCH_scaling_r3_4v16_decomp)
-                if fns_ref is None:
-                    fns_ref = ray.put(
-                        (fetch_fn, parse_fn, imgfetch_fn, decode_fn)
-                    )
-                os.makedirs(wave_dir, exist_ok=True)
-                ray.get([
-                    _wave_chunk_task.remote(
-                        fns_ref, c,
-                        os.path.join(wave_dir, f"part-{i:05d}.parquet"),
-                    )
-                    for i, c in enumerate(chunks)
-                ])
-                ds = None
-            else:
-                ds = ray.data.from_arrow(chunks)
-                for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):
-                    ds = ds.map_batches(
-                        fn, batch_format="pyarrow", batch_size=bs
-                    )
-                ds.write_parquet(wave_dir)
-            t_write = time.perf_counter()
-            conflicts: list[tuple[int, list[int]]] = []
-            for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
-                conflicts.extend(part)
-            if conflicts:
-                # rare-ish (stage_many_keyed prunes sure losers): the
-                # shards reported every kept claimant's ord, so loser
-                # ords are computed locally and only the files holding
-                # them are rewritten — no scan, bytes never re-read
-                full_l, img_l = _loser_ords(conflicts)
-                if full_l or img_l:
-                    _write_tombstones(wave_dir, full_l, img_l)
-            t_fixup = time.perf_counter()
-            t_pipeline = time.perf_counter() - tw
-            if ds is not None:
-                last_wave_stats = ds.stats()
-            # append-only order log: one immutable file per wave
-            opath = os.path.join(order_dir, f"wave={wave:05d}.txt")
-            with open(opath + ".tmp", "w") as f:
-                f.write("".join(u + "\n" for u in urls))
-            os.rename(opath + ".tmp", opath)
-            order_files.append(opath)
-            pages_fetched += len(urls)
-            wave_log.append(
-                {
-                    "wave": wave,
-                    "strategy": strategy,
-                    "urls": len(urls),
-                    "sec": round(time.perf_counter() - tw, 4),
-                    "pipeline_sec": round(t_write - tw, 4),
-                    "fixup_sec": round(t_fixup - t_write, 4),
-                    "conflicts": len(conflicts),
-                }
-            )
-            if wave % cfg.checkpoint_every == 0:
-                self._checkpoint(wave, wave_log)
-            wave += 1
+                candidates = self._pop_merged(wave)
+                if not candidates:
+                    if self._queued() == 0:
+                        break
+                    wave += 1
+                    empty_streak += 1
+                    if empty_streak > 64:
+                        break
+                    continue
+                rng = wave_rng(cfg.seed, wave)
+                strategy = choose_strategy(rng, cfg.method_weights)
+                selected, leftover = apply_strategy(
+                    strategy, candidates, cfg.wave_size, rng,
+                    cfg.reproduce_reference_bugs,
+                )
+                self._push_back(leftover)
+                if not selected:
+                    wave += 1
+                    empty_streak += 1
+                    if empty_streak > 64:
+                        break
+                    continue
+                empty_streak = 0
+                urls = [u for _, u, _ in selected]
+                hosts = [h for _, _, h in selected]
 
+                tw = time.perf_counter()
+                tbl = pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "host": pa.array(hosts, pa.string()),
+                        "wave": pa.array([wave] * len(urls), pa.int32()),
+                        # lineage ord: position in the wave's selected order
+                        "ord": pa.array(range(len(urls)), pa.int64()),
+                    }
+                )
+                # pre-slice into one Arrow table per wave block: from_arrow
+                # makes each a block directly (no Repartition operator), and
+                # a uniform batch_size across the fused stage chain keeps
+                # task granularity = one block (see CrawlConfig note).
+                # Adaptive: small waves shrink the batch so every CPU gets
+                # ~4 tasks of slack (a 1k-URL wave at batch 256 is only 4
+                # tasks — idle cores on an 8-CPU cluster); large waves cap
+                # at wave_batch_size.
+                try:
+                    ncpu = max(1, int(ray.cluster_resources().get("CPU", 1)))
+                except Exception:  # pragma: no cover - resources always known
+                    ncpu = 1
+                bs = min(cfg.wave_batch_size,
+                         max(32, -(-len(urls) // (ncpu * 4))))
+                chunks = [tbl.slice(i, bs) for i in range(0, len(urls), bs)]
+                wave_dir = os.path.join(cfg.output_dir, f"wave={wave:05d}")
+                shutil.rmtree(wave_dir, ignore_errors=True)
+                # link offers + dedup claims happen INSIDE the decode stage
+                # (awaited per batch) — the write barrier (all chunk tasks
+                # done / write_parquet returned) therefore means: every link
+                # row is durable AND offered, every dedup claim staged.
+                if (cfg.small_wave_task_path_max > 0
+                        and len(urls) <= cfg.small_wave_task_path_max):
+                    # small-wave fast path: same fns, same chunk boundaries,
+                    # one plain Ray task per chunk — skips the streaming
+                    # executor's ~1.5 s fixed per-job driver overhead that
+                    # dominates sub-second waves (the barrier-bound waves of
+                    # BENCH_scaling_r3_4v16_decomp)
+                    if fns_ref is None:
+                        fns_ref = ray.put(
+                            (fetch_fn, parse_fn, imgfetch_fn, decode_fn)
+                        )
+                    os.makedirs(wave_dir, exist_ok=True)
+                    ray.get([
+                        _wave_chunk_task.remote(
+                            fns_ref, c,
+                            os.path.join(wave_dir, f"part-{i:05d}.parquet"),
+                        )
+                        for i, c in enumerate(chunks)
+                    ])
+                    ds = None
+                else:
+                    ds = ray.data.from_arrow(chunks)
+                    for fn in (fetch_fn, parse_fn, imgfetch_fn, decode_fn):
+                        ds = ds.map_batches(
+                            fn, batch_format="pyarrow", batch_size=bs
+                        )
+                    ds.write_parquet(wave_dir)
+                t_write = time.perf_counter()
+                conflicts: list[tuple[int, list[int]]] = []
+                for part in ray.get([d.commit_wave.remote() for d in self.dedup]):
+                    conflicts.extend(part)
+                if conflicts:
+                    # rare-ish (stage_many_keyed prunes sure losers): the
+                    # shards reported every kept claimant's ord, so loser
+                    # ords are computed locally and only the files holding
+                    # them are rewritten — no scan, bytes never re-read
+                    full_l, img_l = _loser_ords(conflicts)
+                    if full_l or img_l:
+                        _write_tombstones(wave_dir, full_l, img_l)
+                t_fixup = time.perf_counter()
+                t_pipeline = time.perf_counter() - tw
+                if ds is not None:
+                    last_wave_stats = ds.stats()
+                # append-only order log: one immutable file per wave
+                opath = os.path.join(order_dir, f"wave={wave:05d}.txt")
+                with open(opath + ".tmp", "w") as f:
+                    f.write("".join(u + "\n" for u in urls))
+                os.rename(opath + ".tmp", opath)
+                order_files.append(opath)
+                pages_fetched += len(urls)
+                wave_log.append(
+                    {
+                        "wave": wave,
+                        "strategy": strategy,
+                        "urls": len(urls),
+                        "sec": round(time.perf_counter() - tw, 4),
+                        "pipeline_sec": round(t_write - tw, 4),
+                        "fixup_sec": round(t_fixup - t_write, 4),
+                        "conflicts": len(conflicts),
+                    }
+                )
+                if wave % cfg.checkpoint_every == 0:
+                    self._checkpoint(wave, wave_log)
+                wave += 1
+
+            except Exception as err:
+                # actor-loss recovery (VERDICT r4 item 5): a dead
+                # frontier/dedup shard surfaces as RayActorError — from
+                # a driver RPC directly, or wrapped in a RayTaskError /
+                # Dataset execution error from inside a stage task.
+                # Probe-and-recover is authoritative: if no shard is
+                # actually dead, this was a different failure — re-raise.
+                if recoveries >= 3 or not self._recover_from_actor_loss():
+                    raise
+                recoveries += 1
+                start_wave, wave_log, order_files, pages_fetched = \
+                    self._init_run_state(resume=True)
+                wave = start_wave
+                empty_streak = 0
+                # stage closures hold handles to the dead fleet
+                fetch_fn, parse_fn, imgfetch_fn, decode_fn = \
+                    self._build_stage_fns()
+                fns_ref = None
+                continue
         self._join_checkpoint()  # final checkpoint durable before return
         elapsed = time.perf_counter() - t0
         fstats = ray.get([s.stats.remote() for s in self.shards])

@@ -39,6 +39,10 @@ class DedupShard:
         # KEPT claimant ords); folded into `seen` at commit_wave
         self.pending: dict[int, tuple[int, list[int]]] = {}
 
+    def ping(self) -> bool:
+        """Liveness probe (actor-loss recovery, pipelines/crawl.py)."""
+        return True
+
     def add_many(self, hashes: list[int]) -> list[bool]:
         """True per item ⇔ first sighting (caller keeps those rows)."""
         return self.seen.add_many(hashes)

@@ -213,6 +213,10 @@ class FrontierShard:
 
     # --- introspection / checkpoint ---
 
+    def ping(self) -> bool:
+        """Liveness probe (actor-loss recovery, pipelines/crawl.py)."""
+        return True
+
     def size(self) -> int:
         return sum(len(h) for h in self.heaps.values()) + sum(
             r[1] for rs in self.runs.values() for r in rs

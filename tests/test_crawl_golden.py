@@ -69,6 +69,78 @@ def test_oracle_covers_corpus(oracle, corpus):
         assert any(u.endswith(tgt) for u in oracle.order), tgt
 
 
+def test_actor_death_midcrawl_recovers(ray_session, corpus, oracle):
+    """VERDICT r4 item 5: shard-actor loss is routine on a real
+    cluster. Kill one FrontierShard + one DedupShard mid-crawl (driver
+    RPC surface) and later a second DedupShard so the failure surfaces
+    INSIDE a wave task (stage_many_keyed on a dead handle) — the
+    engine must recreate the dead actors, rewind the fleet to the last
+    per-wave checkpoint, replay, and produce output identical to the
+    uninterrupted oracle run."""
+    import ray as _ray
+
+    from playwrightcrawler_ray.pipelines.crawl import CrawlEngine, load_images
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_actordeath",
+                      max_waves=100)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    engine = CrawlEngine(corpus, cfg)
+    orig = engine._pop_merged
+    kills = {"rpc": False, "task": False}
+
+    def popper(wave):
+        if wave == 5 and not kills["rpc"]:
+            kills["rpc"] = True
+            _ray.kill(engine.shards[1], no_restart=True)
+            _ray.kill(engine.dedup[0], no_restart=True)
+        if wave == 8 and not kills["task"]:
+            # dedup-only kill: pops still succeed, the error surfaces
+            # inside the wave's chunk task at the dedup claim RPC
+            kills["task"] = True
+            _ray.kill(engine.dedup[1], no_restart=True)
+        return orig(wave)
+
+    engine._pop_merged = popper
+    res = engine.run(collect_seen_ids=True)
+    assert kills["rpc"] and kills["task"]
+    assert engine.actor_recoveries >= 3  # 2 at wave 5, 1 at wave 8
+    assert res.order == oracle.order
+    assert res.seen_ids() == oracle.seen_ids
+    imgs = load_images(cfg.output_dir).to_pandas()
+    assert set(zip(imgs["caption"], imgs["phash"])) == set(
+        (v["caption"], v["phash"]) for v in oracle.images.values()
+    )
+    assert len(imgs) == len(oracle.images)
+
+
+def test_actor_death_before_first_checkpoint(ray_session, corpus, oracle):
+    """Death in wave 0, before any checkpoint exists: no barrier to
+    rewind to, so the engine restarts from seeds with an all-fresh
+    fleet — still identical output."""
+    import ray as _ray
+
+    from playwrightcrawler_ray.pipelines.crawl import CrawlEngine
+
+    cfg = CrawlConfig(output_dir="/tmp/pwc_golden_actordeath0",
+                      max_waves=100)
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
+    engine = CrawlEngine(corpus, cfg)
+    orig = engine._pop_merged
+    killed = {"done": False}
+
+    def popper(wave):
+        if wave == 0 and not killed["done"]:
+            killed["done"] = True
+            _ray.kill(engine.shards[0], no_restart=True)
+        return orig(wave)
+
+    engine._pop_merged = popper
+    res = engine.run(collect_seen_ids=True)
+    assert killed["done"] and engine.actor_recoveries >= 1
+    assert res.order == oracle.order
+    assert res.seen_ids() == oracle.seen_ids
+
+
 def test_crawl_ordering_matches_oracle(engine_result, oracle):
     _, res = engine_result
     assert res.order == oracle.order

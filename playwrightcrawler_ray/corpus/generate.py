@@ -244,6 +244,16 @@ def build_corpus(
             "status": 200, "content_type": "audio/x-wav",
             "body": encode_wav(tone, rate=16_000), "redirect_to": "",
         }
+        # REAL compressed audio through the pure-Python FLAC codec
+        # (round 5): losslessly decodable, MD5-verified on decode
+        from ..functions.flac import flac_encode
+
+        corpus.pages[f"https://{h2}/media/tone.flac"] = {
+            "status": 200, "content_type": "audio/flac",
+            "body": flac_encode(tone.astype(_np.int64), rate=16_000,
+                                bits=16),
+            "redirect_to": "",
+        }
         # 128 kbps 44100 Hz MPEG-1 L3 frames (header-walkable; the
         # canonical 417-byte frame)
         mp3_frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
@@ -309,6 +319,7 @@ def build_corpus(
 
             if hi == 2 and pi == 1:
                 links.append("/media/clip.wav")   # audio rows (probe)
+                links.append("/media/tone.flac")  # REAL compressed decode
                 links.append("/media/song.mp3")
                 links.append("/media/movie.mp4")  # video row (probe)
             if hi == 3 and pi == 1:

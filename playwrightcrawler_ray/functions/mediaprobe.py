@@ -394,10 +394,36 @@ def probe_avi(data: bytes) -> dict:
 
 # ------------------------------------------------------------- router
 
+def probe_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO probe (RFC 9639 §8.2): rate/channels/bits/
+    duration from the mandatory first metadata block — O(header)."""
+    if data[:4] != b"fLaC" or len(data) < 4 + 4 + 34:
+        raise ValueError("not a FLAC stream")
+    hdr = data[4]
+    if hdr & 0x7F != 0:
+        raise ValueError("FLAC: first metadata block is not STREAMINFO")
+    si = data[8:8 + 34]
+    rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x7) + 1
+    bits = (((si[12] & 0x1) << 4) | (si[13] >> 4)) + 1
+    total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+    return {
+        "container": "flac",
+        "codec": "flac",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "duration_sec": round(total / rate, 3) if rate else None,
+        "tracks": [{"kind": "audio", "codec_id": "flac"}],
+    }
+
+
 def probe_media(data: bytes) -> dict:
     """Sniff the container and probe it; ValueError on unknowns."""
     if not isinstance(data, (bytes, bytearray)) or len(data) < 12:
         raise ValueError("too short to be a media file")
+    if data[:4] == b"fLaC":
+        return probe_flac(bytes(data))
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return probe_wav(bytes(data))
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":

@@ -88,8 +88,18 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _decode_wav(data)
+    if data[:4] == b"fLaC":
+        # REAL compressed-audio decode (round 5): pure-Python FLAC,
+        # verified against the stream's own STREAMINFO MD5
+        from ..functions.flac import FlacError, flac_decode
+
+        try:
+            samples, rate = flac_decode(bytes(data))
+        except FlacError as e:
+            raise OSError(f"corrupt FLAC: {e}") from None
+        return samples.astype(np.int64), rate
     if not data.startswith(_QAUD_MAGIC):
-        # compressed real-world audio (mp3/ogg/aac) → needs ffmpeg
+        # compressed lossy audio (mp3/ogg/aac) → needs ffmpeg
         raise CodecUnavailable("no compressed-audio decoder in this container")
     (rate,) = struct.unpack_from(">I", data, 4)
     return np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16), rate

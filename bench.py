@@ -4,17 +4,27 @@
 Plain run: executes the headline pipelines — the flagship crawl (seeded
 synthetic corpus → frontier-scheduled waves → images table) plus the
 heavy operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1) —
-under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and
-prints ONE JSON line:
+and prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N,
    "crawl": {"pages_per_sec": ..., "frontier_ops_per_sec": ...}}
 
---scaling: runs the same job twice in fresh processes at num_cpus=8 and
-num_cpus=32 (the sandbox proxy for N-node vs 4N-node clusters) and
-prints one JSON line with both times and the scaling efficiency
+Each leg (heavy operators / real-socket crawl / flagship crawl) runs in
+its OWN subprocess with a fresh Ray session: leftover per-worker heap
+state from one job was MEASURED to contend the next by 1.3-5x on this
+box (BASELINE.md "cross-job contention"), so sharing a session makes
+the later legs' numbers meaningless. Subprocess spin-up is untimed.
+
+--scaling: runs the same job twice in fresh processes at two CPU
+levels (the sandbox proxy for N-node vs 4N-node clusters) and prints
+one JSON line with both throughputs and the scaling efficiency
 (recorded in BASELINE.md per the north rule's ≥0.8 criterion).
+
+--big: the ~10x-scale sample (VERDICT r4 item 4): crawl over a 10x
+corpus and the heavy doc/embedding operators over a 10x documents/
+embeddings table synthesized deterministically from sf0.1, reporting
+wall-time linearity vs the standard leg.
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -50,8 +61,18 @@ QUERY_NAMES = [
     "embedding_neardup_pairs",
 ]
 
+# the doc/embedding subset that scales with the synthesized 10x tables
+BIG_QUERY_NAMES = [
+    "token_counts",
+    "doc_exact_dedup",
+    "ngram_jaccard_top_pairs",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "embedding_neardup_pairs",
+]
 
-def run_bench() -> dict:
+
+def _init_ray():
     import ray
 
     ray.init(
@@ -69,18 +90,12 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entrymod
 
-    from playwrightcrawler_ray.config import CrawlConfig
-    from playwrightcrawler_ray.corpus import build_corpus
-    from playwrightcrawler_ray.pipelines.crawl import run_crawl
-
-    timings: dict[str, float] = {}
-
-    # warm the worker pool: every worker pays module import once; do it
-    # before timing (the guide's "warm the cache with one untimed read")
+def _warm_workers(ray):
+    # every worker pays module import once; do it before timing (the
+    # guide's "warm the cache with one untimed read")
     def _warm(b):
         import playwrightcrawler_ray.stages.ray_stages  # noqa: F401
 
@@ -89,6 +104,7 @@ def run_bench() -> dict:
     ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4).map_batches(
         _warm, batch_size=2
     ).materialize()
+
     # warm the sort-shuffle path too (groupby/map_groups operators load
     # lazily; without this the first timed groupby query pays it)
     def _part(b):
@@ -99,20 +115,43 @@ def run_bench() -> dict:
         _part, batch_format="pandas"
     ).groupby("part").map_groups(lambda g: g, batch_format="pandas").materialize()
 
-    # --- real-socket sample (reported separately, not in the headline
-    # total): the same crawl semantics over a loopback HTTP vhost
-    # server in its OWN process — every fetch crosses a real TCP
-    # socket (VERDICT r3 item 1). Runs FIRST (before the main crawl)
-    # and best-of-2: the main crawl's leftover per-worker heap state
-    # was measured to contend this leg 3-5x when it ran after, and the
-    # first rep alone pays server+worker spin-up — neither is the
-    # client fetch path this number exists to measure.
-    import subprocess
 
-    http_corpus = build_corpus(
-        seed=43, n_hosts=256, pages_per_host=20, n_seeds=256,
-        text_words=CRAWL_TEXT_WORDS, img_sizes=CRAWL_IMG_SIZES,
-    )
+def leg_queries(sf_dir: str = SF_DIR, names: list[str] | None = None) -> dict:
+    """Heavy operators over the driver tables (best-of-2 per query:
+    the box has noisy-neighbor variance; one bad sample should not
+    define a query's number)."""
+    ray = _init_ray()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    _warm_workers(ray)
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in names or QUERY_NAMES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = queries[name](sf_dir)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas()
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
+    ray.shutdown()
+    return {"queries": timings}
+
+
+def leg_http_crawl() -> dict:
+    """Real-socket sample: the same crawl semantics over a loopback
+    HTTP vhost server in its OWN process — every fetch crosses a real
+    TCP socket, with gzip/chunked served by default (VERDICT r3 item 1
+    / r4 item 3). Best-of-2: the first rep pays server+worker spin-up."""
+    ray = _init_ray()
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.corpus import build_corpus
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    _warm_workers(ray)
     srv_proc = subprocess.Popen(
         [sys.executable, "-m", "playwrightcrawler_ray.corpus.httpserve",
          "--seed", "43", "--hosts", "256", "--pages", "20",
@@ -122,8 +161,11 @@ def run_bench() -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     http_addr = srv_proc.stdout.readline().strip()
-    http_sec = None
-    res_http = None
+    http_corpus = build_corpus(
+        seed=43, n_hosts=256, pages_per_host=20, n_seeds=256,
+        text_words=CRAWL_TEXT_WORDS, img_sizes=CRAWL_IMG_SIZES,
+    )
+    http_sec, res_http = None, None
     for rep in range(2):
         http_out = f"/tmp/pwc_bench_http_{NUM_CPUS}_{rep}"
         shutil.rmtree(http_out, ignore_errors=True)
@@ -149,17 +191,34 @@ def run_bench() -> dict:
         http_requests = -1
     srv_proc.terminate()
     srv_proc.wait(timeout=10)
-    del http_corpus
+    ray.shutdown()
+    return {
+        "crawl_http": {
+            "sec": round(http_sec, 3),
+            "pages_fetched": res_http.stats["pages_fetched"],
+            "pages_per_sec": round(res_http.stats["pages_per_sec"], 2),
+            "http_requests": http_requests,
+        }
+    }
 
-    # --- flagship crawl (untimed corpus build: driver-side fixture) ---
+
+def leg_crawl(hosts: int = CRAWL_HOSTS,
+              pages_per_host: int = CRAWL_PAGES_PER_HOST,
+              repeats: int = CRAWL_REPEATS) -> dict:
+    """Flagship crawl (untimed corpus build: driver-side fixture)."""
+    ray = _init_ray()
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.corpus import build_corpus
+    from playwrightcrawler_ray.pipelines.crawl import run_crawl
+
+    _warm_workers(ray)
     corpus = build_corpus(
-        seed=42, n_hosts=CRAWL_HOSTS, pages_per_host=CRAWL_PAGES_PER_HOST,
-        n_seeds=CRAWL_HOSTS, text_words=CRAWL_TEXT_WORDS,
+        seed=42, n_hosts=hosts, pages_per_host=pages_per_host,
+        n_seeds=hosts, text_words=CRAWL_TEXT_WORDS,
         img_sizes=CRAWL_IMG_SIZES,
     )
-    crawl_sec = None
-    res = None
-    for rep in range(CRAWL_REPEATS):
+    crawl_sec, res = None, None
+    for rep in range(repeats):
         out_dir = f"/tmp/pwc_bench_out_{NUM_CPUS}_{rep}"
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg = CrawlConfig(
@@ -181,25 +240,41 @@ def run_bench() -> dict:
         sec = time.perf_counter() - t0
         if crawl_sec is None or sec < crawl_sec:
             crawl_sec, res = sec, r
-    timings["crawl"] = round(crawl_sec, 3)
+    ray.shutdown()
+    return {
+        "crawl_sec": round(crawl_sec, 3),
+        "crawl": {
+            "pages_fetched": res.stats["pages_fetched"],
+            "pages_per_sec": round(res.stats["pages_per_sec"], 2),
+            "frontier_ops": res.stats["frontier_ops"],
+            "frontier_ops_per_sec": round(
+                res.stats["frontier_ops_per_sec"], 2),
+            "waves": res.waves,
+        },
+    }
 
-    # --- heavy operators over the driver tables (best-of-2: the box
-    # has noisy-neighbor variance; one bad sample should not define a
-    # query's number) ---
-    queries = entrymod.queries()
-    for name in QUERY_NAMES:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = queries[name](SF_DIR)
-            if hasattr(out, "to_pandas"):
-                out.to_pandas()
-            sec = time.perf_counter() - t0
-            best = sec if best is None or sec < best else best
-        timings[name] = round(best, 3)
 
+def _run_leg(leg: str, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS))
+    if extra_env:
+        env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", leg],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_bench() -> dict:
+    # leg isolation: fresh process (fresh Ray session + worker pool)
+    # per leg — measured cross-job heap contention otherwise
+    q = _run_leg("queries")
+    h = _run_leg("http")
+    c = _run_leg("crawl")
+    timings = dict(q["queries"])
+    timings["crawl"] = c["crawl_sec"]
     total = round(sum(timings.values()), 3)
-    result = {
+    return {
         "metric": "crawl+ops wall time (fixed seed-list crawl into images "
         "table + heavy operators at sf)",
         "value": total,
@@ -207,27 +282,96 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "crawl": {
-            "pages_fetched": res.stats["pages_fetched"],
-            "pages_per_sec": round(res.stats["pages_per_sec"], 2),
-            "frontier_ops": res.stats["frontier_ops"],
-            "frontier_ops_per_sec": round(res.stats["frontier_ops_per_sec"], 2),
-            "waves": res.waves,
-        },
-        "crawl_http": {
-            "sec": round(http_sec, 3),
-            "pages_fetched": res_http.stats["pages_fetched"],
-            "pages_per_sec": round(res_http.stats["pages_per_sec"], 2),
-            "http_requests": http_requests,
-        },
+        "crawl": c["crawl"],
+        "crawl_http": h["crawl_http"],
     }
-    ray.shutdown()
-    return result
+
+
+def _make_big_tables(dst: str, factor: int = 10) -> None:
+    """Synthesize a ~factor× documents + embeddings table from sf0.1,
+    deterministically: copies get remapped ids and perturbed content
+    (so exact-dedup/near-dup structure stays bounded), embeddings get
+    a tiny deterministic rotation. Pure driver-side fixture prep —
+    untimed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    import pyarrow.compute as pc
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    n = docs.num_rows
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    parts = []
+    for k in range(factor):
+        t = docs.set_column(
+            docs.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids + k * (int(ids.max()) + 1)))
+        if k:
+            text = pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()),
+                pa.array([f" rep{k}"] * n, pa.string()), " ")
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", text)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts),
+                   os.path.join(dst, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    vids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    labels = emb.column("label")
+    vecs = np.stack(emb.column("embedding").to_pylist()).astype(np.float32)
+    eparts = []
+    for k in range(factor):
+        v = vecs
+        if k:
+            rng = np.random.default_rng(1234 + k)
+            v = vecs + rng.normal(0, 0.01, vecs.shape).astype(np.float32)
+            v = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        eparts.append(pa.table({
+            "vec_id": pa.array(vids + k * (int(vids.max()) + 1)),
+            "embedding": pa.array(list(v), pa.list_(pa.float32())),
+            "label": labels,
+        }))
+    pq.write_table(pa.concat_tables(eparts),
+                   os.path.join(dst, "embeddings.parquet"))
+
+
+def run_big() -> dict:
+    """The 10x-scale sample (VERDICT r4 item 4): is wall time linear?"""
+    big_dir = "/tmp/pwc_big_sf"
+    shutil.rmtree(big_dir, ignore_errors=True)
+    _make_big_tables(big_dir, factor=10)
+
+    std_q = _run_leg("queries-big-std")
+    big_q = _run_leg("queries-big", {"GRAFT_BIG_DIR": big_dir})
+    std_c = _run_leg("crawl")
+    big_c = _run_leg("crawl-big")
+
+    ratios = {}
+    for name in BIG_QUERY_NAMES:
+        s, b = std_q["queries"][name], big_q["queries"][name]
+        ratios[name] = round(b / s, 2) if s > 0 else None
+    pages_ratio = (big_c["crawl"]["pages_fetched"]
+                   / std_c["crawl"]["pages_fetched"])
+    crawl_ratio = big_c["crawl_sec"] / std_c["crawl_sec"]
+    return {
+        "metric": "10x-scale sample: wall-time ratio big/standard "
+        "(data ratio 10x for ops; crawl pages ratio reported)",
+        "queries_std": std_q["queries"],
+        "queries_big": big_q["queries"],
+        "query_time_ratios_10x_data": ratios,
+        "crawl_std": {"sec": std_c["crawl_sec"], **std_c["crawl"]},
+        "crawl_big": {"sec": big_c["crawl_sec"], **big_c["crawl"]},
+        "crawl_pages_ratio": round(pages_ratio, 2),
+        "crawl_time_ratio": round(crawl_ratio, 2),
+        "crawl_time_per_page_ratio": round(crawl_ratio / pages_ratio, 3),
+        "num_cpus": NUM_CPUS,
+    }
 
 
 def run_scaling() -> dict:
-    import subprocess
-
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -265,8 +409,34 @@ def run_scaling() -> dict:
     }
 
 
-if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+def main() -> None:
+    if "--leg" in sys.argv:
+        leg = sys.argv[sys.argv.index("--leg") + 1]
+        if leg == "queries":
+            print(json.dumps(leg_queries()))
+        elif leg == "queries-big-std":
+            print(json.dumps(leg_queries(SF_DIR, BIG_QUERY_NAMES)))
+        elif leg == "queries-big":
+            print(json.dumps(
+                leg_queries(os.environ["GRAFT_BIG_DIR"], BIG_QUERY_NAMES)))
+        elif leg == "http":
+            print(json.dumps(leg_http_crawl()))
+        elif leg == "crawl":
+            print(json.dumps(leg_crawl()))
+        elif leg == "crawl-big":
+            # ~10x the standard leg's fetched pages: 2048 hosts x 240
+            # pops (4 waves x 60/host) ≈ 491k pages vs ~57k standard
+            print(json.dumps(leg_crawl(hosts=2048, pages_per_host=300,
+                                       repeats=1)))
+        else:
+            raise SystemExit(f"unknown leg {leg}")
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--big" in sys.argv:
+        print(json.dumps(run_big()))
     else:
         print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,12 @@ class ProcessContext:
     router: ContentTypeRouter = field(init=False)
     policy: UrlPolicy = field(init=False)
     script_fetch: object = field(default=None, compare=False)
+    # memo over the pure offer pipeline (urlsplit → admit → url_id_64 →
+    # ancestor-directory expansion) keyed by canonical URL. Policy and
+    # config are frozen after __post_init__, so entries never go stale;
+    # capped + cleared wholesale (hit patterns are host-local, so a
+    # cold restart costs one page's worth of recompute).
+    offer_memo: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self):
         import importlib
@@ -211,20 +217,36 @@ def process_fetched(
     imgrefs: list[dict] = []
     next_wave = wave + 1
 
-    def offer_canonical(cu: str, expand_tree: bool = True) -> None:
+    def _offers_for(cu: str, expand_tree: bool) -> tuple:
+        """Pure offer expansion for one canonical URL: admission check,
+        id64, and (for top-level links) the ancestor-directory expansion
+        (reference preprocess expansion, playwrightcrawler.py:1837-1845
+        via get_directory_tree). Memoized per process on the context —
+        links repeat heavily across the pages of a host, and every
+        admitted URL fans out into the same ancestor chain."""
+        key = (cu, expand_tree)
+        hit = ctx.offer_memo.get(key)
+        if hit is not None:
+            return hit
+        out: list[tuple] = []
         p = urlsplit(cu)
         h = p.hostname
-        if not h or not ctx.policy.admit(cu, h):
-            return
-        offers.append((cu, url_id_64(cu), h, p.path or "/", next_wave))
-        if expand_tree and ctx.cfg.hunt_open_directories:
-            # open-directory hunting: queue every ancestor directory of
-            # the admitted URL (reference preprocess expansion,
-            # playwrightcrawler.py:1837-1845 via get_directory_tree)
-            from ..urlkit.levels import get_directory_tree
+        if h and ctx.policy.admit(cu, h):
+            out.append((cu, url_id_64(cu), h, p.path or "/"))
+            if expand_tree and ctx.cfg.hunt_open_directories:
+                from ..urlkit.levels import get_directory_tree
 
-            for ancestor in get_directory_tree(cu):
-                offer_canonical(canonicalize_url(ancestor), expand_tree=False)
+                for ancestor in get_directory_tree(cu):
+                    out.extend(_offers_for(canonicalize_url(ancestor), False))
+        res = tuple(out)
+        if len(ctx.offer_memo) >= 1 << 16:
+            ctx.offer_memo.clear()
+        ctx.offer_memo[key] = res
+        return res
+
+    def offer_canonical(cu: str, expand_tree: bool = True) -> None:
+        for u, i, h, pth in _offers_for(cu, expand_tree):
+            offers.append((u, i, h, pth, next_wave))
 
     def offer_link(link_url: str) -> None:
         offer_canonical(canonicalize_url(link_url))
@@ -327,10 +349,30 @@ def process_fetched(
                 for ancestor in get_directory_tree(src_url):
                     offer_canonical(canonicalize_url(ancestor), expand_tree=False)
 
-        # links: classify → canonicalize → admission → offer
+        # links: classify → canonicalize → admission → offer.
+        # classify_link(raw, page_url) is memoized for page-PATH-
+        # independent hrefs (host-absolute "/x" and full "scheme://"
+        # forms — the overwhelming majority on real sites): their
+        # resolution depends only on (scheme, netloc, raw), so nav
+        # links shared by every page of a host classify once per
+        # process. Path-relative / mailto / javascript hrefs keep the
+        # uncached call (their result depends on the full page URL).
         seen_email_urls: set[str] = set()
+        pu = urlsplit(url)
+        cls_memo = ctx.offer_memo  # shared cap/clear policy
         for raw in ex.links:
-            for rec in classify_link(raw, url):
+            if raw.startswith(("/", "http://", "https://")):
+                ck = (pu.scheme, pu.netloc, raw)
+                recs = cls_memo.get(ck)
+                if recs is None:
+                    recs = tuple(classify_link(raw, url))
+                    if not any(r["source"] == "email_url" for r in recs):
+                        if len(cls_memo) >= 1 << 16:
+                            cls_memo.clear()
+                        cls_memo[ck] = recs
+            else:
+                recs = classify_link(raw, url)
+            for rec in recs:
                 if rec["source"] == "email_url":
                     if rec["url"] in seen_email_urls:
                         continue

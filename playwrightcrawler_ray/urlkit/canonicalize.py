@@ -28,6 +28,7 @@ it property-based.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlsplit, urlunsplit
 
 # Quote-like wrappers stripped from around a URL (reference :2330-2338).
@@ -137,10 +138,20 @@ def _collapse_path_slashes_preserving_embedded(path: str) -> str:
 
 
 def canonicalize_url(url: str | None) -> str:
-    """Canonicalize one URL. Returns "" for non-string/empty input."""
+    """Canonicalize one URL. Returns "" for non-string/empty input.
+
+    Memoized per process: the function is pure and the crawl hot path
+    calls it ~30x per page (every href, img src, ancestor directory),
+    with heavy repetition across the pages of a host — nav links and
+    shared subresources resolve to the same absolute URL on every
+    page that carries them."""
     if not url or not isinstance(url, str):
         return ""
+    return _canonicalize_cached(url)
 
+
+@lru_cache(maxsize=1 << 16)
+def _canonicalize_cached(url: str) -> str:
     url = url.strip()
     # fast path: a URL already starting with exactly "http(s)://" and
     # not followed by another slash or nested scheme cannot match any

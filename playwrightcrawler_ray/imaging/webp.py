@@ -220,34 +220,125 @@ def _decode_entropy_coded_image(br: _LsbReader, w: int, h: int,
                                 meta: np.ndarray | None,
                                 meta_bits: int,
                                 groups: list[list[_Prefix]]) -> np.ndarray:
-    """Core pixel decode loop → (h*w,) uint32 ARGB array."""
+    """Core pixel decode loop → (h*w,) uint32 ARGB array.
+
+    The per-symbol work is fully inlined: bit-reader state (acc/nbits/
+    byte pos) lives in locals, each prefix code's LUT is pre-resolved
+    to a tuple, and pixels accumulate in a Python list (per-element
+    numpy stores cost ~10x a list store). Semantics are identical to
+    the readable reference loop this replaced — the differential suite
+    pins bit-exactness against libwebp."""
     n = w * h
-    out = np.zeros(n, dtype=np.uint32)
+    out = [0] * n
     cache = [0] * (1 << cache_bits) if cache_bits else None
     cache_mul = 0x1E35A7BD
+    cache_shift = 32 - cache_bits if cache_bits else 0
     pos = 0
     green_extra = 24 + (1 << cache_bits if cache_bits else 0)
+    green_limit = 256 + green_extra
+
+    # detach reader state into locals (synced back before returning —
+    # callers keep reading the stream after this image)
+    data = br.data
+    ndata = len(data)
+    bpos = br.pos
+    acc = br.acc
+    nbits = br.nbits
+
+    # (single, lut, lut_bits, mask, map) per prefix code per group
+    gtabs = [
+        tuple(
+            (p.single, p.lut, getattr(p, "lut_bits", 0),
+             (1 << p.lut_bits) - 1 if p.lut is not None else 0, p.map)
+            for p in g
+        )
+        for g in groups
+    ]
+    tab = gtabs[0]
+    if meta is not None:
+        meta_l = meta.tolist() if hasattr(meta, "tolist") else list(meta)
+        mrow = (w + (1 << meta_bits) - 1) >> meta_bits
+
+    def _sym(t):
+        # one prefix-coded symbol (single-symbol or LUT codes only;
+        # callers route >12-bit-map codes through _sym_slow). Mirrors
+        # _Prefix.decode bit for bit, including the zero-padded peek
+        # past stream end and the truncation check on consume.
+        nonlocal bpos, acc, nbits
+        single, lut, lut_bits, mask, _cmap = t
+        if single is not None:
+            return single
+        while nbits < lut_bits and bpos < ndata:
+            acc |= data[bpos] << nbits
+            bpos += 1
+            nbits += 8
+        ent = lut[acc & mask]
+        if ent == 0:
+            raise ValueError("bad VP8L prefix code")
+        ln = ent >> 16
+        if ln > nbits:
+            raise ValueError("truncated VP8L stream")
+        acc >>= ln
+        nbits -= ln
+        return ent & 0xFFFF
+
+    # rare >12-bit codes: the original object method with reader
+    # state synced both ways
+    def _sym_slow(p):
+        nonlocal bpos, acc, nbits
+        br.pos, br.acc, br.nbits = bpos, acc, nbits
+        s = p.decode(br)
+        bpos, acc, nbits = br.pos, br.acc, br.nbits
+        return s
+
+    def _extra(nb):
+        nonlocal bpos, acc, nbits
+        while nbits < nb:
+            if bpos >= ndata:
+                raise ValueError("truncated VP8L stream")
+            acc |= data[bpos] << nbits
+            bpos += 1
+            nbits += 8
+        v = acc & ((1 << nb) - 1)
+        acc >>= nb
+        nbits -= nb
+        return v
+
     while pos < n:
         if meta is not None:
-            x, y = pos % w, pos // w
-            g = groups[int(meta[(y >> meta_bits) * ((w + (1 << meta_bits) - 1)
-                                                    >> meta_bits)
-                               + (x >> meta_bits)])]
+            g_i = meta_l[(pos // w >> meta_bits) * mrow
+                         + ((pos % w) >> meta_bits)]
+            tab = gtabs[g_i]
+            grp = groups[g_i]
         else:
-            g = groups[0]
-        s = g[0].decode(br)
+            grp = groups[0]
+        t0 = tab[0]
+        s = _sym(t0) if (t0[0] is not None or t0[1] is not None) \
+            else _sym_slow(grp[0])
         if s < 256:
-            red = g[1].decode(br)
-            blue = g[2].decode(br)
-            alpha = g[3].decode(br)
+            t1, t2, t3 = tab[1], tab[2], tab[3]
+            red = _sym(t1) if (t1[0] is not None or t1[1] is not None) \
+                else _sym_slow(grp[1])
+            blue = _sym(t2) if (t2[0] is not None or t2[1] is not None) \
+                else _sym_slow(grp[2])
+            alpha = _sym(t3) if (t3[0] is not None or t3[1] is not None) \
+                else _sym_slow(grp[3])
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             if cache is not None:
-                cache[((cache_mul * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[((cache_mul * px) & 0xFFFFFFFF) >> cache_shift] = px
             pos += 1
         elif s < 256 + 24:
-            length = _prefix_value(br, s - 256)
-            dist_code = _prefix_value(br, g[4].decode(br))
+            lcode = s - 256
+            length = (lcode + 1 if lcode < 4 else
+                      ((2 + (lcode & 1)) << ((lcode - 2) >> 1))
+                      + _extra((lcode - 2) >> 1) + 1)
+            t4 = tab[4]
+            dcode = _sym(t4) if (t4[0] is not None or t4[1] is not None) \
+                else _sym_slow(grp[4])
+            dist_code = (dcode + 1 if dcode < 4 else
+                         ((2 + (dcode & 1)) << ((dcode - 2) >> 1))
+                         + _extra((dcode - 2) >> 1) + 1)
             if dist_code <= 120:
                 dx, dy = _DIST_MAP[dist_code - 1]
                 dist = dy * w + dx
@@ -257,21 +348,30 @@ def _decode_entropy_coded_image(br: _LsbReader, w: int, h: int,
                 dist = dist_code - 120
             if dist > pos or pos + length > n:
                 raise ValueError("bad VP8L backward reference")
-            for _ in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                if cache is not None:
+            if cache is None and dist >= length:
+                src = pos - dist
+                out[pos:pos + length] = out[src:src + length]
+                pos += length
+            elif cache is None:
+                for _ in range(length):
+                    out[pos] = out[pos - dist]
+                    pos += 1
+            else:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
                     cache[((cache_mul * px) & 0xFFFFFFFF)
-                          >> (32 - cache_bits)] = px
-                pos += 1
+                          >> cache_shift] = px
+                    pos += 1
         else:
             if cache is None:
                 raise ValueError("cache hit without color cache")
             out[pos] = cache[s - 256 - 24]
             pos += 1
-        if s >= 256 + green_extra:
+        if s >= green_limit:
             raise ValueError("bad VP8L green symbol")
-    return out
+    br.pos, br.acc, br.nbits = bpos, acc, nbits
+    return np.array(out, dtype=np.uint32)
 
 
 def _read_groups(br: _LsbReader, cache_bits: int,

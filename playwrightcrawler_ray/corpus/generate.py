@@ -142,9 +142,12 @@ def build_corpus(
             body, ctype, name = (encode_image(px, tfmt), "image/tiff",
                                  f"pic{i}.tiff")
         elif i % 9 == 2:
-            # REAL progressive (SOF2) JPEG through the codec: spectral
-            # selection + successive approximation scans in the golden path
-            body, ctype, name = (encode_image(px, "pjpeg"), "image/jpeg",
+            # REAL progressive (SOF2) and arithmetic-coded (SOF9) JPEGs
+            # through the codec, alternating: spectral selection +
+            # successive approximation, and the QM-coder entropy layer,
+            # both in the golden path
+            jfmt = "ajpeg" if (i // 9) % 2 else "pjpeg"
+            body, ctype, name = (encode_image(px, jfmt), "image/jpeg",
                                  f"pic{i}.jpg")
         elif i % 9 == 5:
             # REAL lossless WebP (VP8L) through the codec
@@ -216,10 +219,11 @@ def build_corpus(
               + b"VP8 " + (56).to_bytes(4, "little")
               + b"\x01\x00\x00" + b"\x00" * 53,
               "image/webp", "stub", {"error": "codec_unavailable"})
-    add_image(hosts[0], "arith.jpg",
-              b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big")
+    add_image(hosts[0], "hier.jpg",
+              b"\xff\xd8\xff\xcd" + (11).to_bytes(2, "big")
               + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00",
-              "image/jpeg", "arithmetic stub", {"error": "codec_unavailable"})
+              "image/jpeg", "hierarchical stub",
+              {"error": "codec_unavailable"})
     # a large-ish image served in ~3 chunks: only a fetch stage that
     # implements Range-resume reassembles it (the oracle reads the full
     # body directly, so golden equality proves the resume path)

@@ -27,8 +27,9 @@ against libwebp), PNG incl. Adam7 interlace, TIFF incl. LZW +
 horizontal predictor, TILES (§15) and PLANAR sample layout (§12),
 and new-style JPEG-in-TIFF (compression 7: shared JPEGTables +
 abbreviated per-segment streams, composed with the T.81 decoder).
-The remaining typed ``CodecUnavailable`` variants: VP8 interframes,
-arithmetic-coded/hierarchical JPEG.
+Arithmetic-coded JPEG (SOF9/SOF10) decodes for real via the T.81
+Annex D QM coder. The remaining typed ``CodecUnavailable`` variants:
+VP8 interframes, hierarchical/lossless JPEG.
 """
 
 from __future__ import annotations
@@ -90,6 +91,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         return jpeg_encode_progressive(pixels, quality=95,
                                        subsampling="444")
+    if fmt in ("jpeg_arithmetic", "ajpeg"):
+        from .jpeg import jpeg_encode_arithmetic
+
+        return jpeg_encode_arithmetic(pixels, quality=95,
+                                      subsampling="444")
     if fmt == "tiff":
         from .tiff import tiff_encode
 
@@ -187,9 +193,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = jpeg_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # arithmetic-coded / hierarchical / 12-bit: real
-                # variants this codec genuinely cannot decode
-                # (progressive SOF2 decodes for real now)
+                # hierarchical / lossless / 12-bit: real variants this
+                # codec genuinely cannot decode (progressive SOF2 and
+                # arithmetic SOF9/SOF10 both decode for real now)
                 raise CodecUnavailable(str(e)) from e
         elif fmt == "tiff":
             from .tiff import tiff_decode
@@ -213,7 +219,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     except MemoryError as e:
         raise DecompressionBombError(str(e)) from e
     except CodecUnavailable:
-        raise  # progressive/arithmetic JPEG: honest stub, not corruption
+        raise  # hierarchical JPEG / VP8 interframe: honest stub, not corruption
     except (zlib.error, struct.error, ValueError, NotImplementedError,
             IndexError) as e:
         # corrupt/truncated/unsupported-variant streams → the reference's

@@ -269,6 +269,8 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
     progressive = False
+    arithmetic = False
+    arith_cond: dict[tuple[int, int], object] = {}
     any_scan = False
     restart_interval = 0
     while pos + 4 <= len(data):
@@ -305,8 +307,11 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _huff_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline · SOF2 progressive · SOF9/SOF10 their
+            # arithmetic-coded (QM) twins
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -319,11 +324,26 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
             if progressive:
                 _init_progressive(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (§B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                cs = seg[i + 1]
+                if tc == 0:
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if not (hi >= lo):
+                        raise ValueError("bad DAC DC conditioning")
+                    arith_cond[(0, tb)] = (lo, hi)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("bad DAC AC conditioning")
+                    arith_cond[(1, tb)] = cs
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -334,6 +354,20 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                 scomp.append((cs, tda >> 4, tda & 0xF))
+            if arithmetic and not progressive:
+                return _decode_arith_scan(
+                    data, pos, frame, scomp, qtables, arith_cond,
+                    restart_interval
+                )
+            if arithmetic:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_arith_progressive_scan(
+                    data, pos, frame, scomp, arith_cond,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                )
+                any_scan = True
+                continue
             if not progressive:
                 return _decode_scan(
                     data, pos, frame, scomp, qtables, htables,
@@ -440,6 +474,637 @@ def _assemble(frame, comps, hmax, vmax) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------- arithmetic (QM) decoding
+#
+# T.81 Annex D QM-coder + §F.2 statistical models (SOF9 sequential /
+# SOF10 progressive). The reference decodes these via PIL/libjpeg
+# (playwrightcrawler.py:3844-3858). State table: jpeg_aritab.QM_STATES
+# (Table D.3, recovered from the system libjpeg and anchor-validated).
+# Correctness is pinned two ways (tests/test_imaging.py): (1) decode
+# of an arithmetic stream must be BIT-IDENTICAL to decode of the
+# Huffman twin of the same pixels/quality (identical quantized
+# coefficients, entropy layer the only difference), including for
+# streams from a FOREIGN encoder (committed libjpeg arith_code=TRUE
+# fixtures, scripts/gen_jpeg_arith_fixtures.py); (2) our own SOF9
+# encoder's streams decode identically in libjpeg (checked at fixture
+# generation time).
+
+from .jpeg_aritab import QM_STATES as _QM_STATES
+
+_QM_QE = tuple(r[0] for r in _QM_STATES)
+_QM_NLPS = tuple(r[1] for r in _QM_STATES)
+_QM_NMPS = tuple(r[2] for r in _QM_STATES)
+_QM_SW = tuple(r[3] for r in _QM_STATES)
+
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+
+
+class _QMDecoder:
+    """QM-coder decoder, T.81 Annex D in the *lazy-renormalization*
+    software form (the one interoperable JPEG decoders converge on):
+    the code register C accumulates raw input bytes un-shifted; the
+    interval register A is renormalized into [0x8000, 0x10000) at the
+    TOP of each decision (deferred from the previous one); CT tracks
+    the bit-scale offset between A and C, so A-scale quantities are
+    compared against C as ``x << CT``. The MPS subinterval is the
+    bottom ``[0, A-Qe)``, the LPS subinterval the top ``[A-Qe, A)``.
+    Byte stuffing per §B.1.1.5: 0xFF 0x00 is a literal 0xFF data
+    byte; 0xFF fill bytes then a marker end the segment — the decoder
+    stops consuming and feeds zero bytes from there on (the
+    arithmetic-coding convention for hitting a marker mid-scan)."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "end")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.end = False
+        # first decision's renorm loop pulls the two initial bytes and
+        # re-inits A to 0x10000 (CT = -16 counts the startup deficit)
+        self.c = 0
+        self.a = 0
+        self.ct = -16
+
+    def _byte(self) -> int:
+        if self.end:
+            return 0
+        d, p = self.data, self.pos
+        n = len(d)
+        if p >= n:
+            self.end = True
+            return 0
+        b = d[p]
+        p += 1
+        if b != 0xFF:
+            self.pos = p
+            return b
+        while p < n and d[p] == 0xFF:  # swallow 0xFF fill bytes
+            p += 1
+        if p < n and d[p] == 0x00:
+            self.pos = p + 1
+            return 0xFF
+        self.end = True  # marker (self.pos left at the first 0xFF)
+        return 0
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """Decode one binary decision in context ``st[i]`` (low 7 bits
+        = Table D.3 state index, bit 7 = current MPS sense)."""
+        a = self.a
+        c = self.c
+        ct = self.ct
+        # deferred renormalization + BYTEIN (§D.2.6)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # 2 startup bytes in: A -> 0x10000
+            a <<= 1
+        sv = st[i]
+        state = sv & 0x7F
+        qe = _QM_QE[state]
+        a -= qe
+        temp = a << ct
+        if c < temp:
+            # MPS subinterval (bottom)
+            if a < 0x8000:
+                # MPS_EXCHANGE (renorm pending)
+                if a < qe:
+                    d = (sv >> 7) ^ 1
+                    if _QM_SW[state]:
+                        sv ^= 0x80
+                    st[i] = (sv & 0x80) | _QM_NLPS[state]
+                else:
+                    d = sv >> 7
+                    st[i] = (sv & 0x80) | _QM_NMPS[state]
+            else:
+                d = sv >> 7  # no renorm -> no state change
+        else:
+            c -= temp
+            # LPS_EXCHANGE (renorm always)
+            if a < qe:
+                d = sv >> 7
+                st[i] = (sv & 0x80) | _QM_NMPS[state]
+            else:
+                d = (sv >> 7) ^ 1
+                if _QM_SW[state]:
+                    sv ^= 0x80
+                st[i] = (sv & 0x80) | _QM_NLPS[state]
+            a = qe
+        self.a = a
+        self.c = c
+        self.ct = ct
+        return d
+
+
+class _QMEncoder:
+    """QM-coder encoder (T.81 §D.1) in the convention matching
+    :class:`_QMDecoder` / libjpeg: MPS subinterval at the bottom, C
+    tracks the interval base, bytes leave from bits 19..26 of C.
+    Carry propagation is handled with a one-byte output buffer plus
+    stacked-0xFF / deferred-zero accounting (a carry turns stacked
+    0xFFs into 0x00s; trailing zero bytes are only emitted when a
+    later nonzero byte needs them). 0xFF data bytes are stuffed with
+    0x00 per §B.1.1.5."""
+
+    __slots__ = ("c", "a", "ct", "buffer", "sc", "zc", "out")
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1  # pending output byte (-1 = none yet)
+        self.sc = 0  # stacked 0xFF bytes (may still carry)
+        self.zc = 0  # deferred 0x00 bytes (dropped if trailing)
+        self.out = bytearray()
+
+    def _drain_zeros(self):
+        if self.zc:
+            self.out.extend(b"\x00" * self.zc)
+            self.zc = 0
+
+    def encode(self, st: bytearray, i: int, val: int) -> None:
+        """Encode one binary decision in context ``st[i]``."""
+        sv = st[i]
+        state = sv & 0x7F
+        qe = _QM_QE[state]
+        a = self.a - qe
+        if val != (sv >> 7):
+            # LPS: top subinterval (conditional exchange if Qe > A-Qe)
+            if a >= qe:
+                self.c += a
+                a = qe
+            if _QM_SW[state]:
+                sv ^= 0x80
+            st[i] = (sv & 0x80) | _QM_NLPS[state]
+        else:
+            # MPS: bottom subinterval
+            if a >= 0x8000:
+                self.a = a
+                return  # no renorm -> no state change
+            if a < qe:
+                self.c += a
+                a = qe
+            st[i] = (sv & 0x80) | _QM_NMPS[state]
+        # RENORME + BYTEOUT (§D.1.6)
+        c = self.c
+        ct = self.ct
+        out = self.out
+        while True:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                temp = c >> 19
+                if temp > 0xFF:
+                    # carry: propagate into the buffered byte, stacked
+                    # 0xFFs roll over to 0x00
+                    if self.buffer >= 0:
+                        self._drain_zeros()
+                        b = self.buffer + 1
+                        out.append(b)
+                        if b == 0xFF:
+                            out.append(0x00)
+                    self.zc += self.sc
+                    self.sc = 0
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        self._drain_zeros()
+                        out.append(self.buffer)
+                    if self.sc:
+                        self._drain_zeros()
+                        out.extend(b"\xff\x00" * self.sc)
+                        self.sc = 0
+                    self.buffer = temp
+                c &= 0x7FFFF
+                ct += 8
+            if a >= 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+
+    def flush(self) -> bytes:
+        """§D.1.8 termination: pick the code point in [C, C+A) with the
+        most trailing zero bits, emit the remaining significant bytes
+        (trailing zero bytes dropped — the decoder zero-fills past the
+        marker), and return the finished segment."""
+        out = self.out
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        c = self.c << self.ct
+        if c & 0xF8000000:
+            # final carry into the buffered byte
+            if self.buffer >= 0:
+                self._drain_zeros()
+                b = self.buffer + 1
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._drain_zeros()
+                out.append(self.buffer)
+            if self.sc:
+                self._drain_zeros()
+                out.extend(b"\xff\x00" * self.sc)
+                self.sc = 0
+        self.buffer = -1
+        if c & 0x7FFF800:  # any significant bits left?
+            self._drain_zeros()
+            b = (c >> 19) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            if c & 0x7F800:
+                b = (c >> 11) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+        return bytes(out)
+
+
+def _arith_encode_dc(enc, st, dc_context, ci, cond, diff) -> None:
+    """Encode one DC difference — inverse of :func:`_arith_decode_dc`."""
+    s0 = dc_context[ci]
+    if diff == 0:
+        enc.encode(st, s0, 0)
+        dc_context[ci] = 0
+        return
+    enc.encode(st, s0, 1)
+    sign = 1 if diff < 0 else 0
+    v2 = (-diff if sign else diff) - 1
+    enc.encode(st, s0 + 1, sign)
+    pos = s0 + 2 + sign
+    if v2 == 0:
+        enc.encode(st, pos, 0)
+        m = 0
+    else:
+        enc.encode(st, pos, 1)
+        pos = 20  # X1
+        m = 1
+        while (m << 1) <= v2:
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+        enc.encode(st, pos, 0)
+    low, high = cond
+    if m < ((1 << low) >> 1):
+        dc_context[ci] = 0
+    elif m > ((1 << high) >> 1):
+        dc_context[ci] = 12 + sign * 4
+    else:
+        dc_context[ci] = 4 + sign * 4
+    pos += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(st, pos, 1 if v2 & mm else 0)
+
+
+def _arith_encode_ac(enc, st, fixed, coef, kx, k_start, k_end) -> None:
+    """Encode AC coefficients k_start..k_end of one block (zigzag
+    order) — inverse of :func:`_arith_decode_ac_coefs`."""
+    kend = k_end
+    while kend >= k_start and coef[kend] == 0:
+        kend -= 1
+    k = k_start
+    while k <= kend:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB
+        while coef[k] == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(st, base + 1, 1)
+        v = int(coef[k])
+        sign = 1 if v < 0 else 0
+        v2 = (-v if sign else v) - 1
+        enc.encode(fixed, 0, sign)
+        pos = base + 2
+        if v2 == 0:
+            enc.encode(st, pos, 0)
+            m = 0
+        elif v2 == 1:
+            enc.encode(st, pos, 1)
+            enc.encode(st, pos, 0)
+            m = 1
+        else:
+            enc.encode(st, pos, 1)
+            enc.encode(st, pos, 1)
+            m = 2
+            pos = 189 if k <= kx else 217  # X2 band split
+            while (m << 1) <= v2:
+                enc.encode(st, pos, 1)
+                m <<= 1
+                pos += 1
+            enc.encode(st, pos, 0)
+        pos += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(st, pos, 1 if v2 & mm else 0)
+        k += 1
+    if k <= k_end:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_decode_dc(dec, st, dc_context, ci, cond) -> int:
+    """One DC difference, §F.2.4.1 (contexts S0/SS/SP/SN, magnitude
+    categories at X1=20, magnitude bits at X+14)."""
+    s0 = dc_context[ci]
+    if dec.decode(st, s0) == 0:
+        dc_context[ci] = 0
+        return 0
+    sign = dec.decode(st, s0 + 1)
+    m = dec.decode(st, s0 + 2 + sign)
+    pos = s0 + 2 + sign
+    if m:
+        pos = 20  # X1
+        m = 1
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("bad arithmetic DC magnitude")
+            pos += 1
+    low, high = cond
+    if m < ((1 << low) >> 1):
+        dc_context[ci] = 0
+    elif m > ((1 << high) >> 1):
+        dc_context[ci] = 12 + sign * 4
+    else:
+        dc_context[ci] = 4 + sign * 4
+    v = m
+    pos += 14  # magnitude bits
+    while m := m >> 1:
+        if dec.decode(st, pos):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_ac_coefs(dec, st, fixed, coef, kx, k_start, k_end,
+                           al: int = 0):
+    """AC coefficients k_start..k_end into ``coef`` (zigzag order),
+    §F.2.4.2: per-k EOB decision at 3(k-1), zero-run walk, sign via
+    the fixed bin, magnitude categories at X2=189/217 by the Kx band
+    split, magnitude bits at +14. ``al`` is the successive-
+    approximation shift (progressive AC-first scans, G.2); 0 for
+    sequential."""
+    k = k_start
+    while k <= k_end:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            break  # EOB
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > k_end:
+                raise ValueError("bad arithmetic AC run")
+        sign = dec.decode(fixed, 0)
+        pos = base + 2
+        m = dec.decode(st, pos)
+        if m and dec.decode(st, pos):
+            m = 2
+            pos = 189 if k <= kx else 217
+            while dec.decode(st, pos):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("bad arithmetic AC magnitude")
+                pos += 1
+        v = m
+        pos += 14
+        while m := m >> 1:
+            if dec.decode(st, pos):
+                v |= m
+        v += 1
+        coef[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_arith_scan(data, pos, frame, scomp, qtables, arith_cond,
+                       restart_interval):
+    """Sequential arithmetic-coded scan (SOF9) — the QM twin of
+    :func:`_decode_scan`; same MCU walk, coefficient grids and final
+    assembly."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scomp]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["blocks"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.float64)
+        c["pred"] = 0
+    tdta = {cs: (td, ta) for cs, td, ta in scomp}
+    zz = ZIGZAG
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    dc_context = [0] * len(comps)
+    ci_of = {id(c): i for i, c in enumerate(comps)}
+
+    def fresh():
+        dc_stats.clear()
+        ac_stats.clear()
+        for cs, td, ta in scomp:
+            dc_stats.setdefault(td, bytearray(_DC_STAT_BINS))
+            ac_stats.setdefault(ta, bytearray(_AC_STAT_BINS))
+        for i in range(len(dc_context)):
+            dc_context[i] = 0
+        for c in comps:
+            c["pred"] = 0
+
+    fresh()
+    dec = _QMDecoder(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                # skip to past the RSTn marker, reset all adaptive state
+                p = dec.pos
+                while p + 1 < len(data) and not (
+                        data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                    p += 1
+                fresh()
+                dec = _QMDecoder(data, p + 2)
+            for c in order:
+                td, ta = tdta[c["id"]]
+                q = qtables.get(c["tq"])
+                if q is None:
+                    raise ValueError("missing quant table")
+                dst = dc_stats[td]
+                ast = ac_stats[ta]
+                dc_cond = arith_cond.get((0, td), (0, 1))
+                kx = arith_cond.get((1, ta), 5)
+                ci = ci_of[id(c)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        c["pred"] += _arith_decode_dc(
+                            dec, dst, dc_context, ci, dc_cond)
+                        coef[0] = c["pred"]
+                        _arith_decode_ac_coefs(
+                            dec, ast, fixed, coef, kx, 1, 63)
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef * q
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bx"] + col] = block.reshape(8, 8)
+            mcu_count += 1
+    return _assemble(frame, comps, hmax, vmax)
+
+
+def _arith_scan_end(data: bytes, pos: int) -> int:
+    """Position of the marker terminating the current arithmetic
+    entropy segment (first 0xFF not followed by a stuffed 0x00 or an
+    RSTn) — the progressive main loop resumes marker parsing there."""
+    p = pos
+    n = len(data)
+    while p + 1 < n:
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            return p
+        p += 1
+    return n
+
+
+def _decode_arith_progressive_scan(data, pos, frame, scomp, arith_cond,
+                                   restart_interval, ss, se, ah, al):
+    """One progressive arithmetic SOS (T.81 G.2, SOF10): updates the
+    per-component coefficient accumulators, returns the scan-end byte
+    position. Mirrors :func:`_decode_progressive_scan`'s traversal
+    (interleaved DC scans over the padded MCU grid; non-interleaved
+    AC scans over the component's true block dims) with the QM-coded
+    decision models. Adaptive statistics reset at every scan start
+    and restart marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scomp]
+    tdta = {cs: (td, ta) for cs, td, ta in scomp}
+    ci_of = {id(c): i for i, c in enumerate(comps)}
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    dc_context = [0] * len(comps)
+
+    def fresh():
+        dc_stats.clear()
+        ac_stats.clear()
+        for cs, td, ta in scomp:
+            dc_stats.setdefault(td, bytearray(_DC_STAT_BINS))
+            ac_stats.setdefault(ta, bytearray(_AC_STAT_BINS))
+        for i in range(len(dc_context)):
+            dc_context[i] = 0
+        for c in comps:
+            c["pred"] = 0
+
+    fresh()
+    dec = _QMDecoder(data, pos)
+
+    def dc_block(c, idx):
+        cf = _coef_of(c, idx)
+        if ah == 0:
+            td = tdta[c["id"]][0]
+            diff = _arith_decode_dc(
+                dec, dc_stats[td], dc_context, ci_of[id(c)],
+                arith_cond.get((0, td), (0, 1)))
+            c["pred"] += diff
+            cf[0] = c["pred"] << al
+        elif dec.decode(fixed, 0):
+            # DC refinement: one fixed-bin decision per block
+            cf[0] |= 1 << al
+        return cf
+
+    def ac_first(c, idx):
+        cf = _coef_of(c, idx)
+        ta = tdta[c["id"]][1]
+        _arith_decode_ac_coefs(
+            dec, ac_stats[ta], fixed, cf,
+            arith_cond.get((1, ta), 5), ss, se, al)
+
+    def ac_refine(c, idx):
+        cf = _coef_of(c, idx)
+        ast = ac_stats[tdta[c["id"]][1]]
+        p1, m1 = 1 << al, -1 << al
+        # highest nonzero position from prior scans bounds the EOB
+        # decisions (jdarith decode_mcu_AC_refine's kex)
+        kex = se
+        while kex > 0 and cf[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(ast, base):
+                break  # EOB
+            while True:
+                v = cf[k]
+                if v != 0:
+                    # previously-nonzero coefficient: one correction bit
+                    if dec.decode(ast, base + 2):
+                        cf[k] = v + (p1 if v >= 0 else m1)
+                    break
+                if dec.decode(ast, base + 1):
+                    # newly nonzero: sign via the fixed bin
+                    cf[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError("bad arithmetic AC refine run")
+            k += 1
+
+    def do_restart():
+        nonlocal dec
+        p = dec.pos
+        while p + 1 < len(data) and not (
+                data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+            p += 1
+        fresh()
+        dec = _QMDecoder(data, p + 2)
+
+    unit = 0
+    if ss == 0 and len(order) > 1:
+        # interleaved DC scan
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            dc_block(c, row * c["bx"] + col)
+                unit += 1
+    else:
+        c = order[0]
+        fn = dc_block if ss == 0 else (ac_first if ah == 0 else ac_refine)
+        for row in range(c["h2"]):
+            for col in range(c["w2"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    do_restart()
+                fn(c, row * c["bx"] + col)
+                unit += 1
+    return _arith_scan_end(data, dec.pos)
 
 
 # ------------------------------------------------- progressive decoding
@@ -832,6 +1497,125 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 92,
                 preds[2] = _encode_block(bw, qcr[my, mx], dc_c, ac_c, preds[2])
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_arithmetic(pixels: np.ndarray, quality: int = 92,
+                           subsampling: str = "444",
+                           restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → sequential arithmetic-coded JFIF
+    (SOF9): the QM-coded twin of :func:`jpeg_encode` — identical
+    quantized coefficients, entropy layer swapped for the Annex D
+    coder with the §F.1.4 statistical models (default conditioning:
+    L=0/U=1 DC, Kx=5 AC, so no DAC marker is needed). With
+    ``restart_interval`` > 0, RSTn markers split the scan into
+    independently decodable chunks (all adaptive state resets)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w, 3) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = pixels.shape
+    ql = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+    p = pixels.astype(np.float64)
+    y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+    cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128
+    cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128
+    if subsampling == "420":
+        hs = vs = 2
+        ch, cw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ch - h), (0, cw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ch - h), (0, cw - w)), mode="edge")
+        cb = cb.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ch // 2, 2, cw // 2, 2).mean(axis=(1, 3))
+    else:
+        hs = vs = 1
+    qy = _plane_blocks(y, ql)
+    qcb = _plane_blocks(cb, qc)
+    qcr = _plane_blocks(cr, qc)
+    if subsampling == "420":
+        eby, ebx = -(-qy.shape[0] // vs) * vs, -(-qy.shape[1] // hs) * hs
+        qy = np.pad(qy, ((0, eby - qy.shape[0]), (0, ebx - qy.shape[1]),
+                         (0, 0), (0, 0)), mode="edge")
+        mby, mbx = eby // vs, ebx // hs
+        qcb = np.pad(qcb, ((0, mby - qcb.shape[0]), (0, mbx - qcb.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
+        qcr = np.pad(qcr, ((0, mby - qcr.shape[0]), (0, mbx - qcr.shape[1]),
+                           (0, 0), (0, 0)), mode="edge")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in q[ZIGZAG]
+        )
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF9
+    for cid, hv, tq in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack(">BBB", cid, hv, tq)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack(">BB", cid, tdta)
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl
+
+    dc_stats = {0: bytearray(_DC_STAT_BINS), 1: bytearray(_DC_STAT_BINS)}
+    ac_stats = {0: bytearray(_AC_STAT_BINS), 1: bytearray(_AC_STAT_BINS)}
+    fixed = bytearray([113])
+    dc_context = [0, 0, 0]
+    preds = [0, 0, 0]
+    enc = _QMEncoder()
+    dc_cond = (0, 1)
+    kx = 5
+
+    def fresh():
+        nonlocal enc
+        for st in (*dc_stats.values(), *ac_stats.values()):
+            for i in range(len(st)):
+                st[i] = 0
+        fixed[0] = 113
+        dc_context[:] = [0, 0, 0]
+        preds[:] = [0, 0, 0]
+        enc = _QMEncoder()
+
+    def encode_block(ci, coef):
+        zzc = coef.flatten()[ZIGZAG].astype(np.int64)
+        t = ci if ci == 0 else 1
+        diff = int(zzc[0]) - preds[ci]
+        preds[ci] = int(zzc[0])
+        _arith_encode_dc(enc, dc_stats[t], dc_context, ci, dc_cond, diff)
+        _arith_encode_ac(enc, ac_stats[t], fixed, zzc.tolist(), kx, 1, 63)
+
+    mcu = 0
+    rst = 0
+
+    def maybe_restart():
+        nonlocal rst
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out.extend(enc.flush())
+            out.extend(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) & 7
+            fresh()
+
+    if subsampling == "444":
+        for by in range(qy.shape[0]):
+            for bx in range(qy.shape[1]):
+                maybe_restart()
+                for ci, grid in enumerate((qy, qcb, qcr)):
+                    encode_block(ci, grid[by, bx])
+                mcu += 1
+    else:  # 420: MCU = 4 Y blocks + 1 Cb + 1 Cr
+        for my in range(qcb.shape[0]):
+            for mx in range(qcb.shape[1]):
+                maybe_restart()
+                for dy in range(2):
+                    for dx in range(2):
+                        encode_block(0, qy[my * 2 + dy, mx * 2 + dx])
+                encode_block(1, qcb[my, mx])
+                encode_block(2, qcr[my, mx])
+                mcu += 1
+    out += enc.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -48,6 +48,6 @@ def test_corpus_image_payloads_decode():
         except Exception:
             failed += 1
     assert decoded > 10
-    # truncated png + non-image + truncated jpeg + webp stub + arithmetic stub
+    # truncated png + non-image + truncated jpeg + webp stub + hierarchical stub
     # (progressive JPEG now DECODES — it is in the decoded count)
     assert failed == 5

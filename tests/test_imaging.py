@@ -60,8 +60,8 @@ def test_decode_errors_taxonomy():
             + b"\x01\x00\x00" + b"\x00" * 53
         )
     with pytest.raises(CodecUnavailable):
-        decode_image(  # arithmetic-coded JPEG (SOF9): genuinely out of scope
-            b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big")
+        decode_image(  # hierarchical JPEG (SOF13): genuinely out of scope
+            b"\xff\xd8\xff\xcd" + (11).to_bytes(2, "big")
             + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
     with pytest.raises(OSError):
@@ -661,3 +661,62 @@ def test_tiff_variant_matrix_property():
         assert np.array_equal(tiff_decode(data), px)
 
     roundtrip()
+
+
+def test_jpeg_arithmetic_roundtrip_matches_huffman_twin():
+    """Arithmetic (SOF9) encode/decode: for the same pixels at the same
+    quality, the QM-coded stream and the Huffman stream carry IDENTICAL
+    quantized coefficients, so our decode of both must be bit-identical
+    — across subsampling, odd dims, and restart intervals (which reset
+    all adaptive QM state mid-scan)."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_encode_arithmetic,
+    )
+
+    rng = np.random.default_rng(21)
+    for size, sub, rst in ((24, "444", 0), (48, "420", 0), (40, "444", 3),
+                           (48, "420", 2)):
+        px = _make_pixels(rng, size)
+        if rst:  # odd crop with restarts: edge-MCU + reset interplay
+            px = px[: size - 7, : size - 3]
+        arith = jpeg_encode_arithmetic(px, quality=95, subsampling=sub,
+                                       restart_interval=rst)
+        assert b"\xff\xc9" in arith[:256]  # SOF9
+        huff = jpeg_encode(px, quality=95, subsampling=sub)
+        a, h = jpeg_decode(arith), jpeg_decode(huff)
+        assert np.array_equal(a, h)
+        # 40 dB lossy invariant at 4:4:4; 4:2:0 chroma is lossy by design
+        assert psnr(px, a) >= (40 if sub == "444" else 20)
+        assert len(arith) < len(huff)  # QM coding must actually compress
+
+
+def test_jpeg_arithmetic_interop_foreign_encoder():
+    """Decode arithmetic streams produced by a FOREIGN encoder (the
+    system libjpeg, arith_code=TRUE; committed fixtures): sequential
+    SOF9 and progressive SOF10 must decode bit-identically to our
+    decode of libjpeg's Huffman twin of the same pixels (libjpeg
+    quantizes identically for both entropy layers)."""
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode
+
+    from fixtures_jpeg_arith import CASES
+
+    assert len(CASES) >= 4
+    for name, (arith, huff) in CASES.items():
+        marker = b"\xff\xca" if name.startswith("prog") else b"\xff\xc9"
+        assert marker in arith[:512], name
+        assert np.array_equal(jpeg_decode(arith), jpeg_decode(huff)), name
+
+
+def test_jpeg_arithmetic_through_facade():
+    """decode_image routes SOF9 payloads through the real decoder —
+    no codec_unavailable row — and the corpus 'ajpeg' slot clears the
+    40 dB invariant."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.codec import decode_image, encode_image
+
+    px = _make_pixels(np.random.default_rng(22), 32)
+    body = encode_image(px, "ajpeg")
+    out, fmt = decode_image(body)
+    assert fmt == "jpeg" and out.shape == px.shape
+    assert psnr(px, out) >= 40

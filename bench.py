@@ -20,6 +20,10 @@ the later legs' numbers meaningless. Subprocess spin-up is untimed.
 levels (the sandbox proxy for N-node vs 4N-node clusters) and prints
 one JSON line with both throughputs and the scaling efficiency
 (recorded in BASELINE.md per the north rule's ≥0.8 criterion).
+Add --bulk to measure the pair on the ~490k-page crawl-big leg —
+the bulk-wave regime where per-wave fixed costs amortize, i.e. the
+faithful proxy for the 100 TB deployment; --levels LO HI overrides
+the default 2/8 pair.
 
 --big: the ~10x-scale sample (VERDICT r4 item 4): crawl over a 10x
 corpus and the heavy doc/embedding operators over a 10x documents/
@@ -372,11 +376,24 @@ def run_big() -> dict:
 
 
 def run_scaling() -> dict:
+    # --bulk: measure the pair on the crawl-big leg (2048 hosts, ~490k
+    # fetched pages) instead of the full standard bench. This is the
+    # 100 TB-faithful regime: waves are large enough that per-wave
+    # fixed costs (barriers, checkpoints, per-process cache warmup)
+    # amortize, which is exactly what a multi-node crawl over a real
+    # corpus looks like. On the 57k-page standard leg those fixed
+    # costs are a growing share of the hi-CPU leg's wall time as the
+    # per-page kernels get faster, and the ratio degrades even though
+    # both legs speed up (BASELINE.md round-5 scaling section).
+    bulk = "--bulk" in sys.argv
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        args = [sys.executable, os.path.abspath(__file__)]
+        if bulk:
+            args += ["--leg", "crawl-big"]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            args, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -394,19 +411,25 @@ def run_scaling() -> dict:
     # the north-rule metric is sustained fetched-pages/sec on the same
     # input; efficiency = throughput ratio / CPU ratio
     eff = (pps_hi / pps_lo) / (n_hi / n_lo)
-    return {
+    res = {
         "n_cpus_lo": n_lo,
         "n_cpus_hi": n_hi,
+        "input": "crawl-big (~490k pages)" if bulk else "standard sf0.1",
         f"pages_per_sec_{n_lo}": pps_lo,
         f"pages_per_sec_{n_hi}": pps_hi,
         "scaling_efficiency": round(eff, 3),
         f"frontier_ops_per_sec_{n_lo}": lo["crawl"]["frontier_ops_per_sec"],
         f"frontier_ops_per_sec_{n_hi}": hi["crawl"]["frontier_ops_per_sec"],
-        f"sec_{n_lo}": lo["value"],
-        f"sec_{n_hi}": hi["value"],
-        f"queries_{n_lo}": lo["queries"],
-        f"queries_{n_hi}": hi["queries"],
     }
+    if bulk:
+        res[f"sec_{n_lo}"] = lo["crawl_sec"]
+        res[f"sec_{n_hi}"] = hi["crawl_sec"]
+    else:
+        res[f"sec_{n_lo}"] = lo["value"]
+        res[f"sec_{n_hi}"] = hi["value"]
+        res[f"queries_{n_lo}"] = lo["queries"]
+        res[f"queries_{n_hi}"] = hi["queries"]
+    return res
 
 
 def main() -> None:

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 40
+shape) and returns the images Dataset. ``queries()`` exposes the 45
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 25
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 29
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 language-ID, fingerprints, and the oracle-verified-in-pytest crawl
@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": T.q_token_counts,
         "token_counts_bpe": T.q_token_counts_bpe,
         "quality_signals": T.q_quality_signals,
+        "docs_gopher_quality": T.q_docs_gopher_quality,
+        "docs_tfidf_topk": T.q_docs_tfidf_topk,
         "lang_distribution": T.q_lang_distribution,
         "docs_by_source": T.q_docs_by_source,
         "doc_exact_dedup": T.q_doc_exact_dedup,
@@ -248,6 +250,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": T.SQL_TOKEN_COUNTS,
         "token_counts_bpe": T.SQL_TOKEN_COUNTS_BPE,
         "quality_signals": T.SQL_QUALITY_SIGNALS,
+        "docs_gopher_quality": T.SQL_DOCS_GOPHER_QUALITY,
+        "docs_tfidf_topk": T.sql_docs_tfidf_topk(),
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,

@@ -384,3 +384,176 @@ SELECT doc_id, source, n_chars FROM (
   FROM documents
 ) WHERE rn <= {n} ORDER BY doc_id
 """
+
+
+def q_docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher/C4-style repetition + length quality gates, per document
+    (the filters a training-data curation pass runs before dedup):
+    word count bounds, top-word fraction (most frequent word's share)
+    and duplicate-word fraction (1 - distinct/total), with a ``keep``
+    verdict. Fractions are exact integer-scaled basis points
+    (``x * 10000 // n``) so the Ray and DuckDB sides agree bit-for-bit
+    — no float rounding seam.
+
+    Fully vectorized and embarrassingly parallel (per-doc stats, no
+    shuffle): pyarrow split -> flatten + parent-index repeat ->
+    dictionary-encode -> np.unique over packed (doc, word) keys ->
+    per-doc scatter folds. Scale-safe at 100 TB: every batch is
+    independent and output is one row per doc."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = len(enc.dictionary)
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+        key = doc_idx * vocab + codes
+        uk, counts = np.unique(key, return_counts=True)
+        ud = (uk // vocab).astype(np.int64)
+        max_c = np.zeros(len(n_words), np.int64)
+        np.maximum.at(max_c, ud, counts)
+        n_distinct = np.bincount(ud, minlength=len(n_words))
+        top_q4 = max_c * 10000 // n_words
+        dup_q4 = (n_words - n_distinct) * 10000 // n_words
+        keep = (n_words >= 20) & (top_q4 <= 1500) & (dup_q4 <= 5000)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "top_word_frac_q4": pa.array(top_q4, pa.int64()),
+            "dup_word_frac_q4": pa.array(dup_q4, pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+
+
+SQL_DOCS_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), s AS (
+  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_c,
+         COUNT(*) AS n_distinct
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(max_c * 10000 // n_words AS BIGINT) AS top_word_frac_q4,
+       CAST((n_words - n_distinct) * 10000 // n_words AS BIGINT)
+         AS dup_word_frac_q4,
+       (n_words >= 20 AND max_c * 10000 // n_words <= 1500
+        AND (n_words - n_distinct) * 10000 // n_words <= 5000) AS keep
+FROM s
+"""
+
+
+def q_docs_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k TF-IDF terms per document — the global-statistic-broadcast
+    pattern: pass 1 computes corpus document frequencies as per-batch
+    partials (each doc lives in exactly one row, so per-batch distinct
+    (doc, word) counts sum to the true DF with no dedup shuffle) and
+    reduces them driver-side (vocabulary-sized, tiny); pass 2 ships the
+    sorted word->DF arrays into every task (numpy + searchsorted — the
+    corpus/store.py broadcast contract; at cluster scale the arrays go
+    through ``ray.put`` once, not per batch) and scores each doc
+    independently.
+
+    Scores are exact integers (``tf_q = c * idf_q4 * 10000 //
+    n_words`` with ``idf_q4 = n_docs * 10000 // df``) so both engines
+    agree bit-for-bit; ties break on word ascending."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _flatten(t: pa.Table):
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+        return n_words, flat, doc_idx
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        n_words, flat, doc_idx = _flatten(t)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = len(enc.dictionary)
+        uk = np.unique(doc_idx * vocab + codes)
+        dfc = np.bincount(uk % vocab, minlength=vocab)
+        return pa.table({
+            "word": enc.dictionary,
+            "df_part": pa.array(dfc, pa.int64()),
+        })
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfmap = parts.groupby("word", sort=True)["df_part"].sum()
+    n_docs = int(ds.count())
+    bc_words = dfmap.index.to_numpy(dtype=object).astype(str)
+    bc_idf_q4 = (np.int64(n_docs) * 10000 // dfmap.to_numpy(np.int64))
+
+    def score(t: pa.Table) -> pa.Table:
+        n_words, flat, doc_idx = _flatten(t)
+        # per-(doc, word) term counts via unique over packed keys
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = len(enc.dictionary)
+        uk, counts = np.unique(doc_idx * vocab + codes, return_counts=True)
+        ud, uw = uk // vocab, uk % vocab
+        uwords = enc.dictionary.to_numpy(zero_copy_only=False).astype(str)[uw]
+        uidf = bc_idf_q4[np.searchsorted(bc_words, uwords)]
+        score_q = counts * uidf * 10000 // n_words[ud]
+        # top-k per doc: sort (doc asc, score desc, word asc)
+        order = np.lexsort((uwords, -score_q, ud))
+        ud, uwords, score_q = ud[order], uwords[order], score_q[order]
+        starts = np.searchsorted(ud, np.arange(len(n_words)))
+        rnk = np.arange(len(ud), dtype=np.int64) - starts[ud] + 1
+        m = rnk <= k
+        ids = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[ud[m]], pa.int64()),
+            "word": pa.array(uwords[m]),
+            "score_q": pa.array(score_q[m], pa.int64()),
+            "rnk": pa.array(rnk[m], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+def sql_docs_tfidf_topk(k: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), nw AS (
+  SELECT doc_id, SUM(c) AS n_words FROM tf GROUP BY doc_id
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         tf.c * ((n.n_docs * 10000) // df.df) * 10000 // nw.n_words
+           AS score_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.c * ((n.n_docs * 10000) // df.df) * 10000
+                    // nw.n_words DESC, tf.word
+         ) AS rnk
+  FROM tf
+  JOIN df USING (word) JOIN nw USING (doc_id) CROSS JOIN n
+)
+SELECT doc_id, word, CAST(score_q AS BIGINT) AS score_q,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {k}
+"""

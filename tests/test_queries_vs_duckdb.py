@@ -62,6 +62,7 @@ def _oracle_pairs():
     "supplier_by_nation", "customer_segments",
     "asof_join", "range_join",
     "token_counts", "token_counts_bpe", "quality_signals",
+    "docs_gopher_quality", "docs_tfidf_topk",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "doc_sample", "docs_per_source_cap",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",

@@ -221,7 +221,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     except CodecUnavailable:
         raise  # hierarchical JPEG / VP8 interframe: honest stub, not corruption
     except (zlib.error, struct.error, ValueError, NotImplementedError,
-            IndexError) as e:
+            IndexError, KeyError) as e:
         # corrupt/truncated/unsupported-variant streams → the reference's
         # OSError taxonomy bucket (:3896-3930)
         raise OSError(f"corrupt image stream: {e}") from e

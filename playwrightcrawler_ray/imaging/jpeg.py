@@ -351,8 +351,11 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scomp = []
+            frame_ids = {c["id"] for c in frame["comps"]}
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in frame_ids:
+                    raise ValueError(f"scan references unknown component {cs}")
                 scomp.append((cs, tda >> 4, tda & 0xF))
             if arithmetic and not progressive:
                 return _decode_arith_scan(

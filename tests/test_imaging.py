@@ -720,3 +720,30 @@ def test_jpeg_arithmetic_through_facade():
     out, fmt = decode_image(body)
     assert fmt == "jpeg" and out.shape == px.shape
     assert psnr(px, out) >= 40
+
+
+def test_jpeg_arithmetic_fuzz_truncation_and_bitflips():
+    """Truncations and bit-flips of a valid SOF9 stream must decode or
+    raise a typed taxonomy error quickly — never hang (the QM decoder
+    zero-feeds past the data end, so every walk must stay bounded)."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_encode_arithmetic
+
+    px = _make_pixels(np.random.default_rng(31), 32)
+    good = jpeg_encode_arithmetic(px, quality=95, subsampling="420",
+                                  restart_interval=2)
+    rng = np.random.default_rng(32)
+    for trial in range(120):
+        data = bytearray(good)
+        if trial % 2:
+            data = data[: int(rng.integers(2, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 5))):
+                i = int(rng.integers(2, len(data)))
+                data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out, _ = decode_image(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (UnidentifiedImageError, DecompressionBombError,
+                CodecUnavailable, OSError, ValueError):
+            pass  # documented taxonomy

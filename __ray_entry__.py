@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 45
+shape) and returns the images Dataset. ``queries()`` exposes the 46
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 29
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": T.q_docs_by_source,
         "doc_exact_dedup": T.q_doc_exact_dedup,
         "langid_quality": T.q_langid_quality,          # rows-only (heuristic)
+        "bpe_learn_merges": T.q_bpe_learn_merges,      # rows-only (iterative)
         "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
         # curation: seeded sampling + per-source quota
         "doc_sample": T.q_doc_sample,

@@ -557,3 +557,79 @@ SELECT doc_id, word, CAST(score_q AS BIGINT) AS score_q,
        CAST(rnk AS BIGINT) AS rnk
 FROM scored WHERE rnk <= {k}
 """
+
+
+def q_bpe_learn_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Learn a BPE merge table from the corpus — real tokenizer
+    training, not just counting. Two stages:
+
+    1. Distributed word-frequency table: per-batch partial word counts
+       inside ``map_batches`` (the combiner pattern), reduced to one
+       (word, count) table. This is the only corpus-sized pass; at
+       100 TB it is one hash-partitioned aggregation whose output is
+       VOCABULARY-sized, not corpus-sized.
+    2. Merge learning over the compact type table (the classic
+       Sennrich/GPT formulation: every occurrence of the best-scoring
+       adjacent symbol pair is merged; repeat). Vectorized numpy over
+       the exploded symbol sequences; runs wherever the type table
+       fits — driver here, a single worker or a bounded actor at any
+       realistic vocabulary (type tables are millions of rows, not
+       corpus-scale).
+
+    Deterministic: ties in pair count break on (left, right) symbol
+    strings ascending. Output: one row per learned merge with its
+    rank and corpus pair count at merge time. No SQL oracle (the loop
+    is iterative/stateful); pytest pins it against an independent
+    naive reference implementation."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["text"])
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        enc = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            enc.indices.to_numpy().astype(np.int64),
+            minlength=len(enc.dictionary),
+        )
+        return pa.table({
+            "word": enc.dictionary,
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(wc_partial, batch_format="pyarrow").to_pandas()
+    wc = parts.groupby("word", sort=True)["n"].sum()
+    words = [list(w) + ["</w>"] for w in wc.index]  # symbol sequences
+    freqs = wc.to_numpy(np.int64)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # count adjacent pairs weighted by word frequency (vectorized
+        # per word-type via zip over the symbol lists — type-table
+        # sized, not corpus sized)
+        pair_n: dict[tuple[str, str], int] = {}
+        for sym, f in zip(words, freqs):
+            for a, b in zip(sym, sym[1:]):
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + int(f)
+        if not pair_n:
+            break
+        (la, rb), cnt = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((la, rb, cnt))
+        tok = la + rb
+        for sym in words:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == la and sym[i + 1] == rb:
+                    sym[i:i + 2] = [tok]
+                else:
+                    i += 1
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(merges) + 1), dtype="int64"),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "merged": [m[0] + m[1] for m in merges],
+        "pair_count": pd.array([m[2] for m in merges], dtype="int64"),
+    })

@@ -133,3 +133,58 @@ def test_build_trainset(crawl_out, tmp_path):
     build_trainset(crawl_out, dest2, near_dup_hamming=4)
     df2 = pq.read_table(dest2).to_pandas()
     assert sorted(df["image_id"]) == sorted(df2["image_id"])
+
+
+def test_bpe_learn_merges_matches_naive_reference(ray_session, tmp_path):
+    """Distributed BPE merge learning must equal an independent naive
+    implementation (per-word char loop, dict counting) on the same
+    corpus — merge order, symbols, and pair counts exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.textstats import q_bpe_learn_merges
+
+    texts = [
+        "low low lower lowest",
+        "new newer newest low",
+        "wide wider widest new new",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+
+    def naive(texts, n_merges):
+        from collections import Counter
+
+        wc = Counter(w for t in texts for w in t.split(" "))
+        words = {w: list(w) + ["</w>"] for w in wc}
+        out = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, sym in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += wc[w]
+            if not pairs:
+                break
+            (la, rb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((la, rb, la + rb, cnt))
+            for sym in words.values():
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == la and sym[i + 1] == rb:
+                        sym[i:i + 2] = [la + rb]
+                    else:
+                        i += 1
+        return out
+
+    got = q_bpe_learn_merges(str(tmp_path), n_merges=8)
+    want = naive(texts, 8)
+    assert len(got) == len(want)
+    for i, (la, rb, merged, cnt) in enumerate(want):
+        row = got.iloc[i]
+        assert (row["left"], row["right"], row["merged"],
+                int(row["pair_count"])) == (la, rb, merged, cnt)
+    # determinism across runs
+    again = q_bpe_learn_merges(str(tmp_path), n_merges=8)
+    assert got.equals(again)

@@ -83,7 +83,8 @@ def test_query_matches_oracle(entrymod, name):
 
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ["langid_quality", "doc_fingerprints", "minhash_lsh_pairs",
+    for name in ["langid_quality", "doc_fingerprints", "bpe_learn_merges",
+                 "minhash_lsh_pairs",
                  "doc_neardup_dedup", "docs_trainset",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",

@@ -182,11 +182,14 @@ class _BitReader:
 
 def _pcm_md5(samples: np.ndarray, bits: int) -> bytes:
     """MD5 over interleaved little-endian PCM, the STREAMINFO
-    definition: bytes-per-sample = bits/8, channels interleaved."""
-    nbytes = bits // 8
+    definition (RFC 9639 §8.3): samples zero-padded UP to whole
+    bytes — 2 bytes for 12-bit, 3 for 20-bit — channels interleaved."""
+    nbytes = (bits + 7) // 8
     flat = samples.reshape(-1).astype(np.int64)
     raw = bytearray()
-    arr = flat & ((1 << bits) - 1)
+    # two's-complement value SIGN-EXTENDED to the whole-byte width
+    # (libFLAC packs the signed sample into bytes-per-sample bytes)
+    arr = flat & ((1 << (8 * nbytes)) - 1)
     if nbytes == 1:
         raw = arr.astype(np.uint8).tobytes()
     elif nbytes == 2:
@@ -286,17 +289,12 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bits: int,
         _write_residual(w, np.asarray(res, np.int64), order, n)
         return
     # best FIXED order 0-3 by absolute residual sum
-    best_o, best_res, best_sum = 0, xi.copy(), None
+    best_o, best_sum = 0, None
     for o in range(0, 4):
-        if o > 0:
-            r = np.diff(xi, n=o)
-            r = np.concatenate([np.zeros(0, np.int64), r])
-        else:
-            r = xi
-        ssum = int(np.abs(r[o:] if o == 0 else r).sum())
+        r = np.diff(xi, n=o) if o else xi
+        ssum = int(np.abs(r).sum())
         if best_sum is None or ssum < best_sum:
             best_o, best_sum = o, ssum
-            best_res = r if o else xi
     o = best_o
     res = np.diff(xi, n=o) if o else xi
     w.write(0, 1)
@@ -619,6 +617,11 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
             chans[c].append(subs[c])
         got += bs
 
+    if not chans or not chans[0]:
+        # STREAMINFO parsed but zero decodable frames (stream truncated
+        # inside/right after the metadata blocks) — typed, not a bare
+        # numpy ValueError from concatenating an empty list
+        raise FlacError("no decodable frames")
     out = np.stack([np.concatenate(c) for c in chans], axis=1)
     if total:
         if got < total:

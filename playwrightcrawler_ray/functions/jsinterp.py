@@ -43,8 +43,12 @@ Regex literals (``/re/gi``), ``new RegExp``, and the regex forms of
 /``test``/``exec`` are supported over a SAFE TRANSLATED SUBSET of JS
 regex syntax (see ``_translate_js_regex``): patterns are compiled to
 Python ``re`` with named-group/backreference rewriting, a 512-char
-source cap, and a ReDoS guard that rejects unbounded quantifiers over
-groups containing unbounded quantifiers; match work is charged against
+source cap, and a structural ReDoS guard: nested unbounded
+quantifiers, alternation under unbounded repetition, and adjacent
+unbounded quantifiers with overlapping character sets are all
+rejected at translation time (Python's backtracking matcher cannot be
+interrupted mid-call); patterns that keep an unbounded quantifier are
+additionally subject-length-capped and charged more heavily against
 the same step budget as evaluation.
 
 Anything outside the subset (``class``, generators, ``async``, real
@@ -134,15 +138,20 @@ class JSRegExp:
     (ES5+ semantics: a regex literal evaluates to a fresh object)."""
 
     __slots__ = ("source", "flags", "pattern", "global_", "sticky",
-                 "last_index")
+                 "last_index", "unbounded")
 
-    def __init__(self, source: str, flags: str, pattern):
+    def __init__(self, source: str, flags: str, pattern,
+                 unbounded: bool = True):
         self.source = source
         self.flags = flags
         self.pattern = pattern
         self.global_ = "g" in flags
         self.sticky = "y" in flags
         self.last_index = 0
+        # pattern contains an unbounded quantifier: matching cost can
+        # be superlinear in the subject, so subjects are length-capped
+        # and charged more steps (Interp._regex_guard)
+        self.unbounded = unbounded
 
 
 class JSFunction:
@@ -222,48 +231,158 @@ def _unescape(s: str) -> str:
 # the render's per-script rollback + literal fallback applies, so an
 # exotic page degrades instead of crashing a fetch task.  Rejected:
 # patterns > _MAX_REGEX_SRC chars, ``\c``/``\u{…}`` escapes, and — the
-# ReDoS guard — any unbounded quantifier applied to a group that itself
-# contains an unbounded quantifier (the classic catastrophic
-# backtracking shape, e.g. ``(a+)+``), because Python's backtracking
-# engine cannot be budgeted mid-match.
+# ReDoS guard — Python's backtracking engine cannot be budgeted
+# mid-match (one pattern.search() is a single C call), so hostile
+# patterns must be rejected STRUCTURALLY before compilation:
+#   1. unbounded quantifier over a group containing an unbounded
+#      quantifier — the classic exponential ``(a+)+``;
+#   2. unbounded quantifier over a group containing an ALTERNATION —
+#      the overlapping-branch exponential ``(a|ab)*``;
+#   3. two unbounded quantifiers whose atoms' character sets OVERLAP
+#      and that are adjacent (or separated only by optional /
+#      same-set atoms) — the quadratic-to-worse ``a*a*`` / ``\s*\w*``
+#      family; atom sets are approximated (literal, escape class,
+#      [class] union; '.'/negated/unknown = ALL).
+# Rejection degrades gracefully: JsError → per-script rollback →
+# literal-scan fallback, identically in engine and oracle. A subject-
+# length cap + heavier step charge for unbounded patterns bounds the
+# residual polynomial cases (see Interp._regex_guard).
 
 _MAX_REGEX_SRC = 512
+_MAX_REGEX_SUBJECT = 8192  # cap for unbounded-quantifier patterns
 _REGEX_CACHE: dict = {}
 _REGEX_CACHE_CAP = 256
 _UNBOUNDED_REP_CAP = 64  # {m,n} with n above this counts as unbounded
 
+_SET_ALL = None  # sentinel: "could match anything" (dot, negations, groups)
+_SET_DIGIT = frozenset("0123456789")
+_SET_WORD = frozenset(
+    "abcdefghijklmnopqrstuvwxyz0123456789_")
+_SET_SPACE = frozenset(" \t\n\r\f\v ")
 
-def _translate_js_regex(src: str) -> str:
+
+def _overlap(a, b) -> bool:
+    if a is _SET_ALL or b is _SET_ALL:
+        return True
+    return bool(a & b)
+
+
+def _escape_set(ch: str):
+    """First-set of an escape atom (lowercased approximation)."""
+    if ch == "d":
+        return _SET_DIGIT
+    if ch == "w":
+        return _SET_WORD
+    if ch == "s":
+        return _SET_SPACE
+    if ch in "DWS":
+        return _SET_ALL  # complements: effectively anything
+    if ch in "bB":
+        return frozenset()  # zero-width
+    return frozenset(ch.lower())
+
+
+def _class_set(body: str):
+    """Approximate character set of a [...] class body."""
+    if body.startswith("^"):
+        return _SET_ALL  # complement: treat as anything
+    out: set = set()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            s = _escape_set(body[i + 1])
+            if s is _SET_ALL:
+                return _SET_ALL
+            out |= s
+            i += 2
+            continue
+        if i + 2 < n and body[i + 1] == "-" and body[i + 2] != "]":
+            lo, hi = ord(c), ord(body[i + 2])
+            if hi - lo > 256:
+                return _SET_ALL
+            out |= {chr(x).lower() for x in range(lo, hi + 1)}
+            i += 3
+            continue
+        out.add(c.lower())
+        i += 1
+    return frozenset(out)
+
+
+def _translate_js_regex(src: str) -> tuple[str, bool]:
+    """JS regex source → (python pattern, has_unbounded_quantifier).
+
+    Raises JsError for syntax outside the safe subset, including the
+    structural ReDoS shapes documented above."""
     out = []
     i, n = 0, len(src)
     in_class = False
     class_start = -1
-    # per-group-depth flag: does this depth contain an unbounded
-    # quantifier? (index 0 = top level)
+    # per-group-depth state (index 0 = top level):
+    #   unbounded[d]: depth contains an unbounded quantifier
+    #   alt[d]:       depth contains an alternation
+    #   pending[d]:   charset of a still-"reachable" unbounded atom
+    #                 (None = nothing pending); survives through
+    #                 optional and overlapping atoms
     unbounded = [False]
+    alt = [False]
+    gkind: list = []  # per OPEN group: 'cap' (consuming) | 'look'
+    NOTHING = object()  # pending sentinel: no unbounded atom reachable
+    pending: list = [NOTHING]
+    any_unbounded = False
 
     def quant_after(j):
-        """classify the quantifier starting at src[j]: None | 'bounded'
-        | 'unbounded'; returns (kind, end_index)."""
+        """classify the quantifier starting at src[j]:
+        (None|'bounded'|'unbounded', min_is_zero, end_index)."""
         if j >= n:
-            return None, j
+            return None, False, j
         c = src[j]
-        if c in "*+":
-            return "unbounded", j + 1
+        if c == "*":
+            return "unbounded", True, j + 1
+        if c == "+":
+            return "unbounded", False, j + 1
         if c == "?":
-            return "bounded", j + 1
+            return "bounded", True, j + 1
         if c == "{":
             m = re.match(r"\{(\d+)(,(\d*)?)?\}", src[j:])
             if not m:
-                return None, j
+                return None, False, j
+            lo = int(m.group(1))
             hi = m.group(3)
             if m.group(2) is not None and (hi == "" or hi is None):
                 kind = "unbounded"
             else:
-                top = int(hi) if hi else int(m.group(1))
+                top = int(hi) if hi else lo
                 kind = "unbounded" if top > _UNBOUNDED_REP_CAP else "bounded"
-            return kind, j + m.end()
-        return None, j
+            return kind, lo == 0, j + m.end()
+        return None, False, j
+
+    def apply_atom(atom_set, kind, min_zero):
+        """Update the pending-unbounded state for one consumed atom
+        (the adjacent-overlap ambiguity approximation)."""
+        nonlocal any_unbounded
+        if kind == "unbounded":
+            any_unbounded = True
+            unbounded[-1] = True
+            if pending[-1] is not NOTHING and _overlap(pending[-1], atom_set):
+                raise JsError("regex: adjacent overlapping unbounded "
+                              "quantifiers (outside safe subset)")
+            if min_zero and pending[-1] is not NOTHING:
+                # a zero-min repeat keeps the previous unbounded atom
+                # reachable: track the union
+                prev = pending[-1]
+                pending[-1] = (_SET_ALL if prev is _SET_ALL
+                               or atom_set is _SET_ALL else prev | atom_set)
+            else:
+                pending[-1] = atom_set
+        elif kind == "bounded" and min_zero:
+            pass  # optional atom: previous unbounded stays reachable
+        else:
+            # required atom (plain, or bounded min>=1): clears the
+            # pending set only if unambiguously disjoint
+            if atom_set and pending[-1] is not NOTHING \
+                    and not _overlap(pending[-1], atom_set):
+                pending[-1] = NOTHING
 
     while i < n:
         c = src[i]
@@ -284,6 +403,12 @@ def _translate_js_regex(src: str) -> str:
                 else:
                     out.append("[" + body + "]")
                 in_class = False
+                kind, mz, j = quant_after(i + 1)
+                out.append(src[i + 1:j])
+                apply_atom(_SET_ALL if body.startswith("^") or body in ("", "^")
+                           else _class_set(body), kind, mz)
+                i = j
+                continue
             i += 1
             continue
         if c == "\\":
@@ -298,9 +423,17 @@ def _translate_js_regex(src: str) -> str:
                     raise JsError("regex: bad \\k<…>")
                 out.append("(?P=" + src[i + 3:j] + ")")
                 i = j + 1
+                kind, mz, j2 = quant_after(i)
+                out.append(src[i:j2])
+                apply_atom(_SET_ALL, kind, mz)  # backref: unknown set
+                i = j2
                 continue
             out.append(src[i:i + 2])
             i += 2
+            kind, mz, j = quant_after(i)
+            out.append(src[i:j])
+            apply_atom(_escape_set(nxt), kind, mz)
+            i = j
             continue
         if c == "[":
             in_class = True
@@ -308,46 +441,96 @@ def _translate_js_regex(src: str) -> str:
             i += 1
             continue
         if c == "(":
+            unbounded.append(False)
+            alt.append(False)
+            look = False
             if src.startswith("(?<", i) and not src.startswith("(?<=", i) \
                     and not src.startswith("(?<!", i):
-                out.append("(?P<")
-                i += 3
+                j = src.find(">", i + 3)
+                if j < 0:
+                    raise JsError("regex: bad (?<name>")
+                out.append("(?P<" + src[i + 3:j + 1])
+                i = j + 1
+            elif src.startswith("(?", i):
+                for pre in ("(?:", "(?<=", "(?<!", "(?=", "(?!"):
+                    if src.startswith(pre, i):
+                        out.append(pre)
+                        i += len(pre)
+                        look = pre not in ("(?:",)
+                        break
+                else:
+                    raise JsError("regex: unsupported group prefix")
             else:
                 out.append(c)
                 i += 1
-            unbounded.append(False)
+            gkind.append("look" if look else "cap")
+            # consuming groups inherit the pending set (a*(a+) is still
+            # adjacent); lookarounds are zero-width — fresh slate inside
+            pending.append(NOTHING if look else pending[-1])
             continue
         if c == ")":
             out.append(c)
             i += 1
             if len(unbounded) < 2:
                 raise JsError("regex: unbalanced )")
-            inner = unbounded.pop()
-            kind, j = quant_after(i)
+            inner_unb = unbounded.pop()
+            inner_alt = alt.pop()
+            inner_pending = pending.pop()
+            was_look = gkind.pop() == "look"
+            kind, mz, j = quant_after(i)
             if kind == "unbounded":
-                if inner:
+                if inner_unb:
                     raise JsError("regex: nested unbounded quantifier "
                                   "(outside safe subset)")
+                if inner_alt:
+                    raise JsError("regex: alternation under unbounded "
+                                  "quantifier (outside safe subset)")
+                any_unbounded = True
                 unbounded[-1] = True
-            elif inner:
-                unbounded[-1] = True
+                if not was_look:
+                    pending[-1] = _SET_ALL  # group first-set unknown
+            else:
+                if inner_unb:
+                    unbounded[-1] = True
+                if inner_alt:
+                    alt[-1] = True
+                if not was_look:
+                    # the group's trailing unbounded atom stays reachable
+                    pending[-1] = inner_pending
             out.append(src[i:j])
             i = j
             continue
-        kind, j = quant_after(i)
-        if kind is not None and j > i:
-            if kind == "unbounded":
-                unbounded[-1] = True
-            out.append(src[i:j])
-            i = j
+        if c == "|":
+            out.append(c)
+            alt[-1] = True
+            pending[-1] = NOTHING  # branches are independent
+            i += 1
             continue
+        if c in "^$":
+            out.append(c)
+            i += 1
+            continue  # zero-width: pending unchanged
+        kind, j = None, i
+        if c in "*+?{":
+            # quantifier with no preceding atom here means it followed
+            # an atom already handled above, or is literal '{'
+            kind, mz, j = quant_after(i)
+            if kind is not None and j > i:
+                out.append(src[i:j])
+                apply_atom(_SET_ALL, kind, mz)
+                i = j
+                continue
         out.append(c)
         i += 1
+        kind, mz, j = quant_after(i)
+        out.append(src[i:j])
+        apply_atom(_SET_ALL if c == "." else frozenset(c.lower()), kind, mz)
+        i = j
     if in_class:
         raise JsError("regex: unterminated character class")
     if len(unbounded) != 1:
         raise JsError("regex: unbalanced (")
-    return "".join(out)
+    return "".join(out), any_unbounded
 
 
 def _compile_js_regex(source: str, flags: str) -> "JSRegExp":
@@ -357,8 +540,8 @@ def _compile_js_regex(source: str, flags: str) -> "JSRegExp":
             len(set(flags)) != len(flags):
         raise JsError(f"invalid regex flags {flags!r}")
     key = (source, flags)
-    pat = _REGEX_CACHE.get(key)
-    if pat is None:
+    hit = _REGEX_CACHE.get(key)
+    if hit is None:
         pyflags = 0
         if "i" in flags:
             pyflags |= re.I
@@ -366,14 +549,15 @@ def _compile_js_regex(source: str, flags: str) -> "JSRegExp":
             pyflags |= re.M
         if "s" in flags:
             pyflags |= re.S
+        translated, unb = _translate_js_regex(source)
         try:
-            pat = re.compile(_translate_js_regex(source), pyflags)
+            pat = re.compile(translated, pyflags)
         except re.error as e:
             raise JsError(f"regex: {e}") from None
         if len(_REGEX_CACHE) >= _REGEX_CACHE_CAP:
             _REGEX_CACHE.clear()
-        _REGEX_CACHE[key] = pat
-    return JSRegExp(source, flags, pat)
+        hit = _REGEX_CACHE[key] = (pat, unb)
+    return JSRegExp(source, flags, hit[0], hit[1])
 
 
 # after these, a `/` must be division, not a regex literal (the
@@ -1802,7 +1986,7 @@ class Interp:
                 if not a or a[0] is UNDEF:
                     return JSArray([s])
                 if isinstance(a[0], JSRegExp):
-                    self._charge(1 + len(s) // 16)
+                    self._regex_guard(a[0], s)
                     parts = a[0].pattern.split(s)
                     return JSArray([UNDEF if p is None else p
                                     for p in parts])
@@ -1816,7 +2000,7 @@ class Interp:
             if all_matches:
                 matches = self._regex_find_all(rx, s)
             else:
-                self._charge(1 + len(s) // 32)
+                self._regex_guard(rx, s)
                 mm = rx.pattern.search(s)
                 matches = [mm] if mm else []
             if not matches:
@@ -1904,7 +2088,7 @@ class Interp:
                     return -1.0
                 rx = a[0] if isinstance(a[0], JSRegExp) else \
                     _compile_js_regex(js_str(a[0]), "")
-                self._charge(1 + len(s) // 32)
+                self._regex_guard(rx, s)
                 mt = rx.pattern.search(s)
                 return float(mt.start()) if mt else -1.0
             return m(_search)
@@ -2073,10 +2257,26 @@ class Interp:
         return JSArray(groups, js_props={
             "index": float(m.start()), "input": subject})
 
+    def _regex_guard(self, rx: JSRegExp, s: str) -> None:
+        """Pre-match guard: one pattern.search() is a single
+        un-interruptible C call, so patterns with unbounded quantifiers
+        get a subject-length cap (bounding the residual polynomial
+        backtracking the structural translate-time guard cannot
+        exclude) and a heavier step charge. Over-long subjects raise
+        JsError -> per-script rollback -> literal-scan fallback,
+        identically in engine and oracle."""
+        if rx.unbounded:
+            if len(s) > _MAX_REGEX_SUBJECT:
+                raise JsError("regex: subject too long for a pattern "
+                              "with unbounded quantifiers")
+            self._charge(1 + len(s) // 8)
+        else:
+            self._charge(1 + len(s) // 32)
+
     def _regex_exec(self, rx: JSRegExp, s: str):
         """One exec step honoring /g and /y lastIndex state; returns a
         Python match or None (and updates lastIndex)."""
-        self._charge(1 + len(s) // 32)
+        self._regex_guard(rx, s)
         stateful = rx.global_ or rx.sticky
         pos = rx.last_index if stateful else 0
         if pos > len(s):
@@ -2098,7 +2298,7 @@ class Interp:
     def _regex_find_all(self, rx: JSRegExp, s: str):
         """All non-overlapping matches from 0 (the /g sweep), bounded
         by the step budget."""
-        self._charge(1 + len(s) // 16)
+        self._regex_guard(rx, s)
         out = []
         pos = 0
         while pos <= len(s):

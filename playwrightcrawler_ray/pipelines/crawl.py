@@ -209,13 +209,8 @@ class CrawlEngine:
         uninterrupted run exactly). Returns False when no actor is
         actually dead — the failure was something else; re-raise it."""
         revived = 0
-        for i, a in enumerate(self.shards):
+        for a in (*self.shards, *self.dedup):
             if not self._alive(a):
-                self.shards[i] = self._make_frontier(i)
-                revived += 1
-        for i, a in enumerate(self.dedup):
-            if not self._alive(a):
-                self.dedup[i] = self._make_dedup(i)
                 revived += 1
         if revived == 0:
             return False
@@ -225,21 +220,25 @@ class CrawlEngine:
             self._join_checkpoint()
         except BaseException:
             pass
-        root = os.path.join(self.cfg.output_dir, "checkpoints")
-        has_ck = os.path.isdir(root) and any(
-            d.startswith("wave=") and not d.endswith(".tmp")
-            for d in os.listdir(root)
-        )
-        if not has_ck:
-            # death before the first barrier: no state to rewind to —
-            # restart from seeds with an ALL-fresh fleet (surviving
-            # shards hold partial wave-0 state)
-            for i, a in enumerate(self.shards):
+        # Recreate the WHOLE fleet as fresh actor instances — dead AND
+        # surviving shards. Sibling tasks of the failed wave may still
+        # be in flight (the Dataset executor tears its tasks down
+        # asynchronously; the caller cancels the plain-task path's
+        # refs, but cancellation is best-effort): their in-band dedup
+        # claims / frontier offers must land on KILLED handles and
+        # fail harmlessly rather than mutate the restored state of a
+        # surviving shard mid-rewind.
+        for i, a in enumerate(self.shards):
+            if self._alive(a):
                 ray.kill(a, no_restart=True)
-                self.shards[i] = self._make_frontier(i)
-            for i, a in enumerate(self.dedup):
+            self.shards[i] = self._make_frontier(i)
+        for i, a in enumerate(self.dedup):
+            if self._alive(a):
                 ray.kill(a, no_restart=True)
-                self.dedup[i] = self._make_dedup(i)
+            self.dedup[i] = self._make_dedup(i)
+        # (with no published checkpoint the caller's _init_run_state
+        # finds nothing to restore and restarts from seeds — correct
+        # for death before the first barrier, since the fleet is fresh)
         self._seed_robots()  # fresh shards need rules; restore overwrites
         self.actor_recoveries += revived
         return True
@@ -442,6 +441,13 @@ class CrawlEngine:
         else:
             shutil.rmtree(order_dir, ignore_errors=True)
             os.makedirs(order_dir, exist_ok=True)
+            if not resume:
+                # fresh run: stale checkpoints from a previous run in the
+                # same output_dir must not survive — mid-run actor-loss
+                # recovery picks the HIGHEST checkpoint wave and would
+                # silently restore another run's frontier/dedup state
+                shutil.rmtree(os.path.join(cfg.output_dir, "checkpoints"),
+                              ignore_errors=True)
             self._offer(_seed_offers(self.corpus.seeds, cfg, self._pctx.policy))
         return start_wave, wave_log, order_files, pages_fetched
 
@@ -464,6 +470,7 @@ class CrawlEngine:
         recoveries = 0
         last_wave_stats = ""
         fns_ref = None  # one object-store put of the stage chain, lazy
+        inflight: list = []  # plain-task path's chunk refs (for cancel)
         while wave < limit:
             try:
                 candidates = self._pop_merged(wave)
@@ -535,13 +542,15 @@ class CrawlEngine:
                             (fetch_fn, parse_fn, imgfetch_fn, decode_fn)
                         )
                     os.makedirs(wave_dir, exist_ok=True)
-                    ray.get([
+                    inflight = [
                         _wave_chunk_task.remote(
                             fns_ref, c,
                             os.path.join(wave_dir, f"part-{i:05d}.parquet"),
                         )
                         for i, c in enumerate(chunks)
-                    ])
+                    ]
+                    ray.get(inflight)
+                    inflight = []
                     ds = None
                 else:
                     ds = ray.data.from_arrow(chunks)
@@ -595,6 +604,19 @@ class CrawlEngine:
                 # Dataset execution error from inside a stage task.
                 # Probe-and-recover is authoritative: if no shard is
                 # actually dead, this was a different failure — re-raise.
+                # First: cancel + drain this wave's sibling chunk tasks
+                # so orphans can't keep staging claims / offers / part
+                # files against the state the recovery rewinds (the
+                # fleet is also fully recreated, which fences any task
+                # cancellation misses at the actor boundary).
+                if inflight:
+                    for r in inflight:
+                        try:
+                            ray.cancel(r, force=True)
+                        except Exception:
+                            pass
+                    ray.wait(inflight, num_returns=len(inflight), timeout=10)
+                    inflight = []
                 if recoveries >= 3 or not self._recover_from_actor_loss():
                     raise
                 recoveries += 1

@@ -94,11 +94,11 @@ def _ctx_for(cfg: CrawlConfig) -> ProcessContext:
     return _CTX_CACHE[key]
 
 
-# per-process external-script source cache: abs url → decoded source
-# (or None for unfetchable). A browser's script cache — the same
-# /app.js is referenced by nearly every page of a host, so each worker
-# process pays the fetch + charset decode once. Sources are small text;
-# LRU-capped.
+# per-process external-script source cache: (job namespace, abs url)
+# → decoded source. A browser's script cache — the same /app.js is
+# referenced by nearly every page of a host, so each worker process
+# pays the fetch + charset decode once per job. Fetch FAILURES are not
+# cached (transient); sources are small text; LRU-capped.
 _SCRIPT_MEMO: OrderedDict = OrderedDict()
 _SCRIPT_MEMO_CAP = 4096
 _SCRIPT_MISS = object()
@@ -123,16 +123,28 @@ def _script_fetcher(corpus_ref, http_addr: str | None, retries: int,
         return body[0] if status[0] == 200 else None
 
     base = make_script_fetcher(lookup_bytes)
+    # namespace the per-process cache by the JOB's corpus identity:
+    # worker processes outlive a run_crawl call, and two crawls in one
+    # Ray session may serve different bytes at the same script URL —
+    # cross-job hits would execute the previous corpus's source and
+    # diverge from the oracle. The broadcast corpus ObjectRef hex is
+    # unique per job; the http backend's host:port is per-server.
+    ns = corpus_ref.hex() if corpus_ref is not None else str(http_addr)
 
     def fetch(abs_url: str):
-        hit = _SCRIPT_MEMO.get(abs_url, _SCRIPT_MISS)
+        key = (ns, abs_url)
+        hit = _SCRIPT_MEMO.get(key, _SCRIPT_MISS)
         if hit is not _SCRIPT_MISS:
-            _SCRIPT_MEMO.move_to_end(abs_url)
+            _SCRIPT_MEMO.move_to_end(key)
             return hit
         src = base(abs_url)
-        _SCRIPT_MEMO[abs_url] = src
-        if len(_SCRIPT_MEMO) > _SCRIPT_MEMO_CAP:
-            _SCRIPT_MEMO.popitem(last=False)
+        if src is not None:
+            # cache only successes: a transient fetch failure (e.g. a
+            # 503 burst exhausting retries) must not pin this worker to
+            # "script missing" for the rest of the run
+            _SCRIPT_MEMO[key] = src
+            if len(_SCRIPT_MEMO) > _SCRIPT_MEMO_CAP:
+                _SCRIPT_MEMO.popitem(last=False)
         return src
 
     return fetch

@@ -180,3 +180,47 @@ def test_probe_flac_streaminfo():
     assert info["channels"] == 1
     assert info["bits"] == 16
     assert info["duration_sec"] == 2.0
+
+
+def test_flac_12_and_20_bit_md5_byte_width():
+    """Non-whole-byte depths: STREAMINFO MD5 runs over samples packed
+    into ceil(bits/8) bytes, SIGN-EXTENDED to the byte width (libFLAC
+    md5.c semantics) — 12-bit must hash 2 bytes/sample, 20-bit 3. The
+    decoder's built-in MD5 check is the assertion: a wrong width or a
+    truncating mask raises FlacError on perfectly valid streams."""
+    from playwrightcrawler_ray.functions.flac import (
+        _pcm_md5, flac_decode, flac_encode,
+    )
+
+    for bits in (12, 20):
+        lim = 1 << (bits - 1)
+        x = (_sig(3000, seed=bits, scale=lim // 2)
+             .astype(np.int64).clip(-lim, lim - 1))
+        out, rate = flac_decode(flac_encode(x, bits=bits, block_size=256))
+        assert np.array_equal(out.reshape(-1), x)
+    # sign extension: -1 at 12 bits must hash as little-endian 0xFFFF,
+    # not the 12-bit-truncated 0x0FFF
+    import hashlib as _h
+
+    d = _pcm_md5(np.array([[-1]], np.int64), 12)
+    assert d == _h.md5(b"\xff\xff").digest()
+    assert _pcm_md5(np.array([[-1]], np.int64), 20) == _h.md5(b"\xff\xff\xff").digest()
+
+
+def test_flac_truncated_after_metadata_is_typed():
+    """A stream cut right after STREAMINFO (zero decodable frames) must
+    raise the typed FlacError, and surface as OSError through the audio
+    facade — not a bare numpy ValueError."""
+    from playwrightcrawler_ray.functions.flac import FlacError, flac_decode
+    from playwrightcrawler_ray.stages.multimodal import decode_audio
+
+    x = _sig(2000)
+    from playwrightcrawler_ray.functions.flac import flac_encode
+
+    data = flac_encode(x.astype(np.int64), bits=16)
+    # STREAMINFO block: 4 (magic) + 4 (header) + 34 bytes
+    cut = data[: 4 + 4 + 34]
+    with pytest.raises(FlacError):
+        flac_decode(cut)
+    with pytest.raises(OSError):
+        decode_audio(cut)

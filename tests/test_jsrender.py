@@ -576,3 +576,54 @@ def test_render_obfuscated_link_via_fromcharcode():
             "</script></body></html>")
     added = render_html(html)[len(html):]
     assert 'href="/obf.html"' in added
+
+
+def test_redos_patterns_rejected_render_never_hangs():
+    """Catastrophic-backtracking shapes must be rejected structurally
+    (Python's re cannot be budget-interrupted mid-match), and a page
+    carrying one must still render fast via per-script rollback —
+    discovering its plain-HTML links through the literal fallback."""
+    import time
+
+    from playwrightcrawler_ray.functions.jsinterp import (
+        JsError, _compile_js_regex,
+    )
+
+    hostile = [
+        "(a|ab)*",        # overlapping alternation under repetition
+        "(a+)+",          # nested unbounded
+        "a*a*",           # adjacent overlapping unbounded
+        "(\\d|\\w)+",
+        "(a*)(a*)",
+        "a*(a+)",
+    ]
+    for pat in hostile:
+        with pytest.raises(JsError):
+            _compile_js_regex(pat, "")
+    # common benign idioms stay inside the subset
+    for pat in ["https?:\\/\\/[^\\s\"]+", "\\w+\\s+\\d+", "a{2,5}b*",
+                "(?:foo|bar)", "[A-Z][a-z]*\\d*"]:
+        _compile_js_regex(pat, "g")
+
+    # end-to-end: the classic (a|ab)* attack inside a page script
+    html = ("<html><body><script>"
+            "var s = Array(61).join('ab') + 'c';"
+            "if (/^(a|ab)*$/.test(s)) document.write('<a href=\"/x\">x</a>');"
+            "</script><a href=\"/real.html\">r</a></body></html>")
+    t0 = time.perf_counter()
+    out = render_html(html)
+    assert time.perf_counter() - t0 < 5.0  # bounded, not ~phi^60 steps
+    assert "/real.html" in out  # rollback kept the static link
+
+
+def test_regex_subject_cap_for_unbounded_patterns():
+    """Unbounded-quantifier patterns refuse over-long subjects (the
+    residual polynomial-backtracking bound); literal patterns don't."""
+    from playwrightcrawler_ray.functions.jsinterp import JsError
+
+    with pytest.raises(JsError):
+        ev("/a+b/.test(Array(9000).join('a'))")
+    # a pattern with no unbounded quantifier is fine on the same subject
+    assert ev("/ab/.test(Array(9000).join('a'))") is False
+    # and unbounded patterns still run on in-cap subjects
+    assert ev("/a+b/.test(Array(4000).join('a') + 'b')") is True

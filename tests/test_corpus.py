@@ -51,3 +51,18 @@ def test_corpus_image_payloads_decode():
     # truncated png + non-image + truncated jpeg + webp stub + hierarchical stub
     # (progressive JPEG now DECODES — it is in the decoded count)
     assert failed == 5
+
+
+def test_corpus_serves_arithmetic_jpeg_in_golden_path():
+    """The pic-rotation slot alternates progressive and arithmetic
+    JPEG; a big-enough corpus must serve at least one SOF9 stream and
+    it must decode through the real QM path (not a stub row)."""
+    c = build_corpus(seed=42, n_hosts=16, pages_per_host=4)
+    sof9 = [
+        v["body"] for u, v in c.pages.items()
+        if "/img/" in u and b"\xff\xc9" in v["body"][:256]
+    ]
+    assert sof9, "no arithmetic-coded JPEG in the corpus rotation"
+    for body in sof9:
+        px, fmt = decode_image(body)
+        assert fmt == "jpeg" and px.dtype == np.uint8

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 46
+shape) and returns the images Dataset. ``queries()`` exposes the 47
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 29
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 30
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 language-ID, fingerprints, and the oracle-verified-in-pytest crawl
@@ -196,9 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_quality": T.q_langid_quality,          # rows-only (heuristic)
         "bpe_learn_merges": T.q_bpe_learn_merges,      # rows-only (iterative)
         "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
-        # curation: seeded sampling + per-source quota
+        # curation: seeded sampling + per-source quota + split
         "doc_sample": T.q_doc_sample,
         "docs_per_source_cap": T.q_docs_per_source_cap,
+        "docs_split": T.q_docs_split,
         # dedup family
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,
         "doc_sample": T.sql_doc_sample(),
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
+        "docs_split": T.sql_docs_split(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),

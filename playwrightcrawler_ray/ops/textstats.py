@@ -633,3 +633,60 @@ def q_bpe_learn_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
         "merged": [m[0] + m[1] for m in merges],
         "pair_count": pd.array([m[2] for m in merges], dtype="int64"),
     })
+
+
+def q_docs_split(sf_dir: str, seed: int = 17,
+                 val_pct: int = 5, test_pct: int = 5) -> pd.DataFrame:
+    """Deterministic train/val/test split — the standard curation step
+    before a training run: bucket = mix64(doc_id ^ seed) % 100, with
+    [0, val_pct) → val, [val_pct, val_pct+test_pct) → test, rest →
+    train. Stateless per row (one streaming pass, no shuffle), stable
+    across re-runs and cluster sizes, and reproduced exactly by the
+    SQL oracle via the same HUGEINT modular mix arithmetic as
+    :func:`sql_doc_sample`."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = (_mix64_np(df["doc_id"].to_numpy(), seed) % 100).astype("int64")
+        split = pd.Series("train", index=df.index)
+        split[b < val_pct + test_pct] = "test"
+        split[b < val_pct] = "val"
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "bucket": b,
+            "split": split,
+        })
+
+    return ds.map_batches(assign, batch_format="pandas").to_pandas()
+
+
+def sql_docs_split(seed: int = 17, val_pct: int = 5,
+                   test_pct: int = 5) -> str:
+    m = 1 << 64
+    m32 = 1 << 32
+
+    def mulmod(x: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id,
+         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
+  FROM documents
+),
+h1 AS (SELECT doc_id, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
+h2 AS (SELECT doc_id,
+              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
+       FROM h1),
+h3 AS (SELECT doc_id, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
+h4 AS (SELECT doc_id,
+              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
+       FROM h3)
+SELECT doc_id,
+       CAST(h % 100 AS BIGINT) AS bucket,
+       CASE WHEN h % 100 < {val_pct} THEN 'val'
+            WHEN h % 100 < {val_pct + test_pct} THEN 'test'
+            ELSE 'train' END AS split
+FROM h4
+"""

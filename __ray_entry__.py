@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": T.q_docs_gopher_quality,
         "docs_tfidf_topk": T.q_docs_tfidf_topk,
         "lang_distribution": T.q_lang_distribution,
+        "docs_token_quantiles": T.q_docs_token_quantiles,
+        "docs_regex_scan": T.q_docs_regex_scan,
+        "docs_inverted_index": T.q_docs_inverted_index,
         "docs_by_source": T.q_docs_by_source,
         "doc_exact_dedup": T.q_doc_exact_dedup,
         "langid_quality": T.q_langid_quality,          # rows-only (heuristic)
@@ -255,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_quality": T.SQL_DOCS_GOPHER_QUALITY,
         "docs_tfidf_topk": T.sql_docs_tfidf_topk(),
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,
+        "docs_token_quantiles": T.SQL_DOCS_TOKEN_QUANTILES,
+        "docs_regex_scan": T.SQL_DOCS_REGEX_SCAN,
+        "docs_inverted_index": T.SQL_DOCS_INVERTED_INDEX,
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,
         "doc_sample": T.sql_doc_sample(),

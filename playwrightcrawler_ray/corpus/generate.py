@@ -142,11 +142,12 @@ def build_corpus(
             body, ctype, name = (encode_image(px, tfmt), "image/tiff",
                                  f"pic{i}.tiff")
         elif i % 9 == 2:
-            # REAL progressive (SOF2) and arithmetic-coded (SOF9) JPEGs
-            # through the codec, alternating: spectral selection +
-            # successive approximation, and the QM-coder entropy layer,
-            # both in the golden path
-            jfmt = "ajpeg" if (i // 9) % 2 else "pjpeg"
+            # REAL progressive (SOF2), arithmetic-coded (SOF9) and
+            # lossless (SOF3) JPEGs through the codec, rotating:
+            # spectral selection + successive approximation, the
+            # QM-coder entropy layer, and the Annex-H DPCM process,
+            # all in the golden path
+            jfmt = ("pjpeg", "ajpeg", "ljpeg")[(i // 9) % 3]
             body, ctype, name = (encode_image(px, jfmt), "image/jpeg",
                                  f"pic{i}.jpg")
         elif i % 9 == 5:

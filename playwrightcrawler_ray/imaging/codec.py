@@ -28,8 +28,11 @@ horizontal predictor, TILES (§15) and PLANAR sample layout (§12),
 and new-style JPEG-in-TIFF (compression 7: shared JPEGTables +
 abbreviated per-segment streams, composed with the T.81 decoder).
 Arithmetic-coded JPEG (SOF9/SOF10) decodes for real via the T.81
-Annex D QM coder. The remaining typed ``CodecUnavailable`` variants:
-VP8 interframes, hierarchical/lossless JPEG.
+Annex D QM coder, and lossless JPEG (SOF3) via the Annex H spatial
+DPCM process (all 7 predictors, point transform, restart intervals,
+interleaved and per-component scans). The remaining typed
+``CodecUnavailable`` variants: VP8 interframes, hierarchical JPEG,
+subsampled/deep-precision lossless.
 """
 
 from __future__ import annotations
@@ -96,6 +99,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
         return jpeg_encode_arithmetic(pixels, quality=95,
                                       subsampling="444")
+    if fmt in ("jpeg_lossless", "ljpeg"):
+        from .jpeg import jpeg_encode_lossless
+
+        # predictor 4 (Ra+Rb−Rc) — the best average coder on natural
+        # images; bit-exact round trip (lossless)
+        return jpeg_encode_lossless(pixels, predictor=4)
     if fmt == "tiff":
         from .tiff import tiff_encode
 
@@ -193,9 +202,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = jpeg_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # hierarchical / lossless / 12-bit: real variants this
-                # codec genuinely cannot decode (progressive SOF2 and
-                # arithmetic SOF9/SOF10 both decode for real now)
+                # hierarchical / subsampled-lossless / 12-bit: real
+                # variants this codec genuinely cannot decode
+                # (progressive SOF2, arithmetic SOF9/SOF10 and lossless
+                # SOF3 all decode for real now)
                 raise CodecUnavailable(str(e)) from e
         elif fmt == "tiff":
             from .tiff import tiff_decode

@@ -17,9 +17,20 @@ from-scratch implementation of the baseline DCT process:
   true component block dims), successive approximation (DC and AC
   first + refinement passes, EOB-run decoding, libjpeg-compatible
   correction-bit semantics), restart markers inside progressive
-  scans. Arithmetic-coded and hierarchical variants raise
-  ``NotImplementedError`` (→ the oserror taxonomy, like PIL raising
-  on unsupported member formats).
+  scans. **Arithmetic-coded (SOF9/SOF10)** decodes for real via the
+  T.81 Annex D QM coder (see the arithmetic section below).
+  **Lossless (SOF3)** decodes for real: T.81 Annex H spatial DPCM —
+  the 7 H.1.2.1 predictors, SSSS=0..16 difference categories (16 →
+  diff 32768, no extra bits), modulo-2^16 reconstruction, point
+  transform (Al=Pt, output shifted left), first-line/first-column
+  fallback predictors, restart-interval prediction reset, interleaved
+  and per-component scans (1×1 sampling; lossless subsampling and
+  precisions other than 8 raise ``NotImplementedError``). Components
+  are emitted as-is — lossless JPEG defines no color transform, so a
+  3-component frame is RGB (the mainstream libjpeg-turbo/PVRG
+  convention). Hierarchical variants raise ``NotImplementedError``
+  (→ the oserror taxonomy, like PIL raising on unsupported member
+  formats).
 - **Encoder**: baseline JFIF — 4:4:4 / 4:2:0, Annex-K quantization
   tables scaled by ``quality``, Annex-K standard Huffman tables,
   single interleaved scan — plus a progressive (SOF2) encoder
@@ -27,6 +38,13 @@ from-scratch implementation of the baseline DCT process:
   spectral-selection AC band scans with an AC successive-approximation
   first + refinement pair, EOB-run emission) so the synthetic corpus
   serves REAL progressive payloads through the crawl golden path.
+  A lossless (SOF3) encoder twin (``jpeg_encode_lossless``) emits
+  spec-shaped streams — per-image optimal Huffman table over the
+  SSSS categories (libjpeg K.2 phantom-symbol trick keeps the
+  all-ones code unused), any predictor 1-7, point transform,
+  interleaved or per-component scans, restart markers — so the
+  decoder is exercised by bit-exact round-trips across the whole
+  parameter matrix.
 
 Round-trip invariant: encode(quality=92) → decode achieves PSNR ≥ 40 dB
 on natural-statistics test images (the north-rule lossy bound).
@@ -260,8 +278,9 @@ def _extend(v: int, size: int) -> int:
 # ---------------------------------------------------------------- decoder
 
 def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """Decode baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes →
-    (h, w, 3) uint8 RGB."""
+    """Decode baseline (SOF0/SOF1), progressive (SOF2), arithmetic
+    (SOF9/SOF10) or lossless (SOF3) JPEG bytes → (h, w, 3) uint8
+    RGB."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -270,6 +289,7 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     frame = None
     progressive = False
     arithmetic = False
+    lossless = False
     arith_cond: dict[tuple[int, int], object] = {}
     any_scan = False
     restart_interval = 0
@@ -307,11 +327,12 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _huff_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline · SOF2 progressive · SOF9/SOF10 their
-            # arithmetic-coded (QM) twins
+            # arithmetic-coded (QM) twins · SOF3 lossless (Annex H)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -324,7 +345,7 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
             if progressive:
                 _init_progressive(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X})"
@@ -357,6 +378,15 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
                 if cs not in frame_ids:
                     raise ValueError(f"scan references unknown component {cs}")
                 scomp.append((cs, tda >> 4, tda & 0xF))
+            if lossless:
+                ss = seg[1 + 2 * ns]       # predictor selector
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_lossless_scan(
+                    data, pos, frame, scomp, htables, restart_interval,
+                    ss, ahal & 0xF,
+                )
+                any_scan = True
+                continue
             if arithmetic and not progressive:
                 return _decode_arith_scan(
                     data, pos, frame, scomp, qtables, arith_cond,
@@ -386,6 +416,8 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         # else: APPn/COM skipped
     if progressive and any_scan:
         return _finish_progressive(frame, qtables)
+    if lossless and any_scan:
+        return _finish_lossless(frame)
     raise ValueError("no SOS segment")
 
 
@@ -477,6 +509,297 @@ def _assemble(frame, comps, hmax, vmax) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------ lossless (Annex H)
+#
+# T.81 Annex H spatial DPCM: no DCT, no quantization — each sample is
+# predicted from its decoded neighbours (Ra left, Rb above, Rc
+# above-left) with one of 7 selectable predictors, and the prediction
+# difference is Huffman-coded with a DC-style SSSS category table
+# extended to 16 (SSSS=16 ⇒ diff = 32768, no magnitude bits).
+# Reconstruction is modulo 2^16 (H.1.2.1); the point transform Pt
+# drops Pt low bits before coding and the decoder shifts the output
+# left by Pt. Restart semantics per H.1.2.2: the first sample after a
+# restart is predicted with the default 2^(P-Pt-1), and the remainder
+# of that line reverts to the one-dimensional Ra predictor (the
+# "first line" rule re-applies at each restart interval); later lines
+# resume the selected predictor with the usual first-column Rb
+# fallback. No color transform is defined for the lossless process —
+# 3-component frames are component-literal RGB (the libjpeg-turbo /
+# PVRG convention). Supported subset: 8-bit precision, 1×1 sampling
+# (the dominant real-world lossless layout — DNG/DICOM tiles are
+# single-component or 1×1); subsampled lossless raises
+# NotImplementedError into the oserror taxonomy.
+
+
+def _decode_lossless_scan(data, pos, frame, scomp, htables,
+                          restart_interval, predictor, pt):
+    """One lossless SOS (interleaved or single-component): decodes
+    every sample of the scan's components into ``c["plane"]`` and
+    returns the stream position of the terminating marker."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    h, w = frame["h"], frame["w"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order: list[tuple[dict, _HuffTable, list[int]]] = []
+    for cs, td, _ta in scomp:
+        c = by_id[cs]
+        if c["h"] != 1 or c["v"] != 1:
+            raise NotImplementedError("subsampled lossless JPEG")
+        t = htables.get((0, td))
+        if t is None:
+            raise ValueError("missing huffman table")
+        order.append((c, t, [0] * (h * w)))
+    reader = _BitReader(data, pos)
+    decode, read = reader.decode, reader.read
+    default = 1 << (7 - pt)  # 2^(P-Pt-1), P=8
+    n = h * w  # MCUs: one sample per component each (1×1 sampling)
+    origin = 0  # scan-order index where the current restart interval began
+    origin_row = 0
+    for idx in range(n):
+        if restart_interval and idx and idx % restart_interval == 0:
+            reader.restart()
+            origin = idx
+            origin_row = idx // w
+        row = idx // w
+        col = idx - row * w
+        for _c, t, p in order:
+            ssss = decode(t)
+            if ssss == 0:
+                diff = 0
+            elif ssss == 16:
+                diff = 32768
+            else:
+                v = read(ssss)
+                diff = v - (1 << ssss) + 1 if v < (1 << (ssss - 1)) else v
+            if idx == origin:
+                px = default
+            elif row == origin_row:
+                px = p[idx - 1]  # first line (of scan / of interval): Ra
+            elif col == 0:
+                px = p[idx - w]  # first column: Rb
+            elif predictor == 1:
+                px = p[idx - 1]
+            elif predictor == 2:
+                px = p[idx - w]
+            elif predictor == 3:
+                px = p[idx - w - 1]
+            elif predictor == 4:
+                px = p[idx - 1] + p[idx - w] - p[idx - w - 1]
+            elif predictor == 5:
+                px = p[idx - 1] + ((p[idx - w] - p[idx - w - 1]) >> 1)
+            elif predictor == 6:
+                px = p[idx - w] + ((p[idx - 1] - p[idx - w - 1]) >> 1)
+            else:
+                px = (p[idx - 1] + p[idx - w]) >> 1
+            p[idx] = (px + diff) & 0xFFFF
+    for c, _t, p in order:
+        c["plane"] = np.array(p, dtype=np.uint16).reshape(h, w)
+        c["pt"] = pt
+    return _scan_end(reader)
+
+
+def _finish_lossless(frame) -> np.ndarray:
+    """Decoded sample planes → (h, w, 3) uint8 RGB. Lossless JPEG has
+    no color transform: 3 components are R, G, B literally."""
+    planes = []
+    for c in frame["comps"]:
+        if "plane" not in c:
+            raise ValueError("lossless scan missing for a component")
+        p = c["plane"].astype(np.int32) << c["pt"]
+        planes.append(np.clip(p, 0, 255).astype(np.uint8))
+    if len(planes) == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"{len(planes)}-component lossless JPEG"
+        )
+    return np.stack(planes, axis=2)
+
+
+def _lossless_diffs(x: np.ndarray, predictor: int, pt: int,
+                    restart_interval: int) -> np.ndarray:
+    """(h, w) uint8 plane → flat int32 modulo-2^16 DPCM differences in
+    scan order. Vectorized when no restart intervals split the scan
+    (the reconstruction equals the source exactly, so predictions can
+    be computed from the original plane); restart runs fall back to a
+    scalar walk that mirrors the decoder's interval-origin rules."""
+    xs = (x.astype(np.int64) >> pt)
+    h, w = xs.shape
+    default = 1 << (7 - pt)
+    if restart_interval == 0:
+        px = np.empty((h, w), dtype=np.int64)
+        px[0, 0] = default
+        px[0, 1:] = xs[0, :-1]
+        if h > 1:
+            px[1:, 0] = xs[:-1, 0]
+            if w > 1:
+                ra, rb, rc = xs[1:, :-1], xs[:-1, 1:], xs[:-1, :-1]
+                if predictor == 1:
+                    e = ra
+                elif predictor == 2:
+                    e = rb
+                elif predictor == 3:
+                    e = rc
+                elif predictor == 4:
+                    e = ra + rb - rc
+                elif predictor == 5:
+                    e = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    e = rb + ((ra - rc) >> 1)
+                elif predictor == 7:
+                    e = (ra + rb) >> 1
+                else:
+                    raise ValueError(f"bad lossless predictor {predictor}")
+                px[1:, 1:] = e
+        d = xs - px
+    else:
+        p = xs.reshape(-1).tolist()
+        d = np.empty(h * w, dtype=np.int64)
+        origin = origin_row = 0
+        for idx in range(h * w):
+            if idx and idx % restart_interval == 0:
+                origin = idx
+                origin_row = idx // w
+            row = idx // w
+            col = idx - row * w
+            if idx == origin:
+                e = default
+            elif row == origin_row:
+                e = p[idx - 1]
+            elif col == 0:
+                e = p[idx - w]
+            elif predictor == 1:
+                e = p[idx - 1]
+            elif predictor == 2:
+                e = p[idx - w]
+            elif predictor == 3:
+                e = p[idx - w - 1]
+            elif predictor == 4:
+                e = p[idx - 1] + p[idx - w] - p[idx - w - 1]
+            elif predictor == 5:
+                e = p[idx - 1] + ((p[idx - w] - p[idx - w - 1]) >> 1)
+            elif predictor == 6:
+                e = p[idx - w] + ((p[idx - 1] - p[idx - w - 1]) >> 1)
+            else:
+                e = (p[idx - 1] + p[idx - w]) >> 1
+            d[idx] = p[idx] - e
+    # modulo-2^16 difference folded to signed 16-bit (H.1.2.1)
+    return (((d.reshape(-1) + 32768) & 0xFFFF) - 32768).astype(np.int32)
+
+
+_SSSS_BOUNDS = (2 ** np.arange(16)).astype(np.int64)  # 1, 2, 4, … 32768
+
+
+def _lossless_categories(d: np.ndarray) -> np.ndarray:
+    """Signed diffs → SSSS categories (0..16). Pure-integer
+    ``searchsorted`` against the power-of-two boundaries — no float
+    log2 edge cases; diff −32768 (≡ +32768 mod 2^16) is category 16."""
+    a = np.abs(d.astype(np.int64))
+    return np.searchsorted(_SSSS_BOUNDS, a, side="right").astype(np.int32)
+
+
+def _optimal_dc_bits_vals(freqs: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-image optimal DC-style Huffman table over SSSS categories:
+    lengths from the shared cap-limited builder (webp.py), then the
+    canonical-last deepest code is lengthened one bit so the Kraft sum
+    drops below 1 and the all-ones code stays unused, as T.81 C.2's
+    canonical construction expects (libjpeg achieves the same with the
+    K.2 phantom-256 symbol)."""
+    from .webp import _huff_lengths
+
+    fd = {int(s): int(f) for s, f in enumerate(freqs) if f > 0}
+    lengths = _huff_lengths(fd, len(freqs), cap=15)
+    syms = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(syms) > 1:
+        deepest = max(lengths[s] for s in syms)
+        s_star = max(s for s in syms if lengths[s] == deepest)
+        lengths[s_star] += 1
+    bits = [0] * 16
+    for s in syms:
+        bits[lengths[s] - 1] += 1
+    vals = sorted(syms, key=lambda s: (lengths[s], s))
+    return bits, vals
+
+
+def jpeg_encode_lossless(pixels: np.ndarray, predictor: int = 4,
+                         pt: int = 0, interleaved: bool = True,
+                         restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 → lossless
+    (SOF3) JPEG. Bit-exact round trip with :func:`jpeg_decode` when
+    ``pt == 0`` (with ``pt > 0`` the decoder recovers
+    ``(x >> pt) << pt``). One shared per-image optimal Huffman table;
+    ``interleaved=False`` emits one SOS per component instead of a
+    single sample-interleaved scan."""
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("expected (h, w[, 3]) uint8 array")
+    if pixels.ndim == 3 and pixels.shape[2] != 3:
+        raise ValueError("expected 3 channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    if not 0 <= pt <= 7:
+        raise ValueError("point transform out of range")
+    h, w = pixels.shape[:2]
+    planes = ([pixels] if pixels.ndim == 2
+              else [pixels[:, :, i] for i in range(3)])
+    nc = len(planes)
+    diffs = [_lossless_diffs(p, predictor, pt, restart_interval)
+             for p in planes]
+    cats = [_lossless_categories(d) for d in diffs]
+    freqs = np.zeros(17, dtype=np.int64)
+    for c in cats:
+        freqs += np.bincount(c, minlength=17)
+    bits, vals = _optimal_dc_bits_vals(freqs)
+    table = _huff_table(bits, vals)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), 0x00)
+    out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes((ci + 1, 0x11, 0))  # Tq must be 0 in lossless
+    enc = table.enc
+
+    def emit_scan(comp_ids: list[int], comp_diffs: list[np.ndarray],
+                  comp_cats: list[np.ndarray]) -> None:
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids)))
+        for cid in comp_ids:
+            out.extend(bytes((cid, 0x00)))  # Td=0, Ta unused
+        out.extend(bytes((predictor, 0, pt)))  # Ss, Se=0, Ah<<4|Al
+        bw = _BitWriter()
+        dl = [d.tolist() for d in comp_diffs]
+        cl = [c.tolist() for c in comp_cats]
+        n = h * w
+        write = bw.write
+        for idx in range(n):
+            if restart_interval and idx and idx % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw.out = bytearray()
+                out.extend(bytes(
+                    (0xFF, 0xD0 + ((idx // restart_interval - 1) & 7))
+                ))
+            for d, c in zip(dl, cl):
+                ssss = c[idx]
+                code, length = enc[ssss]
+                write(code, length)
+                if 0 < ssss < 16:
+                    v = d[idx]
+                    write(v if v > 0 else v + (1 << ssss) - 1, ssss)
+        bw.flush()
+        out.extend(bw.out)
+
+    if interleaved or nc == 1:
+        emit_scan(list(range(1, nc + 1)), diffs, cats)
+    else:
+        for ci in range(nc):
+            emit_scan([ci + 1], [diffs[ci]], [cats[ci]])
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------- arithmetic (QM) decoding

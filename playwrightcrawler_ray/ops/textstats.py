@@ -690,3 +690,178 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM h4
 """
+
+
+def q_docs_token_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (p25/p50/p75/p95) of per-document
+    whitespace token counts, per language — the curation dashboard op
+    ("what does the length distribution look like per lang?").
+
+    Scale pattern: quantiles over 100 TB WITHOUT a global sort. Token
+    counts are small integers, so the value distribution is computed
+    as a histogram: a vectorized per-batch ``(lang, n_tokens) → count``
+    partial aggregation inside ``map_batches``, one small
+    ``groupby().sum()`` over the compact histogram (cardinality ≤
+    #langs × max-doc-tokens, independent of corpus row count), then a
+    driver-side CDF walk. percentile_disc semantics (smallest value
+    whose CDF ≥ p) are reproduced with integer cross-multiplication
+    (``cum · den ≥ n · num``) — no float thresholds, bit-exact vs
+    DuckDB."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64()
+        )
+        tt = pa.table({"lang": t["lang"], "n_tokens": n})
+        return tt.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .sum("count_all")
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in agg.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        vals = g["n_tokens"].to_numpy()
+        cum = np.cumsum(g["sum(count_all)"].to_numpy())
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for name, num, den in (
+            ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20),
+        ):
+            idx = int(np.searchsorted(cum * den, n * num, side="left"))
+            row[name] = int(vals[idx])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    return out.astype({"n_docs": "int64", "p25": "int64", "p50": "int64",
+                       "p75": "int64", "p95": "int64"})
+
+
+SQL_DOCS_TOKEN_QUANTILES = """
+WITH n AS (
+  SELECT lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p25,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p50,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p75,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p95
+FROM n GROUP BY lang ORDER BY lang
+"""
+
+
+# Production PII patterns alongside a pattern that actually fires on
+# the synthetic corpus: the scan machinery (vectorized RE2 inside
+# map_batches, zero-copy Arrow in/out) is what the op demonstrates —
+# swap patterns for the real deployment set. Both engines (pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all) are RE2, so
+# non-overlapping leftmost match counts agree exactly.
+_REGEX_SCAN_PATTERNS = {
+    "n_kw": "(hash|scan|value)[a-z]*",       # fires on the corpus
+    "n_email": "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+",  # PII: email
+    "n_ipv4": "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+",       # PII: IPv4
+}
+
+
+def q_docs_regex_scan(sf_dir: str) -> pd.DataFrame:
+    """PII / keyword scan: per-document non-overlapping match counts
+    for a set of RE2 patterns, fully vectorized
+    (``pc.count_substring_regex`` — the compiled automaton runs once
+    per pattern across the whole Arrow column; no Python row loop).
+    The redaction twin is the same kernel with ``replace_substring_regex``."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        for name, pat in _REGEX_SCAN_PATTERNS.items():
+            cols[name] = pc.cast(
+                pc.count_substring_regex(t["text"], pattern=pat), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+
+
+SQL_DOCS_REGEX_SCAN = """
+SELECT doc_id,
+       CAST(LENGTH(regexp_extract_all(text, '(hash|scan|value)[a-z]*')) AS BIGINT) AS n_kw,
+       CAST(LENGTH(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+       CAST(LENGTH(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT) AS n_ipv4
+FROM documents
+"""
+
+
+def q_docs_inverted_index(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Inverted-index build: token → document frequency + the first
+    ``k`` postings (ascending doc_id). The structural op behind corpus
+    search / contamination checks ("which training docs contain this
+    eval token?").
+
+    Scale shape: stage 1 is a vectorized per-batch partial — explode
+    tokens (``list_flatten`` + ``list_parent_indices``), distinct
+    (token, doc) pairs via an Arrow group_by, then per-token
+    ``(df_partial, first-k postings)``; stage 2 shuffles only those
+    batch-level partials (tokens × batches rows, not raw token
+    occurrences) into a ``groupby(token).map_groups`` merge that sums
+    dfs and re-merges the k-smallest postings. Heavy-hitter tokens
+    (stopwords) therefore ship O(batches · k) rows instead of O(docs)
+    — the combiner-before-shuffle pattern."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(parts)
+        did = pc.take(t["doc_id"], pc.list_parent_indices(parts))
+        pairs = pa.table({"token": flat, "doc_id": did}).filter(
+            pc.not_equal(flat, "")
+        )
+        # distinct (token, doc): df counts documents, not occurrences
+        d = pairs.group_by(["token", "doc_id"]).aggregate([]).to_pandas()
+        d = d.sort_values(["token", "doc_id"], kind="stable")
+        g = d.groupby("token", sort=True)["doc_id"]
+        return pa.table({
+            "token": pa.array(list(g.size().index), pa.string()),
+            "df": pa.array(g.size().to_numpy(), pa.int64()),
+            "postings": pa.array(
+                [ids.head(k).tolist() for _, ids in g], pa.list_(pa.int64())
+            ),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = sorted({i for lst in g["postings"] for i in lst})[:k]
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": [int(g["df"].sum())],
+            "postings": [",".join(str(i) for i in merged)],
+        })
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"df": "int64"})
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+
+
+SQL_DOCS_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string((list_sort(list(doc_id)))[1:5], ',') AS postings
+FROM tok WHERE token <> '' GROUP BY token ORDER BY token
+"""

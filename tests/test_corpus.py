@@ -54,15 +54,17 @@ def test_corpus_image_payloads_decode():
 
 
 def test_corpus_serves_arithmetic_jpeg_in_golden_path():
-    """The pic-rotation slot alternates progressive and arithmetic
-    JPEG; a big-enough corpus must serve at least one SOF9 stream and
-    it must decode through the real QM path (not a stub row)."""
+    """The pic-rotation slot rotates progressive, arithmetic and
+    lossless JPEG; a big-enough corpus must serve at least one SOF9
+    and one SOF3 stream and both must decode through the real paths
+    (not stub rows)."""
     c = build_corpus(seed=42, n_hosts=16, pages_per_host=4)
-    sof9 = [
-        v["body"] for u, v in c.pages.items()
-        if "/img/" in u and b"\xff\xc9" in v["body"][:256]
-    ]
-    assert sof9, "no arithmetic-coded JPEG in the corpus rotation"
-    for body in sof9:
-        px, fmt = decode_image(body)
-        assert fmt == "jpeg" and px.dtype == np.uint8
+    for marker, name in ((b"\xff\xc9", "SOF9"), (b"\xff\xc3", "SOF3")):
+        streams = [
+            v["body"] for u, v in c.pages.items()
+            if "/img/" in u and marker in v["body"][:256]
+        ]
+        assert streams, f"no {name} JPEG in the corpus rotation"
+        for body in streams:
+            px, fmt = decode_image(body)
+            assert fmt == "jpeg" and px.dtype == np.uint8

@@ -747,3 +747,120 @@ def test_jpeg_arithmetic_fuzz_truncation_and_bitflips():
         except (UnidentifiedImageError, DecompressionBombError,
                 CodecUnavailable, OSError, ValueError):
             pass  # documented taxonomy
+
+
+# ---------------------------------------------- lossless JPEG (SOF3)
+
+
+def test_jpeg_lossless_roundtrip_matrix():
+    """Bit-exact round trip across every predictor, both scan layouts
+    and restart intervals — the lossless process has no tolerance: any
+    prediction/reconstruction bug shows as inequality."""
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode_lossless,
+    )
+
+    px = _pixels(41, 24, 32)
+    for pred in range(1, 8):
+        for interleaved in (True, False):
+            for ri in (0, 5):
+                data = jpeg_encode_lossless(
+                    px, predictor=pred, interleaved=interleaved,
+                    restart_interval=ri,
+                )
+                assert np.array_equal(jpeg_decode(data), px), (pred, interleaved, ri)
+    # grayscale + point transform (decoder recovers (x >> pt) << pt)
+    g = px[:, :, 0].copy()
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_lossless(g, predictor=7)),
+        np.stack([g, g, g], axis=2),
+    )
+    out = jpeg_decode(jpeg_encode_lossless(px, predictor=4, pt=2))
+    assert np.array_equal(out, (px >> 2) << 2)
+
+
+def test_jpeg_lossless_hand_computed_spec_vector():
+    """A hand-built SOF3 stream decoded against hand-computed Annex-H
+    arithmetic — anchors the decoder to the spec independently of our
+    own encoder. 2×2 grayscale, predictor 1, Pt 0, one hand-rolled
+    Huffman table (codes 00→SSSS1, 01→SSSS2, 10→SSSS5):
+
+    sample (0,0): pred = 2^7 = 128, diff −28 → SSSS5, bits 00011
+    sample (0,1): first line, Ra=100, diff +1 → SSSS1, bit 1
+    sample (1,0): first column, Rb=100, diff +3 → SSSS2, bits 11
+    sample (1,1): predictor 1, Ra=103, diff +1 → SSSS1, bit 1
+
+    Entropy bits 10 00011 00 1 01 11 00 1 + seven 1-pad = 86 5C FF,
+    and the 0xFF byte must be stuffed (FF 00) per F.1.2.3.
+    """
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_decode
+
+    dht = bytes([0x00] + [0, 3] + [0] * 14 + [1, 2, 5])
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+        + b"\xff\xc3" + bytes([0, 11, 8, 0, 2, 0, 2, 1, 1, 0x11, 0])
+        + b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 1, 0, 0])
+        + bytes([0x86, 0x5C, 0xFF, 0x00])
+        + b"\xff\xd9"
+    )
+    want = np.array([[100, 101], [103, 104]], dtype=np.uint8)
+    assert np.array_equal(jpeg_decode(stream), np.stack([want] * 3, axis=2))
+
+
+def test_jpeg_lossless_through_facade():
+    """decode_image routes SOF3 payloads through the real decoder — no
+    codec_unavailable row — and the corpus 'ljpeg' slot is EXACT (the
+    one JPEG variant where the 40 dB invariant tightens to equality)."""
+    from playwrightcrawler_ray.corpus.generate import _make_pixels
+
+    px = _make_pixels(np.random.default_rng(23), 32)
+    body = encode_image(px, "ljpeg")
+    assert b"\xff\xc3" in body[:256]
+    out, fmt = decode_image(body)
+    assert fmt == "jpeg" and np.array_equal(out, px)
+
+
+def test_jpeg_lossless_rejects_unsupported_variants():
+    """Subsampled lossless and hierarchical frames stay honest typed
+    stubs (CodecUnavailable), not silent wrong pixels."""
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_encode_lossless
+
+    good = bytearray(jpeg_encode_lossless(_pixels(42, 16, 16)))
+    sof = good.index(b"\xff\xc3")
+    # mutate component 1's sampling byte (0x11 → 0x21): subsampled
+    # (FF C3 len2 P H2 W2 Nf → component 1's h/v byte is sof+11)
+    sub = bytearray(good)
+    sub[sof + 11] = 0x21
+    with pytest.raises(CodecUnavailable):
+        decode_image(bytes(sub))
+    # hierarchical twin (SOF7) stays a typed stub
+    hier = bytearray(good)
+    hier[sof + 1] = 0xC7
+    with pytest.raises(CodecUnavailable):
+        decode_image(bytes(hier))
+
+
+def test_jpeg_lossless_fuzz_truncation_and_bitflips():
+    """Truncations and bit-flips of a valid SOF3 stream must decode or
+    raise a typed taxonomy error quickly — never hang or leak an
+    unexpected exception type."""
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_encode_lossless
+
+    px = _pixels(43, 24, 24)
+    good = jpeg_encode_lossless(px, predictor=4, restart_interval=7)
+    rng = np.random.default_rng(44)
+    for trial in range(120):
+        data = bytearray(good)
+        if trial % 2:
+            data = data[: int(rng.integers(2, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 5))):
+                i = int(rng.integers(2, len(data)))
+                data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out, _ = decode_image(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (UnidentifiedImageError, DecompressionBombError,
+                CodecUnavailable, OSError, ValueError):
+            pass  # documented taxonomy

@@ -64,6 +64,7 @@ def _oracle_pairs():
     "token_counts", "token_counts_bpe", "quality_signals",
     "docs_gopher_quality", "docs_tfidf_topk",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
+    "docs_token_quantiles", "docs_regex_scan", "docs_inverted_index",
     "doc_sample", "docs_per_source_cap", "docs_split",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",

@@ -3,11 +3,13 @@ video frame-sampling over opaque ``binary`` columns with typed
 metadata.
 
 The image path is fully real (every imaging/ codec), and audio now
-decodes REAL **WAV** (RIFF PCM, 8/16-bit, mono/stereo downmixed)
-natively — the compressed audio formats (mp3/ogg/aac) and real video
-containers need ffmpeg, which is NOT in this container, so those
-decode steps stay stubbed behind ``CodecUnavailable`` exactly like
-imaging/codec.py's lossy-VP8 path. A documented deterministic fake
+decodes REAL **WAV** (RIFF PCM 8/16-bit, G.711 A-law/mu-law,
+IMA ADPCM — mono/stereo downmixed), **FLAC** (pure-Python, MD5
+verified) natively — the remaining compressed audio formats
+(mp3/ogg/aac) and real video codecs need ffmpeg, which is NOT in
+this container, so those decode steps stay stubbed behind
+``CodecUnavailable`` exactly like imaging/codec.py's
+VP8-interframe path. A documented deterministic fake
 container format ("QAUD"/"QVID": raw samples / concatenated qimg
 frames) additionally keeps the Ray-side plumbing — schemas, actor
 signatures, batch sizing for wide binary rows, output layout — real
@@ -52,6 +54,45 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _wav_container(fmt_chunk: bytes, payload: bytes,
+                   extra: bytes = b"") -> bytes:
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + extra
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8_000,
+                    law: str = "ulaw") -> bytes:
+    """Real G.711 WAV (format tag 7 mu-law / 6 A-law, 8-bit mono)."""
+    from ..functions.pcmcodecs import alaw_encode, ulaw_encode
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    tag, enc = (6, alaw_encode) if law == "alaw" else (7, ulaw_encode)
+    payload = enc(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    return _wav_container(fmt, payload)
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 8_000,
+                     block_align: int = 256) -> bytes:
+    """Real IMA ADPCM WAV (format tag 0x11, mono) with the spec's
+    cbSize/samplesPerBlock fmt extension and a fact chunk."""
+    from ..functions.pcmcodecs import ima_adpcm_encode
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    payload = ima_adpcm_encode(samples, block_align)
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                      rate * block_align // spb, block_align, 4, 2, spb)
+    n_blocks = len(payload) // block_align
+    fact = b"fact" + struct.pack("<II", 4, n_blocks * spb)
+    return _wav_container(fmt, payload, extra=fact)
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM parser: 8-bit unsigned or 16-bit signed, any
     channel count (downmixed to mono by mean, the librosa default)."""
@@ -69,10 +110,24 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
-    audio_fmt, nch, rate, _br, _ba, bits = fmt
-    if audio_fmt != 1:
+    audio_fmt, nch, rate, _br, block_align, bits = fmt
+    if audio_fmt in (6, 7):
+        # REAL companded audio (round 5): ITU-T G.711 A-law / mu-law
+        from ..functions.pcmcodecs import alaw_decode, ulaw_decode
+
+        if bits != 8:
+            raise ValueError(f"{bits}-bit G.711 WAV")
+        dec = alaw_decode if audio_fmt == 6 else ulaw_decode
+        s = dec(np.frombuffer(payload, dtype=np.uint8))
+    elif audio_fmt == 0x11:
+        # REAL compressed audio (round 5): IMA/DVI ADPCM (4 bits/sample)
+        from ..functions.pcmcodecs import ima_adpcm_decode_wav
+
+        s = ima_adpcm_decode_wav(payload, block_align, nch)
+    elif audio_fmt != 1:
+        # remaining non-PCM tags (mp3-in-WAV 0x55, WMA...) need ffmpeg
         raise CodecUnavailable(f"non-PCM WAV (format {audio_fmt})")
-    if bits == 16:
+    elif bits == 16:
         s = np.frombuffer(payload, dtype="<i2")
     elif bits == 8:
         s = (np.frombuffer(payload, dtype=np.uint8).astype(np.int16)

@@ -250,3 +250,151 @@ def test_mjpeg_avi_real_video(ray_session):
     assert out_df["video_error"].isna().all()
     assert int(out_df["sampled_frames"].iloc[0]) == 2
     assert len(out_df["frame_phashes"].iloc[0]) == 2
+
+
+def test_g711_codec_exactness():
+    """ITU-T G.711 companding: the coder pair is mutually consistent
+    on ALL 256 codes (encode∘decode == identity — the full-codebook
+    exactness check), spec anchor values hold, and decode(encode(x))
+    stays within one quantization step of x."""
+    from playwrightcrawler_ray.functions.pcmcodecs import (
+        alaw_decode, alaw_encode, ulaw_decode, ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    # mu-law: every code except 0x7F ("-0", which re-encodes as +0
+    # 0xFF — the classic signed-zero exception) round-trips
+    mu_rt = ulaw_encode(ulaw_decode(codes))
+    keep = codes != 0x7F
+    assert np.array_equal(mu_rt[keep], codes[keep])
+    assert mu_rt[~keep][0] == 0xFF and ulaw_decode(np.uint8(0x7F)) == 0
+    # A-law decode values are never 0 → all 256 codes round-trip
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    # spec anchors: mu-law 0xFF→0, max magnitude 32124; A-law max 32256
+    assert ulaw_decode(np.uint8(0xFF)) == 0
+    assert ulaw_decode(codes).max() == 32124
+    assert ulaw_decode(codes).min() == -32124
+    assert alaw_decode(codes).max() == 32256
+    assert alaw_decode(codes).min() == -32256
+    # quantization error bound: largest segment step is 1024
+    rng = np.random.default_rng(7)
+    x = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        err = np.abs(dec(enc(x)).astype(np.int32) - x)
+        assert err.max() <= 1024, err.max()
+    # decode tables are monotone within each sign (valid quantizers)
+    mu_pos = np.sort(ulaw_decode(codes)[ulaw_decode(codes) >= 0])
+    assert np.all(np.diff(mu_pos) >= 0)
+
+
+def test_ima_adpcm_vs_straightline_reference():
+    """Production IMA decoder vs a straight-line transliteration of
+    the reference state machine, over random nibble streams and
+    random initial state."""
+    from playwrightcrawler_ray.functions.pcmcodecs import (
+        IMA_INDEX_TABLE, IMA_STEP_TABLE, _ima_decode_nibbles,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        nibs = rng.integers(0, 16, 500).astype(np.uint8)
+        pred = int(rng.integers(-30000, 30000))
+        index = int(rng.integers(0, 89))
+        got = _ima_decode_nibbles(nibs, pred, index)
+        # independent reference
+        exp, p, ix = [], pred, index
+        for n in nibs.tolist():
+            step = int(IMA_STEP_TABLE[ix])
+            diff = step >> 3
+            if n & 1: diff += step >> 2
+            if n & 2: diff += step >> 1
+            if n & 4: diff += step
+            p = p - diff if n & 8 else p + diff
+            p = max(-32768, min(32767, p))
+            ix = max(0, min(88, ix + int(IMA_INDEX_TABLE[n & 7])))
+            exp.append(p)
+        assert np.array_equal(got, np.asarray(exp, np.int16))
+
+
+def test_g711_and_adpcm_wav_end_to_end(ray_session):
+    """Real compressed/companded WAV decode through decode_audio and
+    the AudioFeaturizer actor: G.711 (both laws) and IMA ADPCM."""
+    import ray.data
+
+    from playwrightcrawler_ray.stages.multimodal import (
+        AudioFeaturizer, decode_audio, encode_wav_adpcm, encode_wav_g711,
+    )
+
+    t = np.linspace(0, 1, 8000)
+    s = (np.sin(2 * np.pi * 440 * t) * 9000).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        wav = encode_wav_g711(s, rate=8000, law=law)
+        out, rate = decode_audio(wav)
+        assert rate == 8000 and len(out) == len(s)
+        err = out.astype(np.float64) - s
+        snr = 10 * np.log10((s.astype(np.float64) ** 2).mean()
+                            / max((err ** 2).mean(), 1e-12))
+        assert snr > 30, (law, snr)
+    adp = encode_wav_adpcm(s, rate=8000, block_align=256)
+    out, rate = decode_audio(adp)
+    assert rate == 8000 and len(out) >= len(s)
+    err = out[: len(s)].astype(np.float64) - s
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean()
+                        / max((err ** 2).mean(), 1e-12))
+    assert snr > 22, snr  # 4-bit ADPCM on a pure tone
+    # compression is real: 4 bits/sample + headers ≈ 4x smaller
+    assert len(adp) < len(s) * 2 * 0.30
+    # featurizer actor consumes all three containers
+    tbl = pa.table({"audio_bytes": pa.array(
+        [encode_wav_g711(s, law="ulaw"), encode_wav_g711(s, law="alaw"), adp],
+        pa.binary())})
+    feats = (
+        ray.data.from_arrow(tbl)
+        .map_batches(AudioFeaturizer, batch_format="pyarrow",
+                     batch_size=4, concurrency=1)
+        .to_pandas()
+    )
+    assert feats["audio_error"].isna().all()
+    assert (feats["rms"] > 0.1).all()
+
+
+def test_ima_adpcm_stereo_and_taxonomy():
+    """Stereo IMA block layout (per-channel headers + alternating
+    4-byte nibble groups) decodes; malformed streams raise typed
+    errors, not crashes."""
+    import struct
+
+    import pytest
+
+    from playwrightcrawler_ray.functions.pcmcodecs import (
+        _ima_decode_nibbles, ima_adpcm_decode_wav,
+    )
+
+    # hand-build one stereo block: ch0 all-nibble-5, ch1 all-nibble-2
+    hdr = struct.pack("<hBB", 100, 3, 0) + struct.pack("<hBB", -200, 10, 0)
+    body = bytes([0x55] * 4 + [0x22] * 4) * 3  # 3 groups per channel? no: alternating
+    block = hdr + body
+    out = ima_adpcm_decode_wav(block, len(block), 2)
+    # interleaved stereo; first samples are the header predictors
+    assert out[0] == 100 and out[1] == -200
+    ch0 = out[0::2]
+    ch1 = out[1::2]
+    # cross-check against the scalar state machine on the de-grouped nibbles
+    nib0, nib1 = [], []
+    groups = [body[i : i + 4] for i in range(0, len(body), 4)]
+    for gi, g in enumerate(groups):
+        tgt = nib0 if gi % 2 == 0 else nib1
+        for b in g:
+            tgt += [b & 0xF, b >> 4]
+    assert np.array_equal(
+        ch0[1:], _ima_decode_nibbles(np.asarray(nib0, np.uint8), 100, 3))
+    assert np.array_equal(
+        ch1[1:], _ima_decode_nibbles(np.asarray(nib1, np.uint8), -200, 10))
+    # taxonomy: bad step index / bad block align / bad channel count
+    bad = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+    with pytest.raises(ValueError):
+        ima_adpcm_decode_wav(bad, len(bad), 1)
+    with pytest.raises(ValueError):
+        ima_adpcm_decode_wav(b"\x00" * 8, 6, 1)
+    with pytest.raises(ValueError):
+        ima_adpcm_decode_wav(b"\x00" * 16, 16, 3)

@@ -142,12 +142,13 @@ def build_corpus(
             body, ctype, name = (encode_image(px, tfmt), "image/tiff",
                                  f"pic{i}.tiff")
         elif i % 9 == 2:
-            # REAL progressive (SOF2), arithmetic-coded (SOF9) and
-            # lossless (SOF3) JPEGs through the codec, rotating:
-            # spectral selection + successive approximation, the
-            # QM-coder entropy layer, and the Annex-H DPCM process,
-            # all in the golden path
-            jfmt = ("pjpeg", "ajpeg", "ljpeg")[(i // 9) % 3]
+            # REAL progressive (SOF2), arithmetic-coded (SOF9),
+            # lossless (SOF3) and hierarchical (Annex J DHP/SOF5/SOF7)
+            # JPEGs through the codec, rotating: spectral selection +
+            # successive approximation, the QM-coder entropy layer,
+            # the Annex-H DPCM process and the differential-frame
+            # pyramid, all in the golden path
+            jfmt = ("pjpeg", "ajpeg", "ljpeg", "hjpeg")[(i // 9) % 4]
             body, ctype, name = (encode_image(px, jfmt), "image/jpeg",
                                  f"pic{i}.jpg")
         elif i % 9 == 5:

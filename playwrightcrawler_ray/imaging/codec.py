@@ -28,11 +28,14 @@ horizontal predictor, TILES (§15) and PLANAR sample layout (§12),
 and new-style JPEG-in-TIFF (compression 7: shared JPEGTables +
 abbreviated per-segment streams, composed with the T.81 decoder).
 Arithmetic-coded JPEG (SOF9/SOF10) decodes for real via the T.81
-Annex D QM coder, and lossless JPEG (SOF3) via the Annex H spatial
+Annex D QM coder, lossless JPEG (SOF3) via the Annex H spatial
 DPCM process (all 7 predictors, point transform, restart intervals,
-interleaved and per-component scans). The remaining typed
-``CodecUnavailable`` variants: VP8 interframes, hierarchical JPEG,
-subsampled/deep-precision lossless.
+interleaved and per-component scans), and hierarchical JPEG (Annex
+J: DHP + EXP + SOF5 differential DCT / SOF7 differential lossless
+frames — bit-exact with a lossless correction frame). The remaining
+typed ``CodecUnavailable`` variants: VP8 interframes,
+progressive/arithmetic differential frames, subsampled or
+deep-precision lossless/hierarchical.
 """
 
 from __future__ import annotations
@@ -105,6 +108,12 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         # predictor 4 (Ra+Rb−Rc) — the best average coder on natural
         # images; bit-exact round trip (lossless)
         return jpeg_encode_lossless(pixels, predictor=4)
+    if fmt in ("jpeg_hierarchical", "hjpeg"):
+        from .jpeg import jpeg_encode_hierarchical
+
+        # 3-level pyramid + SOF7 correction frame: bit-exact round trip
+        return jpeg_encode_hierarchical(pixels, levels=3, quality=90,
+                                        lossless_final=True)
     if fmt == "tiff":
         from .tiff import tiff_encode
 
@@ -202,10 +211,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             try:
                 px = jpeg_decode(bytes(data), max_pixels=MAX_PIXELS)
             except NotImplementedError as e:
-                # hierarchical / subsampled-lossless / 12-bit: real
-                # variants this codec genuinely cannot decode
-                # (progressive SOF2, arithmetic SOF9/SOF10 and lossless
-                # SOF3 all decode for real now)
+                # progressive/arithmetic differential frames,
+                # subsampled lossless, 12-bit: real variants this codec
+                # genuinely cannot decode (baseline, progressive,
+                # arithmetic, lossless AND hierarchical all decode now)
                 raise CodecUnavailable(str(e)) from e
         elif fmt == "tiff":
             from .tiff import tiff_decode
@@ -229,7 +238,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     except MemoryError as e:
         raise DecompressionBombError(str(e)) from e
     except CodecUnavailable:
-        raise  # hierarchical JPEG / VP8 interframe: honest stub, not corruption
+        raise  # VP8 interframe / exotic JPEG process: honest stub, not corruption
     except (zlib.error, struct.error, ValueError, NotImplementedError,
             IndexError, KeyError) as e:
         # corrupt/truncated/unsupported-variant streams → the reference's

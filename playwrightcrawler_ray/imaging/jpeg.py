@@ -28,9 +28,13 @@ from-scratch implementation of the baseline DCT process:
   precisions other than 8 raise ``NotImplementedError``). Components
   are emitted as-is — lossless JPEG defines no color transform, so a
   3-component frame is RGB (the mainstream libjpeg-turbo/PVRG
-  convention). Hierarchical variants raise ``NotImplementedError``
-  (→ the oserror taxonomy, like PIL raising on unsupported member
-  formats).
+  convention). **Hierarchical (Annex J)** decodes for real: DHP
+  frame sequencing, EXP reference expansion (the J.1.1.2 filter),
+  SOF5 differential sequential DCT frames (PRED=0, no level shift)
+  and SOF7 differential lossless correction frames (modulo-2^16) —
+  see the hierarchical section at the end of this module. Only the
+  progressive/arithmetic differential processes (SOF6, SOF13-15)
+  and subsampled hierarchical frames raise ``NotImplementedError``.
 - **Encoder**: baseline JFIF — 4:4:4 / 4:2:0, Annex-K quantization
   tables scaled by ``quality``, Annex-K standard Huffman tables,
   single interleaved scan — plus a progressive (SOF2) encoder
@@ -44,7 +48,10 @@ from-scratch implementation of the baseline DCT process:
   all-ones code unused), any predictor 1-7, point transform,
   interleaved or per-component scans, restart markers — so the
   decoder is exercised by bit-exact round-trips across the whole
-  parameter matrix.
+  parameter matrix. A hierarchical (Annex J) encoder twin
+  (``jpeg_encode_hierarchical``) emits a full DHP/EXP/SOF5/SOF7
+  pyramid whose final lossless correction frame makes the round
+  trip bit-exact.
 
 Round-trip invariant: encode(quality=92) → decode achieves PSNR ≥ 40 dB
 on natural-statistics test images (the north-rule lossy bound).
@@ -277,9 +284,35 @@ def _extend(v: int, size: int) -> int:
 
 # ---------------------------------------------------------------- decoder
 
+def _parse_dqt(seg: bytes, qtables: dict[int, np.ndarray]) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        if pq:
+            tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+            i += 128
+        else:
+            tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+            i += 64
+        qtables[tq] = tbl
+
+
+def _parse_dht(seg: bytes, htables: dict[tuple[int, int], "_HuffTable"]) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0xF
+        bits = list(seg[i + 1 : i + 17])
+        n = sum(bits)
+        vals = list(seg[i + 17 : i + 17 + n])
+        htables[(tc, th)] = _huff_table(bits, vals)
+        i += 17 + n
+
+
 def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode baseline (SOF0/SOF1), progressive (SOF2), arithmetic
-    (SOF9/SOF10) or lossless (SOF3) JPEG bytes → (h, w, 3) uint8
+    (SOF9/SOF10), lossless (SOF3) or hierarchical (DHP + SOF5/SOF7
+    differential frames, Annex J) JPEG bytes → (h, w, 3) uint8
     RGB."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG stream")
@@ -307,26 +340,11 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         seg = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq:
-                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
-                    i += 128
-                else:
-                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
-                    i += 64
-                qtables[tq] = tbl
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                bits = list(seg[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + n])
-                htables[(tc, th)] = _huff_table(bits, vals)
-                i += 17 + n
+            _parse_dht(seg, htables)
+        elif marker == 0xDE:  # DHP: a hierarchical (Annex J) sequence
+            return _decode_hierarchical(data, pos, seg, max_pixels)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline · SOF2 progressive · SOF9/SOF10 their
             # arithmetic-coded (QM) twins · SOF3 lossless (Annex H)
@@ -345,8 +363,13 @@ def jpeg_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps}
             if progressive:
                 _init_progressive(frame)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC7):
+            # differential frames are only defined inside a hierarchical
+            # sequence (they'd have been routed through the DHP branch)
+            raise ValueError(
+                f"differential frame (0xFF{marker:02X}) without DHP"
+            )
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X})"
             )
@@ -2247,5 +2270,507 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 92,
         ac_scan(c, 1, 5, 1, 0)    # low band, refinement to full precision
     for c in comps:
         ac_scan(c, 6, 63, 0, 0)   # high band, plain spectral selection
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ----------------------------------------- hierarchical (Annex J)
+#
+# T.81 Annex J hierarchical process: a DHP segment (0xFFDE, same
+# syntax as a frame header) announces the full-resolution dimensions,
+# then a SEQUENCE of frames refines per-component reference planes —
+# a non-differential first frame (here SOF0/SOF1 sequential or SOF3
+# lossless) followed by differential frames (SOF5 sequential DCT /
+# SOF7 lossless) that code the difference between the source and the
+# reference, optionally doubled first by an EXP segment (0xFFDF)
+# using the J.1.1.2 interpolation filter. In differential DCT frames
+# the DC coefficient has no DPCM prediction (PRED = 0, F.1.1.5.1)
+# and the IDCT output carries no +128 level shift (A.3.1 applies to
+# non-differential frames only); the reconstruction adds the decoded
+# difference to the reference and clamps to [0, 255]. Differential
+# lossless scans code per-sample differences directly (Ss = 0 — the
+# predictor is the reference plane, not a neighbour) with modulo-2^16
+# arithmetic, which is what makes a final SOF7 correction frame
+# bit-exact. The reference crawler decodes hierarchical streams via
+# PIL/libjpeg (playwrightcrawler.py:3844-3858) — though stock libjpeg
+# never implemented Annex J, so this pure-Python path actually
+# exceeds it; correctness is pinned by encoder/decoder round trips
+# (bit-exact with a lossless final frame), a hand-built spec vector
+# for the EXP filter, and the mutation-fuzz taxonomy suite.
+#
+# Supported subset (documented, typed errors otherwise): 8-bit
+# precision, 1x1 sampling within every frame (the pyramid itself
+# carries the multi-resolution structure), Huffman entropy coding
+# (progressive/arithmetic differential frames -> NotImplementedError),
+# point transform 0 in differential lossless scans. Color convention
+# follows the non-hierarchical processes: any lossless frame in the
+# sequence => component-literal RGB (the SOF3/PVRG convention),
+# all-DCT sequence => YCbCr.
+
+
+def _hier_expand(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: output(2i) = input(i),
+    output(2i+1) = (input(i) + input(i+1) + 1) >> 1 with the last
+    sample replicated at the edge; per axis."""
+    p = plane.astype(np.int64)
+    if ev:
+        nxt = np.vstack([p[1:], p[-1:]])
+        out = np.empty((p.shape[0] * 2, p.shape[1]), np.int64)
+        out[0::2] = p
+        out[1::2] = (p + nxt + 1) >> 1
+        p = out
+    if eh:
+        nxt = np.hstack([p[:, 1:], p[:, -1:]])
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int64)
+        out[:, 0::2] = p
+        out[:, 1::2] = (p + nxt + 1) >> 1
+        p = out
+    return p.astype(np.int32)
+
+
+def _hier_recon(spatial: np.ndarray, ref: np.ndarray | None = None) -> np.ndarray:
+    """Frame reconstruction shared by decoder AND encoder mirror:
+    clamp(round(ref + spatial)) — both sides run the identical float
+    pipeline, so reference planes match bit-for-bit."""
+    x = spatial if ref is None else ref + spatial
+    return np.clip(np.round(x), 0, 255).astype(np.int32)
+
+
+def _grid_to_spatial(qgrid: np.ndarray, q: np.ndarray, h: int, w: int,
+                     level_shift: bool) -> np.ndarray:
+    """(by, bx, 8, 8) quantized natural-order coefficients → cropped
+    float spatial plane (the encoder's decoder-mirror)."""
+    by, bx = qgrid.shape[:2]
+    co = qgrid.reshape(-1, 8, 8).astype(np.float64) * q.reshape(8, 8)
+    sam = _idct_blocks(co) + (128.0 if level_shift else 0.0)
+    plane = sam.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return plane[:h, :w]
+
+
+def _hier_dct_scan(data, pos, frame, scomp, qtables, htables,
+                   restart_interval, refs, differential):
+    """One sequential-DCT SOS inside a hierarchical sequence (1x1
+    sampling: MCU = one block per scan component). Updates ``refs``
+    in place with the reconstructed planes."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    h, w = frame["h"], frame["w"]
+    bx_n, by_n = -(-w // 8), -(-h // 8)
+    order = []
+    for cs, td, ta in scomp:
+        c = by_id[cs]
+        dc_t, ac_t = htables.get((0, td)), htables.get((1, ta))
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing huffman table")
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        blocks = np.zeros((by_n * bx_n, 8, 8), dtype=np.float64)
+        order.append([c, dc_t, ac_t, q, blocks, 0])  # [-1] = DC pred
+    reader = _BitReader(data, pos)
+    zz = ZIGZAG
+    for idx in range(by_n * bx_n):
+        if restart_interval and idx and idx % restart_interval == 0:
+            reader.restart()
+            for ent in order:
+                ent[5] = 0
+        for ent in order:
+            _c, dc_t, ac_t, q, blocks, pred = ent
+            coef = np.zeros(64, dtype=np.int32)
+            t = reader.decode(dc_t)
+            diff = _extend(reader.read(t), t)
+            if differential:
+                coef[0] = diff          # F.1.1.5.1: PRED = 0
+            else:
+                ent[5] = pred = pred + diff
+                coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = reader.decode(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                coef[k] = _extend(reader.read(s), s)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[zz] = coef * q
+            blocks[idx] = block.reshape(8, 8)
+        # (idx walks the shared 1x1 block grid in raster order)
+    for c, _dc, _ac, _q, blocks, _p in order:
+        plane = (_idct_blocks(blocks) + (0.0 if differential else 128.0))
+        plane = (plane.reshape(by_n, bx_n, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by_n * 8, bx_n * 8))[:h, :w]
+        refs[c["id"]] = _hier_recon(
+            plane, refs[c["id"]] if differential else None
+        )
+    return _scan_end(reader)
+
+
+def _hier_lossless_diff_scan(data, pos, frame, scomp, htables,
+                             restart_interval, refs, pt):
+    """Differential lossless SOS: each sample's difference to the
+    reference plane is SSSS-category Huffman coded (no spatial
+    predictor); reconstruction is modulo 2^16 (H.1.2.1)."""
+    if pt != 0:
+        raise NotImplementedError(
+            "point transform in differential lossless hierarchical scan"
+        )
+    h, w = frame["h"], frame["w"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = []
+    for cs, td, _ta in scomp:
+        c = by_id[cs]
+        t = htables.get((0, td))
+        if t is None:
+            raise ValueError("missing huffman table")
+        ref = refs[c["id"]]
+        if ref.shape != (h, w):
+            raise ValueError("reference resolution mismatch in scan")
+        order.append((c, t, ref.reshape(-1).tolist(), [0] * (h * w)))
+    reader = _BitReader(data, pos)
+    decode, read = reader.decode, reader.read
+    n = h * w
+    for idx in range(n):
+        if restart_interval and idx and idx % restart_interval == 0:
+            reader.restart()
+        for _c, t, ref, out in order:
+            ssss = decode(t)
+            if ssss == 0:
+                diff = 0
+            elif ssss == 16:
+                diff = 32768
+            else:
+                v = read(ssss)
+                diff = v - (1 << ssss) + 1 if v < (1 << (ssss - 1)) else v
+            out[idx] = (ref[idx] + diff) & 0xFFFF
+    for c, _t, _ref, out in order:
+        refs[c["id"]] = np.clip(
+            np.array(out, dtype=np.int32).reshape(h, w), 0, 255
+        )
+    return _scan_end(reader)
+
+
+def _ycc_to_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def _decode_hierarchical(data: bytes, pos: int, dhp_seg: bytes,
+                         max_pixels: int) -> np.ndarray:
+    """Marker loop for the frames following a DHP segment."""
+    prec, fy, fx, nf = struct.unpack_from(">BHHB", dhp_seg, 0)
+    if prec != 8:
+        raise NotImplementedError("only 8-bit precision")
+    if fy * fx > max_pixels:
+        raise MemoryError(f"decompression bomb: {fx}x{fy}")
+    if not 1 <= nf <= 4 or len(dhp_seg) < 6 + 3 * nf:
+        raise ValueError("bad DHP segment")
+    dhp_ids = [dhp_seg[6 + 3 * c] for c in range(nf)]
+    if len(set(dhp_ids)) != nf:
+        raise ValueError("duplicate DHP component id")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    refs: dict[int, np.ndarray] = {}
+    restart_interval = 0
+    pending_exp: tuple[int, int] | None = None
+    frame = None
+    saw_lossless = False
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables)
+        elif marker == 0xC4:
+            _parse_dht(seg, htables)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDE:
+            raise ValueError("nested DHP segment")
+        elif marker == 0xDF:  # EXP
+            if not seg:
+                raise ValueError("empty EXP segment")
+            eh, ev = seg[0] >> 4, seg[0] & 0xF
+            if eh not in (0, 1) or ev not in (0, 1) or not (eh or ev):
+                raise ValueError(f"bad EXP expansion {eh},{ev}")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
+            differential = marker in (0xC5, 0xC7)
+            lossless = marker in (0xC3, 0xC7)
+            p2, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if p2 != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if h * w > max_pixels or h > fy or w > fx:
+                raise ValueError("hierarchical frame exceeds DHP dims")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                if cid not in dhp_ids:
+                    raise ValueError(f"frame component {cid} not in DHP")
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical frame"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            if differential:
+                for c in comps:
+                    if c["id"] not in refs:
+                        raise ValueError(
+                            "differential frame before its reference"
+                        )
+                if pending_exp:
+                    eh, ev = pending_exp
+                    for c in comps:
+                        refs[c["id"]] = _hier_expand(refs[c["id"]], eh, ev)
+                    pending_exp = None
+                for c in comps:
+                    r = refs[c["id"]]
+                    if r.shape[0] < h or r.shape[1] < w:
+                        raise ValueError(
+                            "reference smaller than differential frame"
+                        )
+                    refs[c["id"]] = r[:h, :w]
+            elif pending_exp:
+                raise ValueError("EXP before a non-differential frame")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "differential": differential, "lossless": lossless}
+        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"hierarchical progressive/arithmetic frame "
+                f"(marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before any hierarchical frame")
+            ns = seg[0]
+            frame_ids = {c["id"] for c in frame["comps"]}
+            scomp = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in frame_ids:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scomp.append((cs, tda >> 4, tda & 0xF))
+            ss = seg[1 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if frame["lossless"]:
+                saw_lossless = True
+                if frame["differential"]:
+                    if ss != 0:
+                        raise ValueError(
+                            "differential lossless scan must have Ss=0"
+                        )
+                    pos = _hier_lossless_diff_scan(
+                        data, pos, frame, scomp, htables,
+                        restart_interval, refs, ahal & 0xF,
+                    )
+                else:
+                    pos = _decode_lossless_scan(
+                        data, pos, frame, scomp, htables,
+                        restart_interval, ss, ahal & 0xF,
+                    )
+                    by_id = {c["id"]: c for c in frame["comps"]}
+                    for cs, _td, _ta in scomp:
+                        c = by_id[cs]
+                        refs[cs] = np.clip(
+                            c["plane"].astype(np.int32) << c["pt"], 0, 255
+                        )
+            else:
+                pos = _hier_dct_scan(
+                    data, pos, frame, scomp, qtables, htables,
+                    restart_interval, refs, frame["differential"],
+                )
+        # else: APPn/COM skipped
+    planes = []
+    for cid in dhp_ids:
+        if cid not in refs:
+            raise ValueError(f"hierarchical sequence missing component {cid}")
+        r = refs[cid]
+        if r.shape != (fy, fx):
+            raise ValueError(
+                f"component {cid} final resolution {r.shape} != DHP {(fy, fx)}"
+            )
+        planes.append(np.clip(r, 0, 255).astype(np.uint8))
+    if nf == 1:
+        g = planes[0]
+        return np.stack([g, g, g], axis=2)
+    if nf != 3:
+        raise NotImplementedError(f"{nf}-component hierarchical JPEG")
+    if saw_lossless:
+        return np.stack(planes, axis=2)  # component-literal RGB
+    return _ycc_to_rgb([p.astype(np.float64) for p in planes])
+
+
+def jpeg_encode_hierarchical(pixels: np.ndarray, levels: int = 3,
+                             quality: int = 90,
+                             lossless_final: bool = True) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 → hierarchical
+    (Annex J) JPEG: DHP, a sequential base frame at 1/2^(levels-1)
+    resolution, EXP + SOF5 differential DCT frames back up the
+    pyramid, and (``lossless_final``) a SOF7 differential lossless
+    correction frame that makes ``jpeg_decode`` bit-exact.
+
+    Color convention mirrors the decoder's: with a lossless frame in
+    the sequence the components are literal RGB, otherwise YCbCr.
+    The encoder runs the decoder's own reconstruction pipeline
+    (``_grid_to_spatial`` / ``_hier_recon``) between frames, so its
+    reference planes match the decoder's bit-for-bit."""
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("expected (h, w[, 3]) uint8 array")
+    if pixels.ndim == 3 and pixels.shape[2] != 3:
+        raise ValueError("expected 3 channels")
+    if not 1 <= levels <= 8:
+        raise ValueError("levels out of range")
+    h, w = pixels.shape[:2]
+    if min(h, w) >> (levels - 1) < 1:
+        raise ValueError("too many pyramid levels for image size")
+    if pixels.ndim == 2:
+        comps = [pixels.astype(np.float64)]
+    elif lossless_final:
+        comps = [pixels[:, :, i].astype(np.float64) for i in range(3)]
+    else:
+        p = pixels.astype(np.float64)
+        comps = [
+            0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2],
+            -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1]
+            + 0.5 * p[:, :, 2] + 128,
+            0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1]
+            - 0.081312 * p[:, :, 2] + 128,
+        ]
+    nc = len(comps)
+
+    # dyadic pyramid; the downsampling filter is the encoder's choice
+    # (J.1.1.1 leaves it free) — 2x2 box mean with edge padding
+    pyr = [comps]
+    for _ in range(1, levels):
+        ds = []
+        for pl in pyr[-1]:
+            hh, ww = pl.shape
+            eh, ew = -(-hh // 2) * 2, -(-ww // 2) * 2
+            pd = np.pad(pl, ((0, eh - hh), (0, ew - ww)), mode="edge")
+            ds.append(pd.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3)))
+        pyr.append(ds)
+
+    q = _scale_quant(_QUANT_LUMA, quality)
+    dc_t = _huff_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_t = _huff_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes((ci + 1, 0x11, 0))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q[ZIGZAG]
+    )
+    for tc, bits, vals in ((0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+                           (1, _AC_LUMA_BITS, _AC_LUMA_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + sum(bits), tc << 4)
+        out += bytes(bits) + bytes(vals)
+
+    def emit_dct_frame(sof_marker: int, planes: list[np.ndarray],
+                       ups: list[np.ndarray] | None) -> list[np.ndarray]:
+        fh, fw = planes[0].shape
+        out.extend(bytes((0xFF, sof_marker)))
+        out.extend(struct.pack(">HBHHB", 8 + 3 * nc, 8, fh, fw, nc))
+        for ci in range(nc):
+            out.extend(bytes((ci + 1, 0x11, 0)))
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc))
+        for ci in range(nc):
+            out.extend(bytes((ci + 1, 0x00)))
+        out.extend(bytes((0, 63, 0)))  # Ss/Se/AhAl
+        qgrids = []
+        for ci, pl in enumerate(planes):
+            # _plane_blocks applies the -128 level shift; differential
+            # frames have none (A.3.1), so feed diff+128
+            src = pl if ups is None else (pl - ups[ci]) + 128.0
+            g = _plane_blocks(src, q)
+            # keep magnitudes inside the standard tables' categories
+            # (diffs span ±255, twice the non-differential range)
+            dc = np.clip(g[:, :, 0, 0], -2047, 2047)
+            g = np.clip(g, -1023, 1023)
+            g[:, :, 0, 0] = dc
+            qgrids.append(g)
+        bw = _BitWriter()
+        by_n, bx_n = qgrids[0].shape[:2]
+        preds = [0] * nc
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci in range(nc):
+                    if ups is None:
+                        preds[ci] = _encode_block(
+                            bw, qgrids[ci][by, bx], dc_t, ac_t, preds[ci]
+                        )
+                    else:  # differential: PRED = 0 every block
+                        _encode_block(bw, qgrids[ci][by, bx], dc_t, ac_t, 0)
+        bw.flush()
+        out.extend(bw.out)
+        return [
+            _hier_recon(
+                _grid_to_spatial(qgrids[ci], q, fh, fw, ups is None),
+                None if ups is None else ups[ci],
+            )
+            for ci in range(nc)
+        ]
+
+    recon = emit_dct_frame(0xC0, pyr[-1], None)
+    for k in range(levels - 2, -1, -1):
+        out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP both axes
+        th, tw = pyr[k][0].shape
+        ups = [_hier_expand(r, 1, 1)[:th, :tw] for r in recon]
+        recon = emit_dct_frame(0xC5, pyr[k], ups)
+
+    if lossless_final:
+        diffs = [
+            (o.astype(np.int32) - r).reshape(-1)
+            for o, r in zip(comps, recon)
+        ]
+        cats = [_lossless_categories(d) for d in diffs]
+        freqs = np.zeros(17, dtype=np.int64)
+        for c in cats:
+            freqs += np.bincount(c, minlength=17)
+        bits, vals = _optimal_dc_bits_vals(freqs)
+        table = _huff_table(bits, vals)
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), 0x01)
+        out += bytes(bits) + bytes(vals)
+        out += b"\xff\xc7" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+        for ci in range(nc):
+            out += bytes((ci + 1, 0x11, 0))
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes((ci + 1, 0x10))  # Td=1
+        out += bytes((0, 0, 0))  # Ss=0: difference to the reference
+        bw = _BitWriter()
+        enc = table.enc
+        write = bw.write
+        dl = [d.tolist() for d in diffs]
+        cl = [c.tolist() for c in cats]
+        for idx in range(h * w):
+            for d, c in zip(dl, cl):
+                ssss = c[idx]
+                code, length = enc[ssss]
+                write(code, length)
+                if 0 < ssss < 16:
+                    v = d[idx]
+                    write(v if v > 0 else v + (1 << ssss) - 1, ssss)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

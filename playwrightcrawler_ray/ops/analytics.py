@@ -387,3 +387,141 @@ FROM (
   FROM events
 ) GROUP BY user_id
 """
+
+
+def q_events_rolling(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key window functions (LAG + ROWS-frame rolling sum):
+    the per-user ordered computation lives entirely inside a bucketed
+    ``map_groups`` — the same partitioning contract as sessionization,
+    so no global sort. Integer measures (`event_id % 1000`, microsecond
+    gaps) keep the Ray↔DuckDB value hash float-free."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = df["user_id"] % n_buckets
+        return df
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts_us = g["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        users = g["user_id"].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = users[1:] != users[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[first] = -1  # LAG over the partition start → sentinel
+        g = g.assign(_m=(g["event_id"] % 1000).astype("int64"))
+        roll = (
+            g.groupby("user_id", sort=False)["_m"]
+            .rolling(5, min_periods=1).sum()
+            .to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": users,
+            "gap_us": gap,
+            "roll_sum5": roll,
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us,
+       SUM(event_id % 1000) OVER (
+           w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_sum5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP: the finest-level partial aggregates are
+    computed ONCE (combiner-style, no shuffle) and every coarser level
+    is derived by re-aggregating those partials — the single-scan
+    multi-level layout a 100 TB rollup needs."""
+    from .aggutil import partial_grouped_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_q=df["l_quantity"].astype("int64"))
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            sum_qty=("_q", "sum"), n=("_q", "size"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.groupby(keys, as_index=False, sort=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+        lvl1 = fine.groupby("l_returnflag", as_index=False, sort=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+        lvl1["l_linestatus"] = "ALL"
+        total = pd.DataFrame({
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "sum_qty": [fine["sum_qty"].sum()], "n": [fine["n"].sum()],
+        })
+        out = pd.concat([fine, lvl1, total], ignore_index=True)
+        return out.rename(columns={"l_returnflag": "returnflag",
+                                   "l_linestatus": "linestatus"})
+
+    df = partial_grouped_agg(ds, partial, combine)
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT DISTINCT: per-batch (type, user) dedup +
+    per-pair counts is the combiner (state = distinct pairs, exactly
+    the information COUNT DISTINCT needs); the combine step re-sums and
+    collapses — at 100 TB it becomes a groupby over the pair stream
+    (aggutil's documented swap). The HLL twin in ops/sketch.py is the
+    bounded-state path when even the pair stream is too wide."""
+    from .aggutil import partial_grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "user_id"], as_index=False,
+                          sort=False).size()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.groupby(["event_type", "user_id"], as_index=False,
+                           sort=False)["size"].sum()
+        out = pairs.groupby("event_type", as_index=False, sort=False).agg(
+            n_users=("user_id", "size"), n_events=("size", "sum"))
+        out["n_users"] = out["n_users"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return partial_grouped_agg(ds, partial, combine)
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""

@@ -822,8 +822,10 @@ def test_jpeg_lossless_through_facade():
 
 
 def test_jpeg_lossless_rejects_unsupported_variants():
-    """Subsampled lossless and hierarchical frames stay honest typed
-    stubs (CodecUnavailable), not silent wrong pixels."""
+    """Subsampled lossless stays an honest typed stub
+    (CodecUnavailable); a differential frame OUTSIDE a hierarchical
+    sequence is a malformed stream (OSError taxonomy), not silent
+    wrong pixels."""
     from playwrightcrawler_ray.imaging.jpeg import jpeg_encode_lossless
 
     good = bytearray(jpeg_encode_lossless(_pixels(42, 16, 16)))
@@ -834,10 +836,11 @@ def test_jpeg_lossless_rejects_unsupported_variants():
     sub[sof + 11] = 0x21
     with pytest.raises(CodecUnavailable):
         decode_image(bytes(sub))
-    # hierarchical twin (SOF7) stays a typed stub
+    # SOF7 without a DHP segment: differential frames are only defined
+    # inside hierarchical sequences → corrupt-stream taxonomy
     hier = bytearray(good)
     hier[sof + 1] = 0xC7
-    with pytest.raises(CodecUnavailable):
+    with pytest.raises(OSError):
         decode_image(bytes(hier))
 
 
@@ -850,6 +853,156 @@ def test_jpeg_lossless_fuzz_truncation_and_bitflips():
     px = _pixels(43, 24, 24)
     good = jpeg_encode_lossless(px, predictor=4, restart_interval=7)
     rng = np.random.default_rng(44)
+    for trial in range(120):
+        data = bytearray(good)
+        if trial % 2:
+            data = data[: int(rng.integers(2, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 5))):
+                i = int(rng.integers(2, len(data)))
+                data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out, _ = decode_image(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (UnidentifiedImageError, DecompressionBombError,
+                CodecUnavailable, OSError, ValueError):
+            pass  # documented taxonomy
+
+
+# ------------------------------------------------ hierarchical (Annex J)
+
+
+def test_jpeg_hierarchical_bitexact_roundtrip():
+    """DHP/EXP/SOF5 pyramid + SOF7 lossless correction frame: decode
+    recovers the source exactly — RGB and grayscale, even and odd
+    dimensions, 1 to 4 pyramid levels, noise and natural content."""
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(91)
+    for px, levels in (
+        (_pixels(91, 48, 64), 3),
+        (_pixels(92, 33, 47), 4),          # odd dims, deep pyramid
+        (_pixels(93, 16, 16), 1),          # single frame + correction
+        (rng.integers(0, 256, (25, 19, 3)).astype(np.uint8), 2),  # noise
+    ):
+        body = jpeg_encode_hierarchical(px, levels=levels, quality=88)
+        assert body.startswith(b"\xff\xd8\xff\xde")  # DHP right after SOI
+        assert np.array_equal(jpeg_decode(body), px), levels
+    # grayscale component count 1
+    g = _pixels(94, 24, 40)[:, :, 0]
+    out = jpeg_decode(jpeg_encode_hierarchical(g, levels=2))
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(
+        out[:, :, 0], out[:, :, 2])
+    # through the codec facade (taxonomy + sniffing path)
+    px = _pixels(95, 32, 32)
+    out2, fmt = decode_image(encode_image(px, "hjpeg"))
+    assert fmt == "jpeg" and np.array_equal(out2, px)
+
+
+def test_jpeg_hierarchical_lossy_psnr():
+    """Without the correction frame the pyramid is a plain lossy
+    coder: PSNR stays high and each added level refines (the base
+    frame alone would be a blurry quarter-res image)."""
+    from playwrightcrawler_ray.imaging import psnr
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode_hierarchical,
+    )
+
+    px = _pixels(96, 64, 64)
+    body = jpeg_encode_hierarchical(px, levels=3, quality=92,
+                                    lossless_final=False)
+    assert psnr(px, jpeg_decode(body)) >= 35
+    # the lossless-final stream decodes identically but is larger
+    exact = jpeg_encode_hierarchical(px, levels=3, quality=92)
+    assert len(exact) > len(body)
+
+
+def test_hier_expand_spec_vector():
+    """J.1.1.2 interpolation filter on a hand-computed vector:
+    even outputs copy the input, odd outputs are the rounded mean of
+    the neighbours, edges replicate."""
+    from playwrightcrawler_ray.imaging.jpeg import _hier_expand
+
+    p = np.array([[1, 5], [9, 13]], dtype=np.int32)
+    both = _hier_expand(p, 1, 1)
+    expect = np.array([
+        [1, 3, 5, 5],
+        [5, 7, 9, 9],
+        [9, 11, 13, 13],
+        [9, 11, 13, 13],
+    ], dtype=np.int32)
+    assert np.array_equal(both, expect)
+    h_only = _hier_expand(p, 1, 0)
+    assert np.array_equal(h_only, np.array([[1, 3, 5, 5], [9, 11, 13, 13]]))
+    v_only = _hier_expand(p, 0, 1)
+    assert np.array_equal(v_only, np.array(
+        [[1, 5], [5, 9], [9, 13], [9, 13]]))
+
+
+def test_jpeg_hierarchical_taxonomy():
+    """Malformed hierarchical sequences raise typed errors; the
+    genuinely-unimplemented differential processes stay
+    CodecUnavailable."""
+    import struct
+
+    from playwrightcrawler_ray.imaging.jpeg import (
+        jpeg_decode, jpeg_encode_hierarchical,
+    )
+
+    def dhp(nc=1):
+        seg = struct.pack(">BHHB", 8, 8, 8, nc)
+        for ci in range(nc):
+            seg += bytes((ci + 1, 0x11, 0))
+        return b"\xff\xde" + struct.pack(">H", 2 + len(seg)) + seg
+
+    sof5 = (b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes((1, 0x11, 0)))
+    # differential frame before any reference
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + dhp() + sof5 + b"\xff\xd9")
+    # nested DHP
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + dhp() + dhp() + b"\xff\xd9")
+    # EXP with both axes zero
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + dhp()
+                    + b"\xff\xdf" + struct.pack(">HB", 3, 0x00) + b"\xff\xd9")
+    # EXP preceding a non-differential frame
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes((1, 0x11, 0)))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + dhp()
+                    + b"\xff\xdf" + struct.pack(">HB", 3, 0x11)
+                    + sof0 + b"\xff\xd9")
+    # incomplete sequence: EOI before the component reaches DHP dims
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + dhp() + b"\xff\xd9")
+    # arithmetic/progressive differential frames: honest typed stub
+    good = bytearray(jpeg_encode_hierarchical(_pixels(97, 16, 16), levels=2))
+    i = bytes(good).index(b"\xff\xc5")
+    for marker in (0xC6, 0xCD, 0xCE, 0xCF):
+        mutated = bytearray(good)
+        mutated[i + 1] = marker
+        with pytest.raises(CodecUnavailable):
+            decode_image(bytes(mutated))
+    # subsampled hierarchical frame: typed stub too
+    sub = bytearray(good)
+    sof_base = bytes(good).index(b"\xff\xc0")
+    sub[sof_base + 11] = 0x22
+    with pytest.raises(CodecUnavailable):
+        decode_image(bytes(sub))
+
+
+def test_jpeg_hierarchical_fuzz_truncation_and_bitflips():
+    """Truncations and bit-flips of a valid hierarchical stream decode
+    or raise a typed taxonomy error — never hang or leak an unexpected
+    exception type."""
+    from playwrightcrawler_ray.imaging.jpeg import jpeg_encode_hierarchical
+
+    good = jpeg_encode_hierarchical(_pixels(98, 24, 24), levels=3, quality=80)
+    rng = np.random.default_rng(99)
     for trial in range(120):
         data = bytearray(good)
         if trial % 2:

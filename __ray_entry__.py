@@ -2,13 +2,13 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 47
+shape) and returns the images Dataset. ``queries()`` exposes the 54
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 30
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 36
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
-language-ID, fingerprints, and the oracle-verified-in-pytest crawl
-queries).
+HLL distinct-count, language-ID, fingerprints, and the
+oracle-verified-in-pytest crawl queries).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() anywhere in the import chain or callables.
@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import joins as J
+    from playwrightcrawler_ray.ops import sketch as S
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
 
@@ -181,6 +182,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ts_range": A.q_events_ts_range,
         "supplier_by_nation": A.q_supplier_by_nation,
         "customer_segments": A.q_customer_segments,
+        # ordered window functions (LAG + ROWS-frame rolling sum)
+        "events_rolling": A.q_events_rolling,
+        # single-scan multi-level ROLLUP from one partial-agg pass
+        "lineitem_rollup": A.q_lineitem_rollup,
+        # grouped COUNT DISTINCT: exact pair-stream combiner ...
+        "events_distinct_users": A.q_events_distinct_users,
+        # ... and its bounded-state HLL sketch twin (rows-only:
+        # estimator; error-bound agreement vs the exact op in pytest)
+        "events_distinct_users_hll": S.q_events_distinct_users_hll,
         # temporal joins (operators Ray Data lacks natively)
         "asof_join": J.q_asof_join,
         "range_join": J.q_range_join,
@@ -250,6 +260,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ts_range": A.SQL_EVENTS_TS_RANGE,
         "supplier_by_nation": A.SQL_SUPPLIER_BY_NATION,
         "customer_segments": A.SQL_CUSTOMER_SEGMENTS,
+        "events_rolling": A.SQL_EVENTS_ROLLING,
+        "lineitem_rollup": A.SQL_LINEITEM_ROLLUP,
+        "events_distinct_users": A.SQL_EVENTS_DISTINCT_USERS,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
         "token_counts": T.SQL_TOKEN_COUNTS,

@@ -405,7 +405,9 @@ def q_events_rolling(sf_dir: str) -> pd.DataFrame:
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        ts_us = g["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        # normalize the unit explicitly: Arrow timestamp[us] surfaces
+        # as datetime64[us] under pandas 2.x, not ns
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         users = g["user_id"].to_numpy()
         first = np.empty(len(g), dtype=bool)
         first[0] = True

@@ -1,0 +1,105 @@
+"""Mergeable cardinality sketches: HyperLogLog grouped distinct-count.
+
+The exact grouped COUNT DISTINCT (ops/analytics.q_events_distinct_users)
+carries state proportional to the number of distinct (group, key)
+pairs — fine until the key domain is billions wide. The HLL twin here
+is the bounded-state scale path: per batch, per group, a 2^P-register
+sketch (P=14 → 16 KiB, ~0.8 % standard error); registers merge by
+elementwise max, so the combine stage is a tiny reduction no matter
+how many rows streamed through. This is the standard Flajolet et al.
+2007 estimator with the small-range linear-counting correction.
+
+Correctness: rows-only in the driver (an estimator has no SQL oracle);
+the agreement test pins the estimate within the published error bound
+against the SQL-oracled exact twin, plus a unit test on the raw
+estimator across magnitudes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+HLL_P = 14
+HLL_M = 1 << HLL_P
+# alpha_m for m >= 128 (Flajolet et al. 2007, table)
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer: int64/uint64 keys → well-mixed uint64."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float log2 — a
+    float64 conversion rounds near powers of two)."""
+    v = v.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def hll_update(registers: np.ndarray, keys: np.ndarray) -> None:
+    """Fold a batch of integer keys into a (HLL_M,) uint8 register
+    array in place."""
+    h = _splitmix64(np.asarray(keys))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = (h << np.uint64(HLL_P)) >> np.uint64(HLL_P)  # low 64-P bits
+    rank = ((64 - HLL_P) + 1 - _bit_length_u64(w)).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate with the small-range
+    linear-counting correction."""
+    e = _ALPHA * HLL_M * HLL_M / np.sum(2.0 ** -registers.astype(np.float64))
+    zeros = int(np.count_nonzero(registers == 0))
+    if e <= 2.5 * HLL_M and zeros:
+        return HLL_M * np.log(HLL_M / zeros)  # linear counting
+    return float(e)
+
+
+def q_events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Grouped approximate COUNT DISTINCT over events: one HLL sketch
+    per event_type built per batch inside map_batches (serialized as a
+    binary register column), merged by max on the coalesced partial
+    stream — the mergeable-sketch layout verbatim."""
+    from .analytics import _read
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types, sketches = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            hll_update(regs, g["user_id"].to_numpy())
+            types.append(et)
+            sketches.append(regs.tobytes())
+        return pd.DataFrame({"event_type": types, "sketch": sketches})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_n = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            for s in g["sketch"]:
+                regs = hll_merge(regs, np.frombuffer(s, dtype=np.uint8))
+            out_t.append(et)
+            out_n.append(int(round(hll_estimate(regs))))
+        return pd.DataFrame({"event_type": out_t,
+                             "n_users_est": pd.array(out_n, dtype="int64")})
+
+    from .aggutil import partial_grouped_agg
+
+    return partial_grouped_agg(ds, partial, combine)

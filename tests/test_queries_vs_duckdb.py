@@ -68,6 +68,7 @@ def _oracle_pairs():
     "doc_sample", "docs_per_source_cap", "docs_split",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
+    "events_rolling", "lineitem_rollup", "events_distinct_users",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
@@ -89,6 +90,7 @@ def test_rows_only_queries_run(entrymod):
                  "doc_neardup_dedup", "docs_trainset",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
+                 "events_distinct_users_hll",
                  "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets",
                  "crawl_trainset", "crawl_media_probe"]:
@@ -277,3 +279,44 @@ def test_temporal_joins_bucket_invariance(ray_session):
         a = fn(SF_DIR, n_buckets=3)
         b = fn(SF_DIR, n_buckets=32)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_estimator_accuracy_across_magnitudes():
+    """Raw HLL estimator (P=14, ~0.82 % standard error) stays within
+    5 sigma of truth from the linear-counting regime up to 1M keys."""
+    import numpy as np
+
+    from playwrightcrawler_ray.ops.sketch import (
+        HLL_M, hll_estimate, hll_merge, hll_update)
+
+    rng = np.random.default_rng(7)
+    for n in (50, 1_000, 30_000, 1_000_000):
+        keys = rng.choice(np.arange(n * 4, dtype=np.int64), size=n,
+                          replace=False)
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        # split across simulated batches and merge, exercising the
+        # mergeable-sketch path, not just a single update
+        a, b = np.zeros(HLL_M, dtype=np.uint8), np.zeros(HLL_M, dtype=np.uint8)
+        hll_update(a, keys[: n // 2])
+        hll_update(b, keys[n // 2:])
+        regs = hll_merge(a, b)
+        est = hll_estimate(regs)
+        tol = 5 * 1.04 / np.sqrt(HLL_M)  # 5 sigma of the published bound
+        assert abs(est - n) <= max(tol * n, 3), (n, est)
+
+
+def test_hll_distinct_users_agrees_with_exact(entrymod):
+    """The grouped HLL twin matches the SQL-oracled exact op within
+    the estimator's error bound on every group."""
+    import numpy as np
+
+    from playwrightcrawler_ray.ops.sketch import HLL_M
+
+    qs = entrymod.queries()
+    exact = qs["events_distinct_users"](SF_DIR).set_index("event_type")
+    est = qs["events_distinct_users_hll"](SF_DIR).set_index("event_type")
+    assert sorted(exact.index) == sorted(est.index)
+    tol = 5 * 1.04 / np.sqrt(HLL_M)
+    for et in exact.index:
+        n, e = int(exact.loc[et, "n_users"]), int(est.loc[et, "n_users_est"])
+        assert abs(e - n) <= max(tol * n, 3), (et, n, e)

@@ -582,3 +582,87 @@ SELECT v AS doc_id, MIN(lbl) AS component_id,
        (v = MIN(lbl)) AS keep
 FROM cc GROUP BY v ORDER BY doc_id
 """
+
+
+# --- Benchmark decontamination (n-gram overlap vs a holdout set) ---
+
+def q_docs_decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97
+                         ) -> pd.DataFrame:
+    """Training-corpus decontamination: flag every training document
+    that shares at least one word-``w``-gram with the benchmark /
+    holdout set (here the deterministic ``doc_id % bench_mod == 0``
+    slice of documents; in production the eval suites). Output is one
+    row per contaminated doc with its count of DISTINCT overlapping
+    shingles — the evidence a curation pipeline logs before dropping.
+
+    Scale shape: benchmark suites are tiny against a 100 TB corpus, so
+    the benchmark shingle-hash set is built once (a filtered
+    column-pruned pass), sorted, and broadcast via ``ray.put``; every
+    training batch then scores membership with one ``np.searchsorted``
+    — no shuffle at all. If the holdout ever outgrew a broadcast, the
+    fallback is the shingle-join layout q_ngram_jaccard_top_pairs
+    already implements (hash-partition on the shingle).
+
+    Reference parity: the reference crawler has no decontamination
+    stage; this is one of the added LLM-curation operators
+    (brief: dedup/curation family). Shingle-hash equality stands in
+    for string equality modulo ~2^-64 collisions, same contract as
+    the Jaccard/minhash kernels above.
+    """
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % bench_mod == 0]
+        cache: dict[str, int] = {}
+        hs = _shingle_hash_arrays(sub["text"].tolist(), w, cache)
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.empty(0, dtype=np.uint64))
+        return pd.DataFrame({"h": flat})
+
+    bench = ds.map_batches(bench_hashes, batch_format="pandas").to_pandas()
+    bset = np.unique(bench["h"].to_numpy(dtype=np.uint64))
+    bset_ref = ray.put(bset)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(bset_ref)
+        sub = df[df["doc_id"] % bench_mod != 0]
+        cache: dict[str, int] = {}
+        hs = _shingle_hash_arrays(sub["text"].tolist(), w, cache)
+        ids, hits = [], []
+        for doc_id, h in zip(sub["doc_id"].to_numpy(), hs):
+            if not len(h):
+                continue
+            idx = np.searchsorted(bs, h)
+            idx[idx == len(bs)] = 0
+            n = int(np.count_nonzero(bs[idx] == h)) if len(bs) else 0
+            if n:
+                ids.append(int(doc_id))
+                hits.append(n)
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_hits": pd.array(hits, dtype="int64"),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_decontaminate(w: int = 3, bench_mod: int = 97) -> str:
+    join_expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(w))
+    return f"""
+WITH d AS (SELECT doc_id,
+                  LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {join_expr} AS s
+  FROM d, UNNEST(RANGE(1, LEN(ws) - {w - 2})) AS t(i)
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {bench_mod} = 0)
+SELECT sh.doc_id, COUNT(*) AS n_hits
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % {bench_mod} <> 0
+GROUP BY sh.doc_id
+ORDER BY doc_id
+"""

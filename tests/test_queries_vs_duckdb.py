@@ -69,6 +69,7 @@ def _oracle_pairs():
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
+    "docs_decontaminate",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 55
+shape) and returns the images Dataset. ``queries()`` exposes the 57
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 37
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 38
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": T.q_docs_split,
         # benchmark decontamination (n-gram overlap vs holdout slice)
         "docs_decontaminate": D.q_docs_decontaminate,
+        # corpus heavy hitters: exact vocabulary-state top-k ...
+        "words_topk": T.q_words_topk,
+        # ... and the bounded-state Misra-Gries summary (rows-only:
+        # sketch; guarantee-tested against the exact twin in pytest)
+        "words_topk_mg": S.q_words_topk_mg,
         # dedup family
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
@@ -282,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "docs_split": T.sql_docs_split(),
         "docs_decontaminate": D.sql_docs_decontaminate(),
+        "words_topk": T.sql_words_topk(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),

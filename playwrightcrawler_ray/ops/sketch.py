@@ -103,3 +103,71 @@ def q_events_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     from .aggutil import partial_grouped_agg
 
     return partial_grouped_agg(ds, partial, combine)
+
+
+# --- Misra-Gries heavy hitters (mergeable frequency summary) ---
+#
+# Exact corpus word counts (ops/textstats.q_words_topk) carry state
+# proportional to the vocabulary. The MG summary bounds state at k
+# counters per partial with the mergeable-summaries guarantee
+# (Agarwal et al. 2013): after any sequence of batch reductions and
+# merges, every item's estimate undercounts its true frequency by at
+# most the cumulative decrement D, and D <= N/(k+1) for N total
+# tokens. Any word with true count > D is guaranteed to survive.
+
+MG_K = 64
+_MG_DELTA_KEY = ""  # whitespace split never yields the empty token
+
+
+def mg_reduce(words: np.ndarray, counts: np.ndarray, k: int = MG_K
+              ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Reduce a (word, count) multiset to <= k counters by the uniform
+    MG decrement: subtract the (k+1)-th largest count from all, keep
+    positives. Returns (words, counts, decrement)."""
+    if len(words) <= k:
+        return words, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    words, counts = words[order], counts[order]
+    t = int(counts[k])
+    counts = counts - t
+    keep = counts > 0
+    return words[keep], counts[keep], t
+
+
+def q_words_topk_mg(sf_dir: str, k: int = MG_K) -> pd.DataFrame:
+    """Heavy-hitter words via mergeable Misra-Gries: per-batch exact
+    value_counts reduced to k counters (the partial is O(k) no matter
+    the batch), partials merged by per-word summation plus one final
+    reduce. The per-partial decrements travel in-band as a reserved
+    empty-string row, so the output's uniform ``err_bound`` column is
+    the EXACT cumulative decrement D of this run (not just the
+    worst-case N/(k+1)): true count is in [est, est + D] for every
+    word, and every word with true count > D is present."""
+    from .aggutil import partial_grouped_agg
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        w, c, d = mg_reduce(vc.index.to_numpy(dtype=object),
+                            vc.to_numpy().astype(np.int64), k)
+        return pd.DataFrame({
+            "word": np.concatenate([w, [_MG_DELTA_KEY]]),
+            "cnt": np.concatenate([c, [d]]).astype("int64"),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("word", as_index=False, sort=False)["cnt"].sum()
+        is_d = tot["word"] == _MG_DELTA_KEY
+        delta = int(tot.loc[is_d, "cnt"].sum())
+        tot = tot[~is_d]
+        w, c, d = mg_reduce(tot["word"].to_numpy(dtype=object),
+                            tot["cnt"].to_numpy().astype(np.int64), k)
+        delta += d
+        out = pd.DataFrame({"word": w, "est": c.astype("int64")})
+        out["err_bound"] = np.int64(delta)
+        return out.sort_values(["est", "word"],
+                               ascending=[False, True]).reset_index(drop=True)
+
+    return partial_grouped_agg(ds, partial, combine)

@@ -865,3 +865,43 @@ SELECT token,
        array_to_string((list_sort(list(doc_id)))[1:5], ',') AS postings
 FROM tok WHERE token <> '' GROUP BY token ORDER BY token
 """
+
+
+def q_words_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-level word-frequency top-k (the exact twin of the
+    Misra-Gries heavy-hitters sketch in ops/sketch.py). Combiner
+    shape: per-batch ``value_counts`` partials (vocabulary-sized, not
+    token-sized), summed in the combine step; at 100 TB the combine
+    becomes a ``groupby(word)`` over partials (aggutil's documented
+    swap). Deterministic (-count, word) order."""
+    from .aggutil import partial_grouped_agg
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({
+            "word": vc.index.to_numpy(dtype=object),
+            "cnt": vc.to_numpy().astype("int64"),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("word", as_index=False, sort=False)["cnt"].sum()
+        tot = tot.sort_values(["cnt", "word"],
+                              ascending=[False, True]).head(k)
+        tot["cnt"] = tot["cnt"].astype("int64")
+        return tot.reset_index(drop=True)
+
+    return partial_grouped_agg(ds, partial, combine)
+
+
+def sql_words_topk(k: int = 20) -> str:
+    return f"""
+SELECT w AS word, COUNT(*) AS cnt
+FROM documents,
+     UNNEST(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')) AS t(w)
+GROUP BY w
+ORDER BY cnt DESC, word
+LIMIT {k}
+"""

@@ -69,7 +69,7 @@ def _oracle_pairs():
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
-    "docs_decontaminate",
+    "docs_decontaminate", "words_topk",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
@@ -91,7 +91,7 @@ def test_rows_only_queries_run(entrymod):
                  "doc_neardup_dedup", "docs_trainset",
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
-                 "events_distinct_users_hll",
+                 "events_distinct_users_hll", "words_topk_mg",
                  "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets",
                  "crawl_trainset", "crawl_media_probe"]:
@@ -321,3 +321,68 @@ def test_hll_distinct_users_agrees_with_exact(entrymod):
     for et in exact.index:
         n, e = int(exact.loc[et, "n_users"]), int(est.loc[et, "n_users_est"])
         assert abs(e - n) <= max(tol * n, 3), (et, n, e)
+
+
+def test_mg_reduce_guarantees_on_synthetic_stream():
+    """Force the Misra-Gries decrement path (vocab >> k) and check the
+    mergeable-summaries guarantees: cumulative decrement D <= N/(k+1),
+    every estimate in [true - D, true], and every item with true count
+    > D survives — across simulated batch partials + a merge."""
+    import collections
+
+    import numpy as np
+
+    from playwrightcrawler_ray.ops.sketch import mg_reduce
+
+    k = 16
+    rng = np.random.default_rng(3)
+    # Zipf-ish stream over a 2000-word vocabulary, in 8 batches
+    vocab = np.array([f"w{i}" for i in range(2000)], dtype=object)
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    stream = rng.choice(vocab, size=40_000, p=weights)
+    truth = collections.Counter(stream)
+    n = len(stream)
+
+    merged: collections.Counter = collections.Counter()
+    delta = 0
+    for batch in np.array_split(stream, 8):
+        vals, cnts = np.unique(batch, return_counts=True)
+        w, c, d = mg_reduce(vals.astype(object), cnts.astype(np.int64), k)
+        delta += d
+        for wi, ci in zip(w, c):
+            merged[wi] += int(ci)
+    w, c, d = mg_reduce(np.array(list(merged), dtype=object),
+                        np.array(list(merged.values()), dtype=np.int64), k)
+    delta += d
+
+    assert delta > 0  # the decrement path actually ran
+    assert delta <= n // (k + 1)
+    est = dict(zip(w, c))
+    for wi, ci in est.items():
+        assert ci <= truth[wi] <= ci + delta
+    for wi, ti in truth.items():
+        if ti > delta:
+            assert wi in est, (wi, ti, delta)
+
+
+def test_words_topk_mg_agrees_with_exact(entrymod):
+    """The distributed MG pipeline's output satisfies the summary
+    guarantee against the SQL-oracled exact twin on the test corpus."""
+    qs = entrymod.queries()
+    mg = qs["words_topk_mg"](SF_DIR)
+    exact = _duck(
+        "SELECT w AS word, COUNT(*) AS cnt FROM documents, "
+        "UNNEST(LIST_FILTER(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS t(w) GROUP BY w"
+    ).set_index("word")["cnt"]
+    assert len(mg) > 0
+    d = int(mg["err_bound"].iloc[0])
+    assert d <= int(exact.sum()) // (65)  # k=64
+    for word, est in zip(mg["word"], mg["est"]):
+        true = int(exact[word])
+        assert est <= true <= est + d
+    present = set(mg["word"])
+    for word, true in exact.items():
+        if true > d:
+            assert word in present

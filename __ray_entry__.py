@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 57
+shape) and returns the images Dataset. ``queries()`` exposes the 59
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 38
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 39
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the bounded-state Misra-Gries summary (rows-only:
         # sketch; guarantee-tested against the exact twin in pytest)
         "words_topk_mg": S.q_words_topk_mg,
+        # float-domain quantiles via the mergeable compactor sketch
+        # (rows-only: carries its own rank-error certificate, checked
+        # against exact ranks in pytest)
+        "embedding_norm_quantiles": S.q_embedding_norm_quantiles,
         # dedup family
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
@@ -234,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle twin
         "docs_trainset": TT.q_docs_trainset,
         "docs_trainset_exact": TT.q_docs_trainset_exact,
+        # the same chain with the benchmark-decontamination stage on
+        "docs_trainset_decontam": TT.q_docs_trainset_decontam,
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
@@ -291,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),
+        "docs_trainset_decontam": TT.sql_docs_trainset_decontam(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
         "dedup_components": N.sql_dedup_components(),

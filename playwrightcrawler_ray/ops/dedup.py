@@ -586,6 +586,41 @@ FROM cc GROUP BY v ORDER BY doc_id
 
 # --- Benchmark decontamination (n-gram overlap vs a holdout set) ---
 
+def benchmark_hash_set(ds, w: int = 3, bench_mod: int = 97) -> np.ndarray:
+    """Sorted uint64 shingle-hash set of the holdout slice
+    (``doc_id % bench_mod == 0``), computed in one filtered pass —
+    the broadcast side of decontamination."""
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % bench_mod == 0]
+        cache: dict[str, int] = {}
+        hs = _shingle_hash_arrays(sub["text"].tolist(), w, cache)
+        flat = (np.unique(np.concatenate(hs)) if hs
+                else np.empty(0, dtype=np.uint64))
+        return pd.DataFrame({"h": flat})
+
+    bench = ds.map_batches(bench_hashes, batch_format="pandas").to_pandas()
+    return np.unique(bench["h"].to_numpy(dtype=np.uint64))
+
+
+def overlap_counts(texts: list[str], bset: np.ndarray, w: int = 3
+                   ) -> np.ndarray:
+    """Per-text count of DISTINCT shingles present in the sorted hash
+    set ``bset`` (one searchsorted per text)."""
+    cache: dict[str, int] = {}
+    hs = _shingle_hash_arrays(texts, w, cache)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not len(bset):
+        return out
+    for i, h in enumerate(hs):
+        if not len(h):
+            continue
+        idx = np.searchsorted(bset, h)
+        idx[idx == len(bset)] = 0
+        out[i] = int(np.count_nonzero(bset[idx] == h))
+    return out
+
+
 def q_docs_decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97
                          ) -> pd.DataFrame:
     """Training-corpus decontamination: flag every training document
@@ -612,37 +647,16 @@ def q_docs_decontaminate(sf_dir: str, w: int = 3, bench_mod: int = 97
     import ray
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["doc_id"] % bench_mod == 0]
-        cache: dict[str, int] = {}
-        hs = _shingle_hash_arrays(sub["text"].tolist(), w, cache)
-        flat = (np.unique(np.concatenate(hs)) if hs
-                else np.empty(0, dtype=np.uint64))
-        return pd.DataFrame({"h": flat})
-
-    bench = ds.map_batches(bench_hashes, batch_format="pandas").to_pandas()
-    bset = np.unique(bench["h"].to_numpy(dtype=np.uint64))
-    bset_ref = ray.put(bset)
+    bset_ref = ray.put(benchmark_hash_set(ds, w, bench_mod))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         bs = ray.get(bset_ref)
         sub = df[df["doc_id"] % bench_mod != 0]
-        cache: dict[str, int] = {}
-        hs = _shingle_hash_arrays(sub["text"].tolist(), w, cache)
-        ids, hits = [], []
-        for doc_id, h in zip(sub["doc_id"].to_numpy(), hs):
-            if not len(h):
-                continue
-            idx = np.searchsorted(bs, h)
-            idx[idx == len(bs)] = 0
-            n = int(np.count_nonzero(bs[idx] == h)) if len(bs) else 0
-            if n:
-                ids.append(int(doc_id))
-                hits.append(n)
+        n = overlap_counts(sub["text"].tolist(), bs, w)
+        hit = n > 0
         return pd.DataFrame({
-            "doc_id": pd.array(ids, dtype="int64"),
-            "n_hits": pd.array(hits, dtype="int64"),
+            "doc_id": sub["doc_id"].to_numpy()[hit].astype("int64"),
+            "n_hits": n[hit],
         })
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()

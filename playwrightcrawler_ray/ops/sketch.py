@@ -171,3 +171,126 @@ def q_words_topk_mg(sf_dir: str, k: int = MG_K) -> pd.DataFrame:
                                ascending=[False, True]).reset_index(drop=True)
 
     return partial_grouped_agg(ds, partial, combine)
+
+
+# --- Mergeable quantile sketch (deterministic compactor stack) ---
+#
+# The exact quantile op (textstats.q_docs_token_quantiles) exploits a
+# small-INTEGER domain: the distribution compresses to an exact
+# histogram. Real-valued columns (quality scores, embedding norms,
+# losses) have no such histogram; the bounded-state path is a
+# Munro-Paterson / KLL-style compactor stack: level l holds up to k
+# values of weight 2^l; a full level is sorted and every other value
+# is promoted with doubled weight. Deterministic: the kept-offset
+# alternates by a compaction counter instead of a coin flip, so
+# reruns of the same plan reproduce bit-identical results (estimates
+# still vary with batch boundaries across cluster sizes — always
+# within the certificate) at the cost of the (unneeded here)
+# randomized-error refinement. The
+# tracked ``err`` field accumulates one conservative 2^l rank-error
+# unit per compaction, so the sketch carries its own certificate:
+# |est_rank(v) - true_rank(v)| <= err for every v.
+
+
+class QuantileSketch:
+    def __init__(self, k: int = 256):
+        if k < 2 or k % 2:
+            raise ValueError("k must be even and >= 2")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0          # true item count (weight is conserved exactly)
+        self.err = 0        # accumulated worst-case rank error
+        self._alt = 0       # deterministic compaction-offset counter
+
+    def add(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, dtype=np.float64)
+        self.n += len(vals)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compact_all()
+
+    def merge(self, other: "QuantileSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for l, v in enumerate(other.levels):
+            self.levels[l] = np.concatenate([self.levels[l], v])
+        self.n += other.n
+        self.err += other.err
+        self._alt += other._alt
+        self._compact_all()
+
+    def _compact_all(self) -> None:
+        l = 0
+        while l < len(self.levels):
+            if len(self.levels[l]) >= self.k:
+                v = np.sort(self.levels[l], kind="stable")
+                # hold one value back when odd so 2^l-weight is conserved
+                hold = v[-1:] if len(v) % 2 else v[:0]
+                v = v[: len(v) - len(hold)]
+                off = self._alt & 1
+                self._alt += 1
+                kept = v[off::2]
+                self.err += 1 << l
+                if l + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[l + 1] = np.concatenate(
+                    [self.levels[l + 1], kept])
+                self.levels[l] = hold
+            l += 1
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(len(v), 1 << l, dtype=np.int64)
+            for l, v in enumerate(self.levels)
+        ])
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def max_weight(self) -> int:
+        return 1 << (len(self.levels) - 1)
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose estimated rank >= q*n
+        (percentile_disc semantics on the summary)."""
+        vals, wts = self._weighted()
+        cum = np.cumsum(wts)
+        target = max(1, int(np.ceil(q * self.n)))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+
+def q_embedding_norm_quantiles(sf_dir: str,
+                               qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+                               k: int = 256) -> pd.DataFrame:
+    """Quantiles of per-vector L2 norms over the embeddings table via
+    the mergeable quantile sketch: one sketch per batch (vectorized
+    norm + add), sketches merged on the coalesced partial stream.
+    State per partial is O(k log(n/k)) regardless of corpus size; the
+    output carries the sketch's own rank-error certificate, which the
+    agreement test checks against exact ranks."""
+    import pickle
+
+    from .aggutil import partial_grouped_agg
+    from .analytics import _read
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())
+        sk = QuantileSketch(k)
+        sk.add(np.sqrt(np.einsum("ij,ij->i", m, m)))
+        return pd.DataFrame({"blob": [pickle.dumps(sk)]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        sk = QuantileSketch(k)
+        for b in df["blob"]:
+            sk.merge(pickle.loads(b))
+        rows = [{
+            "q": float(q),
+            "norm_est": sk.quantile(q),
+            "rank_err_bound": np.int64(sk.err + sk.max_weight()),
+            "n": np.int64(sk.n),
+        } for q in qs]
+        return pd.DataFrame(rows)
+
+    return partial_grouped_agg(ds, partial, combine)

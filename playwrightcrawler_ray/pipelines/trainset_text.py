@@ -10,6 +10,10 @@ large-scale LLM-pretraining corpus build runs, every stage a streaming
    ``LEN(STRING_SPLIT(text,' '))``) plus an optional language
    allowlist, vectorized pyarrow kernels; the content hash (md5) is
    stamped in the same pass so the text is read once;
+1.5. **benchmark decontamination** (optional) — drop the holdout
+   slice and every doc sharing a word-n-gram with it
+   (``ops/dedup.benchmark_hash_set`` broadcast + per-batch
+   searchsorted, zero shuffle);
 2. **exact dedup** — hash-partition on the content hash, keep the
    minimum ``doc_id`` per group (``doc_exact_dedup``'s keep rule).
    One full-data shuffle keyed on the uniformly-distributed hash —
@@ -63,6 +67,7 @@ def build_text_trainset(
     w: int = 3,
     threshold: float = 0.5,
     edge_mode: str = "minhash",
+    decontaminate_mod: int | None = None,
 ) -> dict:
     """Build the text training corpus (see module docstring). Returns
     summary stats; the shards land under ``dest``."""
@@ -95,6 +100,28 @@ def build_text_trainset(
         return t.append_column("text_hash", h)
 
     gated = ds.map_batches(gate, batch_format="pyarrow")
+
+    # --- 1.5 (optional) benchmark decontamination: drop the holdout
+    # slice itself AND every gated doc sharing a w-gram with it. The
+    # holdout shingles come from the RAW documents (eval docs count
+    # whether or not they'd pass the training gate); the shingle-hash
+    # set is corpus-independent-small → ray.put broadcast + one
+    # searchsorted per batch, zero shuffle (ops/dedup.benchmark_hash_set).
+    n_contaminated = 0
+    if decontaminate_mod:
+        bset_ref = ray.put(D.benchmark_hash_set(
+            ds.select_columns(["doc_id", "text"]), w, decontaminate_mod))
+
+        def drop_contaminated(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["doc_id"] % decontaminate_mod != 0]
+            hits = D.overlap_counts(
+                sub["text"].tolist(), ray.get(bset_ref), w)
+            return sub[hits == 0]
+
+        pre = gated.count()
+        gated = gated.map_batches(
+            drop_contaminated, batch_format="pandas").materialize()
+        n_contaminated = pre - gated.count()
 
     # --- 2. exact dedup: one shuffle on the content hash ---
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -174,6 +201,7 @@ def build_text_trainset(
     return {
         "rows": out.num_rows,
         "dest": dest,
+        "n_dropped_decontam": int(n_contaminated),
         "n_dropped_neardup": int(len(drop)),
         "partitions": len(
             [d for d in os.listdir(dest) if d.startswith("shard=")]
@@ -203,6 +231,25 @@ def q_docs_trainset_exact(sf_dir: str) -> pd.DataFrame:
     return q_docs_trainset(sf_dir, edge_mode="exact")
 
 
+def q_docs_trainset_decontam(sf_dir: str, bench_mod: int = 97
+                             ) -> pd.DataFrame:
+    """The full curation chain WITH the benchmark-decontamination
+    stage active (gate → decontaminate → exact dedup → exact-edge
+    near-dup collapse → quota → sharded write)."""
+    import pyarrow.parquet as pq
+
+    dest = "/tmp/pwc_text_trainset_decontam"
+    build_text_trainset(sf_dir, dest, edge_mode="exact",
+                        decontaminate_mod=bench_mod)
+    df = pq.read_table(
+        dest, columns=["doc_id", "source", "lang", "n_tokens", "shard"]
+    ).to_pandas()
+    df["shard"] = df["shard"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "lang", "n_tokens", "shard"]
+    ]
+
+
 def sql_docs_trainset_exact(
     min_tokens: int = 5,
     max_tokens: int = 10_000,
@@ -210,20 +257,49 @@ def sql_docs_trainset_exact(
     n_shards: int = 8,
     w: int = 3,
     threshold: float = 0.5,
+    decontaminate_mod: int | None = None,
 ) -> str:
     """DuckDB oracle for the exact-edges text-trainset build: the same
-    gate → md5-min exact dedup → exact-Jaccard recursive-CTE
-    components (min-id keep) → ROW_NUMBER per-source cap → shard
-    stamp, composed from the already-oracled per-stage queries."""
+    gate → (optional decontamination) → md5-min exact dedup →
+    exact-Jaccard recursive-CTE components (min-id keep) → ROW_NUMBER
+    per-source cap → shard stamp, composed from the already-oracled
+    per-stage queries."""
     join_expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(w))
+    if decontaminate_mod:
+        m = decontaminate_mod
+        decontam = f"""
+raw AS (SELECT doc_id,
+               LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % {m} = 0),
+bench_sh AS (
+  SELECT DISTINCT {join_expr} AS s
+  FROM raw, UNNEST(RANGE(1, LEN(ws) - {w - 2})) AS t(i)
+),
+g_sh AS (
+  SELECT DISTINCT doc_id, {join_expr} AS s
+  FROM (SELECT doc_id,
+               LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM gate0 WHERE doc_id % {m} <> 0) g,
+       UNNEST(RANGE(1, LEN(ws) - {w - 2})) AS t(i)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM g_sh JOIN bench_sh USING (s)),
+gate AS (
+  SELECT * FROM gate0
+  WHERE doc_id % {m} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),"""
+        gate_name = "gate0"
+    else:
+        decontam = ""
+        gate_name = "gate"
     return f"""
 WITH RECURSIVE
-gate AS (
+{gate_name} AS (
   SELECT doc_id, text, lang, source,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
   WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN {min_tokens} AND {max_tokens}
-),
+),{decontam}
 exact AS (
   SELECT doc_id, text, lang, source, n_tokens FROM (
     SELECT g.*, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
@@ -269,3 +345,7 @@ SELECT doc_id, source, lang, n_tokens,
 FROM capped WHERE rn <= {per_source_cap}
 ORDER BY doc_id
 """
+
+
+def sql_docs_trainset_decontam(bench_mod: int = 97) -> str:
+    return sql_docs_trainset_exact(decontaminate_mod=bench_mod)

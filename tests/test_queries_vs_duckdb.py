@@ -69,7 +69,7 @@ def _oracle_pairs():
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
-    "docs_decontaminate", "words_topk",
+    "docs_decontaminate", "words_topk", "docs_trainset_decontam",
 ])
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
@@ -92,6 +92,7 @@ def test_rows_only_queries_run(entrymod):
                  "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
                  "embedding_neardup_lsh", "dedup_components_lsh",
                  "events_distinct_users_hll", "words_topk_mg",
+                 "embedding_norm_quantiles",
                  "crawl_images",
                  "crawl_pages_by_source", "crawl_phash_buckets",
                  "crawl_trainset", "crawl_media_probe"]:
@@ -386,3 +387,57 @@ def test_words_topk_mg_agrees_with_exact(entrymod):
     for word, true in exact.items():
         if true > d:
             assert word in present
+
+
+def test_quantile_sketch_certificate_on_synthetic_stream():
+    """Compactor-stack quantile sketch: weight conservation, bounded
+    state, and the self-carried rank-error certificate on a stream
+    that forces many compactions and merges."""
+    import numpy as np
+
+    from playwrightcrawler_ray.ops.sketch import QuantileSketch
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=50_000) * 10
+    sketches = []
+    for chunk in np.array_split(data, 16):
+        sk = QuantileSketch(64)
+        sk.add(chunk)
+        sketches.append(sk)
+    m = sketches[0]
+    for s in sketches[1:]:
+        m.merge(s)
+    assert m.n == len(data)
+    total_w = sum(len(v) * (1 << l) for l, v in enumerate(m.levels))
+    assert total_w == len(data)                    # weight conserved
+    assert sum(len(v) for v in m.levels) < 200     # bounded state
+    srt = np.sort(data)
+    bound = m.err + m.max_weight()
+    assert bound < 0.1 * len(data)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = m.quantile(q)
+        lo = np.searchsorted(srt, est, side="left")
+        hi = np.searchsorted(srt, est, side="right")
+        target = q * len(data)
+        assert lo - bound <= target <= hi + bound, (q, lo, hi, target)
+
+
+def test_embedding_norm_quantiles_certificate(entrymod):
+    """The distributed sketch op's estimates must satisfy their own
+    rank-error certificate against exact norms (tie-aware: the
+    estimated value's full rank interval, padded by the bound, must
+    cover the target rank)."""
+    import numpy as np
+
+    qs = entrymod.queries()
+    out = qs["embedding_norm_quantiles"](SF_DIR)
+    emb = _duck("SELECT embedding FROM embeddings")
+    m = np.stack(emb["embedding"].to_numpy())
+    norms = np.sort(np.sqrt(np.einsum("ij,ij->i", m, m)))
+    n = len(norms)
+    for _, r in out.iterrows():
+        assert int(r["n"]) == n
+        lo = np.searchsorted(norms, r["norm_est"], side="left")
+        hi = np.searchsorted(norms, r["norm_est"], side="right")
+        b = r["rank_err_bound"]
+        assert lo - b <= r["q"] * n <= hi + b, dict(r)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 59
+shape) and returns the images Dataset. ``queries()`` exposes the 60
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 39
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 40
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal joins (operators Ray Data lacks natively)
         "asof_join": J.q_asof_join,
         "range_join": J.q_range_join,
+        # broadcast-Bloom-pruned hash join (no probe-side shuffle)
+        "bloom_semijoin": J.q_bloom_semijoin,
         # text analysis
         "token_counts": T.q_token_counts,
         "token_counts_bpe": T.q_token_counts_bpe,
@@ -278,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": A.SQL_EVENTS_DISTINCT_USERS,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
+        "bloom_semijoin": J.SQL_BLOOM_SEMIJOIN,
         "token_counts": T.SQL_TOKEN_COUNTS,
         "token_counts_bpe": T.SQL_TOKEN_COUNTS_BPE,
         "quality_signals": T.SQL_QUALITY_SIGNALS,

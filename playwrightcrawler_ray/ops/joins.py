@@ -225,3 +225,88 @@ JOIN events b
 GROUP BY a.event_id, a.user_id
 ORDER BY a.event_id
 """
+
+
+# --- Broadcast-Bloom semi-join (bloom-pruned hash join) ---
+
+def q_bloom_semijoin(sf_dir: str, fp_rate: float = 1e-3) -> pd.DataFrame:
+    """Selective-build hash join without shuffling the probe side:
+    per-lineitem aggregates for orders matching a selective predicate
+    (``o_orderpriority = '1-URGENT'``).
+
+    The classic 100 TB shape: the BUILD side (filtered orders keys) is
+    small, the PROBE side (lineitem) is the bulk. Instead of an
+    all-to-all hash-join shuffle, the build keys are broadcast twice
+    over: (1) a Bloom filter (``state/approxset.BloomFilter`` — the
+    crawl's own URL-seen machinery, vectorized add_bulk /
+    contains_many) prunes probe batches with a bit-array test that
+    costs k bit reads per row and ships O(n·log(1/fp)/8) bits, then
+    (2) the exact sorted key array resolves the filter's false
+    positives by ``np.searchsorted`` — so the output is EXACT and
+    DuckDB-oracled. At a scale where even the exact key array exceeds
+    a broadcast, the bloom STILL ships (it is ~13 bits/key at 1e-4)
+    and the verify step becomes the normal shuffle join over the
+    pruned (≈ matching-only) remainder — the pruning is what saves
+    the exchange. Aggregation is combiner-style on the already-pruned
+    stream (per-batch partials, one small combine).
+    """
+    import ray
+
+    from ..state.approxset import BloomFilter
+    from .aggutil import partial_grouped_agg
+    from .sketch import _splitmix64
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def build_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.loc[df["o_orderpriority"] == "1-URGENT", "o_orderkey"]
+        return pd.DataFrame({"k": sel.to_numpy(dtype=np.int64)})
+
+    keys = np.sort(
+        orders.map_batches(build_keys, batch_format="pandas")
+        .to_pandas()["k"].to_numpy(dtype=np.int64)
+    )
+    bloom = BloomFilter(capacity=max(64, len(keys)), fp_rate=fp_rate)
+    bloom.add_bulk(_splitmix64(keys))
+    bc_ref = ray.put((bloom.state(), keys))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.approxset import BloomFilter as BF
+
+        st, exact = ray.get(bc_ref)
+        bf = BF.from_state(st)
+        ks = df["l_orderkey"].to_numpy(dtype=np.int64)
+        maybe = bf.contains_many(_splitmix64(ks))       # cheap prune
+        sub = df[maybe]
+        ks = ks[maybe]
+        pos = np.searchsorted(exact, ks)                 # exact verify
+        pos[pos == len(exact)] = 0
+        hit = exact[pos] == ks if len(exact) else np.zeros(len(ks), bool)
+        sub = sub[hit]
+        sub = sub.assign(_q=sub["l_quantity"].astype("int64"))
+        return sub.groupby("l_orderkey", as_index=False).agg(
+            n_items=("_q", "size"), sum_qty=("_q", "sum"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", as_index=False).agg(
+            n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+        out = out.rename(columns={"l_orderkey": "orderkey"})
+        out["n_items"] = out["n_items"].astype("int64")
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        return out.sort_values("orderkey").reset_index(drop=True)
+
+    return partial_grouped_agg(li, probe, combine)
+
+
+SQL_BLOOM_SEMIJOIN = """
+SELECT l.l_orderkey AS orderkey,
+       COUNT(*) AS n_items,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey
+ORDER BY orderkey
+"""

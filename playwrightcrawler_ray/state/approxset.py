@@ -207,6 +207,31 @@ class BloomFilter:
     def add_many(self, hs) -> list[bool]:
         return [self.add_if_absent(int(h)) for h in hs]
 
+    def add_bulk(self, hs: np.ndarray) -> None:
+        """Vectorized insert of a uint64 hash array (no per-item
+        membership answer — the build side of a broadcast semi-join)."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        h1 = (hs & np.uint64(0xFFFFFFFF))[:, None]
+        h2 = ((hs >> np.uint64(32)) | np.uint64(1))[:, None]
+        pos = (h1 + np.arange(self._k, dtype=np.uint64)[None, :] * h2) \
+            & np.uint64(self._nbits - 1)
+        pos = pos.ravel()
+        np.bitwise_or.at(self._bits, (pos >> 3).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
+        self._count += len(hs)
+
+    def contains_many(self, hs: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe: bool mask per hash (no false
+        negatives; false positives at the configured rate)."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        h1 = (hs & np.uint64(0xFFFFFFFF))[:, None]
+        h2 = ((hs >> np.uint64(32)) | np.uint64(1))[:, None]
+        pos = (h1 + np.arange(self._k, dtype=np.uint64)[None, :] * h2) \
+            & np.uint64(self._nbits - 1)
+        bits = self._bits[(pos >> 3).astype(np.int64)]
+        masks = (1 << (pos & np.uint64(7))).astype(np.uint8)
+        return np.all((bits & masks) != 0, axis=1)
+
     def __len__(self) -> int:
         return self._count
 

@@ -60,7 +60,7 @@ def _oracle_pairs():
     "region_nation_counts", "part_top3_by_brand", "events_by_type",
     "events_hourly", "user_sessions", "events_ts_range",
     "supplier_by_nation", "customer_segments",
-    "asof_join", "range_join",
+    "asof_join", "range_join", "bloom_semijoin",
     "token_counts", "token_counts_bpe", "quality_signals",
     "docs_gopher_quality", "docs_tfidf_topk",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",

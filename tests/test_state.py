@@ -379,3 +379,64 @@ def test_frontier_spill_cap_one_no_starvation(tmp_path):
             break
     assert f.size() == 0
     assert sorted(got) == sorted(urls)
+
+
+def test_bloom_vectorized_paths_agree_with_scalar():
+    """add_bulk/contains_many must agree bit-for-bit with the scalar
+    add_if_absent/__contains__ layout: no false negatives ever, and
+    identical bit arrays for identical inserts."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 2**63, size=2_000, dtype=np.int64).astype(np.uint64)
+    a = BloomFilter(capacity=4_096, fp_rate=1e-4)
+    b = BloomFilter(capacity=4_096, fp_rate=1e-4)
+    for h in keys:
+        a.add_if_absent(int(h))
+    b.add_bulk(keys)
+    assert np.array_equal(a.state()["bits"], b.state()["bits"])
+    assert bool(np.all(b.contains_many(keys)))          # no false negatives
+    # scalar and vectorized probes agree on random non-members too
+    probes = rng.integers(0, 2**63, size=2_000, dtype=np.int64).astype(np.uint64)
+    vec = b.contains_many(probes)
+    for h, v in zip(probes, vec):
+        assert (int(h) in b) == bool(v)
+
+
+def test_bloom_semijoin_false_positives_are_verified_away(ray_session,
+                                                          tmp_path):
+    """Force a saturated (tiny) bloom so false positives certainly
+    occur in the prune pass, and check the searchsorted verify stage
+    still yields the exact join result."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.joins import q_bloom_semijoin
+
+    rng = np.random.default_rng(4)
+    n_orders = 400
+    prio = np.where(np.arange(n_orders) % 7 == 0, "1-URGENT", "3-MEDIUM")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_orderpriority": pa.array(prio.astype(object)),
+    }), str(tmp_path / "orders.parquet"))
+    li_keys = rng.integers(0, n_orders, size=5_000).astype(np.int64)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(li_keys),
+        "l_quantity": pa.array(rng.integers(1, 50, size=5_000).astype(np.float64)),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    # fp_rate ~0.5: the bloom passes many non-members — verify must drop them
+    got = q_bloom_semijoin(str(tmp_path), fp_rate=0.5)
+    li = pd.read_parquet(tmp_path / "lineitem.parquet")
+    want = (
+        li[li["l_orderkey"] % 7 == 0]
+        .assign(_q=lambda d: d["l_quantity"].astype("int64"))
+        .groupby("l_orderkey", as_index=False)
+        .agg(n_items=("_q", "size"), sum_qty=("_q", "sum"))
+        .rename(columns={"l_orderkey": "orderkey"})
+        .sort_values("orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -10,6 +10,8 @@
     python -m playwrightcrawler_ray.cli urls    --out DIR [--ext RE] [--limit N]
     python -m playwrightcrawler_ray.cli score   --out DIR [--min-res N]
         [--threshold P] [--concurrency N]       # NSFW model actor pool
+    python -m playwrightcrawler_ray.cli query   [--list] [--name Q]
+        [--sf DIR] [--limit N]                  # run any driver query
 
 The CLI owns its Ray session (guarded init, shutdown at exit) — library
 code never does (driver contract).
@@ -74,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--min-res", type=int, default=16 * 16)
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--concurrency", type=int, default=2)
+
+    q = sub.add_parser(
+        "query", help="run a named driver query over a testdata dir "
+        "(list names with --list)")
+    q.add_argument("--name", default=None)
+    q.add_argument("--sf", default="/root/testdata/sf0.001",
+                   help="testdata directory with the parquet tables")
+    q.add_argument("--limit", type=int, default=20,
+                   help="rows printed (full row count always reported)")
+    q.add_argument("--list", action="store_true",
+                   help="list available query names and exit")
 
     args = p.parse_args(argv)
     if args.cmd in ("images", "verify", "urls", "score"):
@@ -178,6 +191,35 @@ def main(argv: list[str] | None = None) -> int:
                                if f)
             print(json.dumps({"images": n, "scored": scored_n,
                               "flagged": flagged, "threshold": thr}))
+        elif args.cmd == "query":
+            import importlib.util
+            import os
+
+            spec = importlib.util.spec_from_file_location(
+                "__ray_entry__",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "__ray_entry__.py"))
+            entry = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(entry)
+            qs = entry.queries()
+            if args.list or not args.name:
+                oracled = set(entry.oracle_sql())
+                for name in sorted(qs):
+                    kind = "sql-oracled" if name in oracled else "rows-only"
+                    print(f"{name}\t{kind}")
+                return 0
+            if args.name not in qs:
+                print(json.dumps({"error": f"unknown query {args.name!r} "
+                                  "(see --list)"}), file=sys.stderr)
+                return 2
+            import pandas as pd
+
+            out = qs[args.name](args.sf)
+            if not isinstance(out, pd.DataFrame):
+                out = out.to_pandas()
+            print(out.head(args.limit).to_string(index=False))
+            print(json.dumps({"query": args.name, "rows": len(out),
+                              "columns": list(out.columns)}))
     finally:
         ray.shutdown()
     return 0

@@ -188,3 +188,23 @@ def test_bpe_learn_merges_matches_naive_reference(ray_session, tmp_path):
     # determinism across runs
     again = q_bpe_learn_merges(str(tmp_path), n_merges=8)
     assert got.equals(again)
+
+
+def test_cli_query_subcommand_runs():
+    """`cli query` lists names and runs a named driver query in its
+    own process (the CLI owns its Ray session — driver contract)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "playwrightcrawler_ray.cli", "query",
+         "--name", "bloom_semijoin", "--sf", "/root/testdata/sf0.001",
+         "--limit", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["query"] == "bloom_semijoin"
+    assert summary["rows"] > 0
+    assert summary["columns"] == ["orderkey", "n_items", "sum_qty"]

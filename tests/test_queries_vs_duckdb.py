@@ -55,7 +55,10 @@ def _oracle_pairs():
     return sorted(sqls.keys()), qs
 
 
-@pytest.mark.parametrize("name", [
+# every oracle_sql() entry, pinned here so new oracled queries CANNOT
+# land untested: test_query_lists_are_complete fails if this list and
+# oracle_sql() drift apart in either direction.
+ORACLED = [
     "pricing_summary", "top_customers", "orders_without_lineitem",
     "region_nation_counts", "part_top3_by_brand", "events_by_type",
     "events_hourly", "user_sessions", "events_ts_range",
@@ -70,7 +73,21 @@ def _oracle_pairs():
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
     "docs_decontaminate", "words_topk", "docs_trainset_decontam",
-])
+]
+
+
+def test_query_lists_are_complete(entrymod):
+    """The driver-gate mirror must exercise EVERY queries() entry:
+    each oracled query is in ORACLED (value-compared vs DuckDB) and
+    each remaining query is rows-only-smoked below."""
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert set(ORACLED) == set(sqls), (
+        set(ORACLED) ^ set(sqls))
+    assert set(qs) - set(sqls) == set(_rows_only_names(entrymod))
+
+
+@pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(entrymod, name):
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
@@ -84,18 +101,15 @@ def test_query_matches_oracle(entrymod, name):
     pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=1e-9)
 
 
+def _rows_only_names(entrymod) -> list[str]:
+    """Every queries() entry without a SQL twin — derived, so a new
+    rows-only query is smoked automatically."""
+    return sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ["langid_quality", "doc_fingerprints", "bpe_learn_merges",
-                 "minhash_lsh_pairs",
-                 "doc_neardup_dedup", "docs_trainset",
-                 "simhash", "ann_topk_lsh", "ann_topk_ivf", "embedding_kmeans",
-                 "embedding_neardup_lsh", "dedup_components_lsh",
-                 "events_distinct_users_hll", "words_topk_mg",
-                 "embedding_norm_quantiles",
-                 "crawl_images",
-                 "crawl_pages_by_source", "crawl_phash_buckets",
-                 "crawl_trainset", "crawl_media_probe"]:
+    for name in _rows_only_names(entrymod):
         out = qs[name](SF_DIR)
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()

@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 60
+shape) and returns the images Dataset. ``queries()`` exposes the 61
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 40
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -145,6 +145,15 @@ def _q_crawl_media_probe(_sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_crawl_pagerank(_sf_dir: str):
+    """Weighted PageRank over the crawl's host link graph (rows-only:
+    iterative float fixpoint; pinned against an independent dense
+    power iteration in pytest)."""
+    from playwrightcrawler_ray.ops.graph import crawl_host_pagerank
+
+    return crawl_host_pagerank(_crawl_output_dir())
+
+
 def _q_crawl_phash_buckets(_sf_dir: str):
     from playwrightcrawler_ray.pipelines.export import phash_buckets
 
@@ -170,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phash_buckets": _q_crawl_phash_buckets,
         "crawl_trainset": _q_crawl_trainset,
         "crawl_media_probe": _q_crawl_media_probe,
+        "crawl_pagerank": _q_crawl_pagerank,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,
         "top_customers": A.q_top_customers,

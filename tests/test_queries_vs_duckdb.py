@@ -455,3 +455,54 @@ def test_embedding_norm_quantiles_certificate(entrymod):
         hi = np.searchsorted(norms, r["norm_est"], side="right")
         b = r["rank_err_bound"]
         assert lo - b <= r["q"] * n <= hi + b, dict(r)
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """The distributed power iteration must match an independently
+    written dense transition-matrix PageRank to 1e-9 on a random
+    weighted digraph, including dangling-node handling."""
+    import numpy as np
+
+    from playwrightcrawler_ray.ops.graph import pagerank_from_edges
+
+    rng = np.random.default_rng(11)
+    n = 40
+    names = np.array([f"h{i:02d}" for i in range(n)], dtype=object)
+    rows = []
+    for _ in range(300):
+        s, d = rng.integers(0, n, 2)
+        if s != d:
+            rows.append((names[s], names[d], int(rng.integers(1, 9))))
+    edges = pd.DataFrame(rows, columns=["src", "dst", "weight"]).groupby(
+        ["src", "dst"], as_index=False)["weight"].sum()
+    got = pagerank_from_edges(edges, 0.85, 40).set_index("host")["rank"]
+
+    hosts = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    m = len(hosts)
+    p = np.zeros((m, m))
+    for _, r in edges.iterrows():
+        p[idx[r["dst"]], idx[r["src"]]] += r["weight"]
+    col = p.sum(axis=0)
+    dang = col == 0
+    pn = np.divide(p, np.where(col == 0, 1, col)[None, :])
+    rv = np.full(m, 1 / m)
+    for _ in range(40):
+        rv = (1 - 0.85) / m + 0.85 * (pn @ rv + rv[dang].sum() / m)
+
+    diff = float(np.abs(got.reindex(hosts).to_numpy() - rv).max())
+    assert diff < 1e-9, diff
+    assert abs(float(got.sum()) - 1.0) < 1e-9
+    assert (got > 0).all()
+
+
+def test_crawl_pagerank_invariants(entrymod):
+    """PageRank over the golden crawl's host graph: a probability
+    vector over the crawl's hosts, deterministic across runs."""
+    qs = entrymod.queries()
+    a = qs["crawl_pagerank"](SF_DIR)
+    assert len(a) > 1
+    assert abs(float(a["rank"].sum()) - 1.0) < 1e-6
+    assert (a["rank"] > 0).all()
+    b = qs["crawl_pagerank"](SF_DIR)
+    pd.testing.assert_frame_equal(a, b)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 61
+shape) and returns the images Dataset. ``queries()`` exposes the 62
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 40
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 41
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -225,8 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": T.q_doc_sample,
         "docs_per_source_cap": T.q_docs_per_source_cap,
         "docs_split": T.q_docs_split,
-        # benchmark decontamination (n-gram overlap vs holdout slice)
+        # benchmark decontamination (n-gram overlap vs holdout slice):
+        # broadcast layout + the no-broadcast shingle-join scale twin
         "docs_decontaminate": D.q_docs_decontaminate,
+        "docs_decontaminate_join": D.q_docs_decontaminate_join,
         # corpus heavy hitters: exact vocabulary-state top-k ...
         "words_topk": T.q_words_topk,
         # ... and the bounded-state Misra-Gries summary (rows-only:
@@ -306,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "docs_split": T.sql_docs_split(),
         "docs_decontaminate": D.sql_docs_decontaminate(),
+        "docs_decontaminate_join": D.sql_docs_decontaminate(),
         "words_topk": T.sql_words_topk(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),

@@ -680,3 +680,59 @@ WHERE sh.doc_id % {bench_mod} <> 0
 GROUP BY sh.doc_id
 ORDER BY doc_id
 """
+
+
+def q_docs_decontaminate_join(sf_dir: str, w: int = 3, bench_mod: int = 97,
+                              n_parts: int = 64) -> pd.DataFrame:
+    """The NO-BROADCAST twin of ``q_docs_decontaminate`` — the layout
+    for a holdout too large to ship to every worker (e.g. dedup
+    against another corpus rather than an eval suite): shingle rows
+    from BOTH sides are hash-partitioned on the shingle
+    (``groupby(part).map_groups``, same shape as the exact Jaccard
+    kernel above), each partition intersects its training shingles
+    with its benchmark shingles locally, and per-doc hit partials sum
+    exactly because every distinct shingle lives in exactly one
+    partition. Output is identical to the broadcast version (same SQL
+    oracle); the agreement is also pinned in pytest."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_s = [], []
+        for doc_id, sh in zip(df["doc_id"],
+                              _shingle_hash_arrays(df["text"], w)):
+            if sh.size:
+                out_d.append(np.full(len(sh), int(doc_id), dtype=np.int64))
+                out_s.append(sh.view(np.int64))
+        if not out_d:
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "shingle": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int32")})
+        s = np.concatenate(out_s)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(out_d),
+            "shingle": s,
+            "part": (s.view(np.uint64) % np.uint64(n_parts)).astype(np.int32),
+        })
+
+    def part_hits(g: pd.DataFrame) -> pd.DataFrame:
+        is_bench = (g["doc_id"] % bench_mod == 0).to_numpy()
+        bench_sh = np.unique(g["shingle"].to_numpy()[is_bench])
+        train = g[~is_bench]
+        if not len(bench_sh) or not len(train):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "n_hits": pd.array([], dtype="int64")})
+        hit = np.isin(train["shingle"].to_numpy(), bench_sh)
+        sub = train[hit]
+        out = sub.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"size": "n_hits"})
+
+    parts = (
+        ds.map_batches(sh_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_hits, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("doc_id", as_index=False)["n_hits"].sum()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -72,7 +72,8 @@ ORACLED = [
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
-    "docs_decontaminate", "words_topk", "docs_trainset_decontam",
+    "docs_decontaminate", "docs_decontaminate_join", "words_topk",
+    "docs_trainset_decontam",
 ]
 
 
@@ -506,3 +507,15 @@ def test_crawl_pagerank_invariants(entrymod):
     assert (a["rank"] > 0).all()
     b = qs["crawl_pagerank"](SF_DIR)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_layouts_agree(entrymod):
+    """The broadcast layout and the no-broadcast shingle-join layout
+    must produce identical results (the scale fallback is code, not a
+    docstring)."""
+    qs = entrymod.queries()
+    a = qs["docs_decontaminate"](SF_DIR)
+    b = qs["docs_decontaminate_join"](SF_DIR)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_dtype=False)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 62
+shape) and returns the images Dataset. ``queries()`` exposes the 63
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 41
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 42
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
         # curation: seeded sampling + per-source quota + split
         "doc_sample": T.q_doc_sample,
+        "docs_stratified_sample": T.q_docs_stratified_sample,
         "docs_per_source_cap": T.q_docs_per_source_cap,
         "docs_split": T.q_docs_split,
         # benchmark decontamination (n-gram overlap vs holdout slice):
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,
         "doc_sample": T.sql_doc_sample(),
+        "docs_stratified_sample": T.sql_docs_stratified_sample(),
         "docs_per_source_cap": T.sql_docs_per_source_cap(),
         "docs_split": T.sql_docs_split(),
         "docs_decontaminate": D.sql_docs_decontaminate(),

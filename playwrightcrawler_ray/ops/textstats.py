@@ -905,3 +905,67 @@ GROUP BY w
 ORDER BY cnt DESC, word
 LIMIT {k}
 """
+
+
+def q_docs_stratified_sample(sf_dir: str, k: int = 25, seed: int = 23
+                             ) -> pd.DataFrame:
+    """Stratified seeded sampling: ``k`` documents PER LANGUAGE, the k
+    smallest ``mix64(doc_id ^ seed)`` within each stratum — the "equal
+    representation per group" sampler a multilingual mix build uses.
+    Same one-pass shape as ``q_doc_sample``, just with group-aware
+    partial top-k: each batch keeps at most k rows per lang it saw, so
+    partials stay O(k x langs-in-batch) and the driver merge is
+    O(k x langs)."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _mix64_np(df["doc_id"].to_numpy(), seed)
+        sub = df.assign(h=h.astype(np.int64))
+        return sub.sort_values("h", key=lambda s: s.to_numpy().view("uint64")
+                               ).groupby("lang", sort=False).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts["hu"] = parts["h"].to_numpy().view("uint64")
+    out = (
+        parts.sort_values(["hu", "doc_id"])
+        .groupby("lang", sort=False).head(k)
+    )
+    return (
+        out[["lang", "doc_id"]]
+        .astype({"doc_id": "int64"})
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def sql_docs_stratified_sample(k: int = 25, seed: int = 23) -> str:
+    m = 1 << 64
+    m32 = 1 << 32
+
+    def mulmod(x: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
+  FROM documents
+),
+h1 AS (SELECT doc_id, lang, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
+h2 AS (SELECT doc_id, lang,
+              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
+       FROM h1),
+h3 AS (SELECT doc_id, lang, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
+h4 AS (SELECT doc_id, lang,
+              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
+       FROM h3)
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM h4
+) WHERE rn <= {k}
+ORDER BY lang, doc_id
+"""

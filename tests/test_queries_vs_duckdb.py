@@ -68,7 +68,8 @@ ORACLED = [
     "docs_gopher_quality", "docs_tfidf_topk",
     "lang_distribution", "docs_by_source", "doc_exact_dedup",
     "docs_token_quantiles", "docs_regex_scan", "docs_inverted_index",
-    "doc_sample", "docs_per_source_cap", "docs_split",
+    "doc_sample", "docs_stratified_sample", "docs_per_source_cap",
+    "docs_split",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",

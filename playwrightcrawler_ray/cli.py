@@ -38,6 +38,24 @@ def _ray_session():
     return ray
 
 
+def _load_entry_module():
+    """Load the driver entry (__ray_entry__.py beside the package) —
+    returns None when the package is installed without a source
+    checkout, so the caller can emit the CLI's JSON error instead of
+    a traceback."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__ray_entry__.py")
+    if not os.path.exists(path):
+        return None
+    spec = importlib.util.spec_from_file_location("__ray_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="playwrightcrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -97,6 +115,28 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"no crawl output found under {args.out} "
                               "(expected wave=*/ parquet partitions)"}),
                   file=sys.stderr)
+            return 2
+    entry = None
+    if args.cmd == "query":
+        # resolve + validate BEFORE paying Ray startup: --list and the
+        # unknown-name error need no session at all
+        entry = _load_entry_module()
+        if entry is None:
+            print(json.dumps({"error": "driver entry (__ray_entry__.py) "
+                              "not found next to the package — the query "
+                              "subcommand needs a source checkout"}),
+                  file=sys.stderr)
+            return 2
+        qs = entry.queries()
+        if args.list or not args.name:
+            oracled = set(entry.oracle_sql())
+            for name in sorted(qs):
+                kind = "sql-oracled" if name in oracled else "rows-only"
+                print(f"{name}\t{kind}")
+            return 0
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query {args.name!r} "
+                              "(see --list)"}), file=sys.stderr)
             return 2
     ray = _ray_session()
     try:
@@ -192,29 +232,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"images": n, "scored": scored_n,
                               "flagged": flagged, "threshold": thr}))
         elif args.cmd == "query":
-            import importlib.util
-            import os
-
-            spec = importlib.util.spec_from_file_location(
-                "__ray_entry__",
-                os.path.join(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__))), "__ray_entry__.py"))
-            entry = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(entry)
-            qs = entry.queries()
-            if args.list or not args.name:
-                oracled = set(entry.oracle_sql())
-                for name in sorted(qs):
-                    kind = "sql-oracled" if name in oracled else "rows-only"
-                    print(f"{name}\t{kind}")
-                return 0
-            if args.name not in qs:
-                print(json.dumps({"error": f"unknown query {args.name!r} "
-                                  "(see --list)"}), file=sys.stderr)
-                return 2
             import pandas as pd
 
-            out = qs[args.name](args.sf)
+            out = entry.queries()[args.name](args.sf)
             if not isinstance(out, pd.DataFrame):
                 out = out.to_pandas()
             print(out.head(args.limit).to_string(index=False))

@@ -276,15 +276,24 @@ def q_embedding_norm_quantiles(sf_dir: str,
     ds = _read(sf_dir, "embeddings", ["embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(df["embedding"].to_numpy())
         sk = QuantileSketch(k)
-        sk.add(np.sqrt(np.einsum("ij,ij->i", m, m)))
+        if len(df):
+            m = np.stack(df["embedding"].to_numpy())
+            sk.add(np.sqrt(np.einsum("ij,ij->i", m, m)))
         return pd.DataFrame({"blob": [pickle.dumps(sk)]})
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         sk = QuantileSketch(k)
         for b in df["blob"]:
             sk.merge(pickle.loads(b))
+        if sk.n == 0:
+            # degrade like every other op: empty frame, stable schema
+            return pd.DataFrame({
+                "q": pd.array([], dtype="float64"),
+                "norm_est": pd.array([], dtype="float64"),
+                "rank_err_bound": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            })
         rows = [{
             "q": float(q),
             "norm_est": sk.quantile(q),

@@ -286,6 +286,38 @@ def _mix64_np(v, seed: int):
     return x
 
 
+def _sql_mix64_cte(cols: list[str], seed: int) -> str:
+    """The shared HUGEINT reproduction of :func:`_mix64_np` as a
+    ``WITH``-chain ``h0..h4`` over ``documents``: carries ``cols``
+    through and ends with ``h4(cols..., h)``. A 64x64-bit modular
+    multiply would overflow signed INT128, so each constant is split
+    into 32-bit halves: (x*A) mod 2^64 = (x*lo + ((x*hi mod 2^32)
+    << 32)) mod 2^64 — every intermediate stays under 2^97. Shared by
+    every mix64-seeded oracle (sample / split / stratified) so the
+    arithmetic encoding lives in ONE place."""
+    m = 1 << 64
+    m32 = 1 << 32
+
+    def mulmod(x: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
+
+    c = ", ".join(cols)
+    return f"""h0 AS (
+  SELECT {c},
+         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
+  FROM documents
+),
+h1 AS (SELECT {c}, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
+h2 AS (SELECT {c},
+              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
+       FROM h1),
+h3 AS (SELECT {c}, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
+h4 AS (SELECT {c},
+              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
+       FROM h3)"""
+
+
 def q_doc_sample(sf_dir: str, k: int = 100, seed: int = 11) -> pd.DataFrame:
     """Seeded uniform pseudo-random sample of ``k`` documents: the k
     rows with the smallest ``mix64(doc_id ^ seed)`` — deterministic,
@@ -320,31 +352,10 @@ def q_doc_sample(sf_dir: str, k: int = 100, seed: int = 11) -> pd.DataFrame:
 
 
 def sql_doc_sample(k: int = 100, seed: int = 11) -> str:
-    """DuckDB mirror of the mix64 sampler. 64x64-bit modular multiply
-    would overflow signed INT128, so each constant is split into 32-bit
-    halves: (x*A) mod 2^64 = (x*lo + ((x*hi mod 2^32) << 32)) mod 2^64
-    — every intermediate stays under 2^97."""
-    m = 1 << 64
-    m32 = 1 << 32
-
-    def mulmod(x: str, const: int) -> str:
-        lo, hi = const & 0xFFFFFFFF, const >> 32
-        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
-
+    """DuckDB mirror of the mix64 sampler (arithmetic encoding shared
+    via :func:`_sql_mix64_cte`)."""
     return f"""
-WITH h0 AS (
-  SELECT doc_id, n_chars,
-         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
-  FROM documents
-),
-h1 AS (SELECT doc_id, n_chars, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
-h2 AS (SELECT doc_id, n_chars,
-              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
-       FROM h1),
-h3 AS (SELECT doc_id, n_chars, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
-h4 AS (SELECT doc_id, n_chars,
-              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
-       FROM h3)
+WITH {_sql_mix64_cte(["doc_id", "n_chars"], seed)}
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars FROM h4 ORDER BY h, doc_id LIMIT {k}
 ) ORDER BY doc_id
@@ -662,27 +673,8 @@ def q_docs_split(sf_dir: str, seed: int = 17,
 
 def sql_docs_split(seed: int = 17, val_pct: int = 5,
                    test_pct: int = 5) -> str:
-    m = 1 << 64
-    m32 = 1 << 32
-
-    def mulmod(x: str, const: int) -> str:
-        lo, hi = const & 0xFFFFFFFF, const >> 32
-        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
-
     return f"""
-WITH h0 AS (
-  SELECT doc_id,
-         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
-  FROM documents
-),
-h1 AS (SELECT doc_id, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
-h2 AS (SELECT doc_id,
-              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
-       FROM h1),
-h3 AS (SELECT doc_id, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
-h4 AS (SELECT doc_id,
-              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
-       FROM h3)
+WITH {_sql_mix64_cte(["doc_id"], seed)}
 SELECT doc_id,
        CAST(h % 100 AS BIGINT) AS bucket,
        CASE WHEN h % 100 < {val_pct} THEN 'val'
@@ -941,27 +933,8 @@ def q_docs_stratified_sample(sf_dir: str, k: int = 25, seed: int = 23
 
 
 def sql_docs_stratified_sample(k: int = 25, seed: int = 23) -> str:
-    m = 1 << 64
-    m32 = 1 << 32
-
-    def mulmod(x: str, const: int) -> str:
-        lo, hi = const & 0xFFFFFFFF, const >> 32
-        return (f"(({x} * {lo}) % {m} + (({x} * {hi}) % {m32}) * {m32}) % {m}")
-
     return f"""
-WITH h0 AS (
-  SELECT doc_id, lang,
-         CAST(xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS HUGEINT) AS x0
-  FROM documents
-),
-h1 AS (SELECT doc_id, lang, {mulmod("x0", _MIX_A)} AS x1 FROM h0),
-h2 AS (SELECT doc_id, lang,
-              CAST(xor(CAST(x1 AS UBIGINT), CAST(x1 AS UBIGINT) >> 29) AS HUGEINT) AS x2
-       FROM h1),
-h3 AS (SELECT doc_id, lang, {mulmod("x2", _MIX_B)} AS x3 FROM h2),
-h4 AS (SELECT doc_id, lang,
-              xor(CAST(x3 AS UBIGINT), CAST(x3 AS UBIGINT) >> 32) AS h
-       FROM h3)
+WITH {_sql_mix64_cte(["doc_id", "lang"], seed)}
 SELECT lang, doc_id FROM (
   SELECT lang, doc_id,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn

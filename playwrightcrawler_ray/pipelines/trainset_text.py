@@ -107,7 +107,7 @@ def build_text_trainset(
     # whether or not they'd pass the training gate); the shingle-hash
     # set is corpus-independent-small → ray.put broadcast + one
     # searchsorted per batch, zero shuffle (ops/dedup.benchmark_hash_set).
-    n_contaminated = 0
+    n_contaminated = n_holdout = 0
     if decontaminate_mod:
         bset_ref = ray.put(D.benchmark_hash_set(
             ds.select_columns(["doc_id", "text"]), w, decontaminate_mod))
@@ -118,10 +118,23 @@ def build_text_trainset(
                 sub["text"].tolist(), ray.get(bset_ref), w)
             return sub[hits == 0]
 
+        # materialize the gate output ONCE — counting a lazy Dataset
+        # and then mapping it would re-run the gate (the most
+        # expensive stage) from scratch
+        gated = gated.materialize()
         pre = gated.count()
+
+        def holdout_count(df: pd.DataFrame) -> pd.DataFrame:
+            n = int((df["doc_id"] % decontaminate_mod == 0).sum())
+            return pd.DataFrame({"n": pd.array([n], dtype="int64")})
+
+        n_holdout = int(gated.map_batches(
+            holdout_count, batch_format="pandas").to_pandas()["n"].sum())
         gated = gated.map_batches(
             drop_contaminated, batch_format="pandas").materialize()
-        n_contaminated = pre - gated.count()
+        # contamination drops only — the holdout slice is removed by
+        # definition, not because it overlapped anything
+        n_contaminated = pre - n_holdout - gated.count()
 
     # --- 2. exact dedup: one shuffle on the content hash ---
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -202,6 +215,7 @@ def build_text_trainset(
         "rows": out.num_rows,
         "dest": dest,
         "n_dropped_decontam": int(n_contaminated),
+        "n_dropped_holdout": int(n_holdout),
         "n_dropped_neardup": int(len(drop)),
         "partitions": len(
             [d for d in os.listdir(dest) if d.startswith("shard=")]

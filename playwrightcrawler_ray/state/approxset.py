@@ -208,9 +208,12 @@ class BloomFilter:
         return [self.add_if_absent(int(h)) for h in hs]
 
     def add_bulk(self, hs: np.ndarray) -> None:
-        """Vectorized insert of a uint64 hash array (no per-item
-        membership answer — the build side of a broadcast semi-join)."""
-        hs = np.asarray(hs, dtype=np.uint64)
+        """Vectorized insert of a uint64 hash array (the build side of
+        a broadcast semi-join). Count semantics match add_if_absent:
+        only hashes not already present (per the filter's own probe)
+        increment ``_count``."""
+        hs = np.unique(np.asarray(hs, dtype=np.uint64))
+        new = ~self.contains_many(hs)
         h1 = (hs & np.uint64(0xFFFFFFFF))[:, None]
         h2 = ((hs >> np.uint64(32)) | np.uint64(1))[:, None]
         pos = (h1 + np.arange(self._k, dtype=np.uint64)[None, :] * h2) \
@@ -218,7 +221,7 @@ class BloomFilter:
         pos = pos.ravel()
         np.bitwise_or.at(self._bits, (pos >> 3).astype(np.int64),
                          (1 << (pos & np.uint64(7))).astype(np.uint8))
-        self._count += len(hs)
+        self._count += int(new.sum())
 
     def contains_many(self, hs: np.ndarray) -> np.ndarray:
         """Vectorized membership probe: bool mask per hash (no false

@@ -395,6 +395,9 @@ def test_bloom_vectorized_paths_agree_with_scalar():
         a.add_if_absent(int(h))
     b.add_bulk(keys)
     assert np.array_equal(a.state()["bits"], b.state()["bits"])
+    assert len(a) == len(b)          # distinct-insert count semantics
+    b.add_bulk(keys)                 # re-adding present keys: no change
+    assert len(a) == len(b)
     assert bool(np.all(b.contains_many(keys)))          # no false negatives
     # scalar and vectorized probes agree on random non-members too
     probes = rng.integers(0, 2**63, size=2_000, dtype=np.int64).astype(np.uint64)

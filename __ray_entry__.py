@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 63
+shape) and returns the images Dataset. ``queries()`` exposes the 64
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 42
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 43
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import joins as J
+    from playwrightcrawler_ray.ops import pardedup as P
     from playwrightcrawler_ray.ops import sketch as S
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
@@ -240,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against exact ranks in pytest)
         "embedding_norm_quantiles": S.q_embedding_norm_quantiles,
         # dedup family
+        # cross-doc paragraph-exact dedup (RefinedWeb/Dolma stage):
+        # two-shuffle explode→first-occurrence→reassemble, SQL-oracled
+        "docs_paragraph_dedup": P.q_docs_paragraph_dedup,
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
         "simhash": D.q_simhash,                        # rows-only (hash fn)
@@ -273,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import joins as J
+    from playwrightcrawler_ray.ops import pardedup as P
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
 
@@ -312,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": D.sql_docs_decontaminate(),
         "docs_decontaminate_join": D.sql_docs_decontaminate(),
         "words_topk": T.sql_words_topk(),
+        "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),

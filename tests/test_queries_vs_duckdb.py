@@ -70,6 +70,7 @@ ORACLED = [
     "docs_token_quantiles", "docs_regex_scan", "docs_inverted_index",
     "doc_sample", "docs_stratified_sample", "docs_per_source_cap",
     "docs_split",
+    "docs_paragraph_dedup",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
@@ -157,6 +158,52 @@ def test_ngram_jaccard_edge_cases_match_oracle(ray_session, tmp_path):
     top = got.sort_values("jaccard", ascending=False).iloc[0]
     assert {int(top["doc_a"]), int(top["doc_b"])} == {2, 3}
     assert top["jaccard"] == 1.0
+
+
+def test_paragraph_dedup_edge_cases_match_oracle(ray_session, tmp_path):
+    """Cross-doc paragraph dedup on a hand-built corpus: within-doc
+    repeats, cross-doc repeats, a fully-deduplicated document (must
+    vanish), a short last chunk, and the first-occurrence policy
+    ordered by (doc_id, idx) — engine and DuckDB oracle identical."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.pardedup import (
+        q_docs_paragraph_dedup,
+        sql_docs_paragraph_dedup,
+    )
+
+    chunk = "a b c"  # chunk_words=3 below → exactly one paragraph
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            f"{chunk} {chunk} d e",      # within-doc repeat + short tail
+            f"{chunk} x y z",            # cross-doc repeat of doc 1's par
+            chunk,                       # fully deduplicated → dropped
+            "d e",                       # duplicates doc 1's TAIL chunk
+            "p q r d e f",               # 'd e f' != 'd e' (exact strings)
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q_docs_paragraph_dedup(str(tmp_path), chunk_words=3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(sql_docs_paragraph_dedup(chunk_words=3)).df()
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    by_id = {int(r.doc_id): r for r in got.itertuples()}
+    assert 3 not in by_id                       # fully deduped doc gone
+    assert by_id[1].text == f"{chunk} d e"      # within-doc repeat removed
+    assert by_id[1].n_dropped == 1
+    assert by_id[2].text == "x y z"             # cross-doc repeat removed
+    assert 4 not in by_id                       # its only chunk 'd e' is
+    #                                             doc 1's tail, seen first
+    assert by_id[5].text == "p q r d e f"       # no false hash-only match
+    assert by_id[5].n_dropped == 0
 
 
 def test_minhash_lsh_agrees_with_exact_on_high_jaccard(entrymod):

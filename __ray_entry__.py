@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 64
+shape) and returns the images Dataset. ``queries()`` exposes the 65
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 43
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 44
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -244,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc paragraph-exact dedup (RefinedWeb/Dolma stage):
         # two-shuffle explode→first-occurrence→reassemble, SQL-oracled
         "docs_paragraph_dedup": P.q_docs_paragraph_dedup,
+        # per-doc duplicate n-gram fraction (Lee et al. diagnostic):
+        # one gram-partition shuffle, doc-sized partials, SQL-oracled
+        "docs_dup_ngram_fraction": P.q_docs_dup_ngram_fraction,
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
         "simhash": D.q_simhash,                        # rows-only (hash fn)
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate_join": D.sql_docs_decontaminate(),
         "words_topk": T.sql_words_topk(),
         "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
+        "docs_dup_ngram_fraction": P.sql_docs_dup_ngram_fraction(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),

@@ -139,6 +139,136 @@ def q_docs_paragraph_dedup(sf_dir: str, chunk_words: int = 8,
     )
 
 
+def q_docs_dup_ngram_fraction(sf_dir: str, w: int = 8,
+                              n_parts: int = 64) -> pd.DataFrame:
+    """Per-document duplicate n-gram fraction — the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better") /
+    Gopher diagnostic: what share of a document's sliding word
+    ``w``-grams occur anywhere else in the corpus (including other
+    positions of the same document)?
+
+    Returns ``(doc_id, n_grams, n_dup, dup_bp)`` for EVERY document —
+    ``dup_bp`` is integer basis points ``n_dup * 10000 // n_grams``
+    (0 for docs shorter than ``w`` tokens), float-free so the DuckDB
+    compare is bit-exact.
+
+    Scale shape: one shuffle. Sliding grams are exploded per batch and
+    hash-partitioned on the gram; every occurrence of a gram lands in
+    one partition, so the global occurrence count per EXACT gram
+    string is a per-group size, and each group emits doc-sized
+    partials ``(doc_id, n_grams, n_dup)`` that a final combine sums.
+    No broadcast, no all-pairs; partition hash collisions are harmless
+    (grouping inside the partition is by the gram string itself).
+    """
+    from .textstats import _docs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_gram, out_part = [], [], []
+        short_doc, short_n = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            words = text.split(" ")
+            doc_id = int(doc_id)
+            if len(words) < w:
+                short_doc.append(doc_id)
+                short_n.append(0)
+                continue
+            for i in range(len(words) - w + 1):
+                g = " ".join(words[i:i + w])
+                h = int.from_bytes(
+                    hashlib.blake2b(g.encode("utf-8"),
+                                    digest_size=8).digest(), "big")
+                out_doc.append(doc_id)
+                out_gram.append(g)
+                out_part.append(h % n_parts)
+        # docs with no grams ride along as sentinel rows (part -1)
+        # so they surface in the output with n_grams = 0
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc + short_doc, dtype="int64"),
+                "gram": pd.array(
+                    out_gram + [""] * len(short_doc),
+                    dtype="string[pyarrow]"),
+                "part": pd.array(
+                    out_part + [-1] * len(short_doc), dtype="int32"),
+            }
+        )
+
+    def gram_partials(g: pd.DataFrame) -> pd.DataFrame:
+        """Per gram-hash partition → doc-sized partials."""
+        if (g["part"] < 0).any():
+            # sentinel partition: short docs, zero grams
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].astype("int64"),
+                    "n_grams": pd.array([0] * len(g), dtype="int64"),
+                    "n_dup": pd.array([0] * len(g), dtype="int64"),
+                }
+            )
+        sizes = g.groupby("gram")["doc_id"].transform("size")
+        dup = (sizes >= 2).to_numpy()
+        out = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
+            .groupby("doc_id", as_index=False)
+            .agg(n_grams=("dup", "size"), n_dup=("dup", "sum"))
+        )
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_dup"] = out["n_dup"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gram_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("doc_id", as_index=False).agg(
+        n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum")
+    )
+    out["dup_bp"] = np.where(
+        out["n_grams"] > 0, out["n_dup"] * 10000 // out["n_grams"].clip(1), 0
+    ).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_dup_ngram_fraction(w: int = 8) -> str:
+    """DuckDB twin: sliding grams via a framed window STRING_AGG,
+    global counts per exact gram, integer basis points."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+), expl AS (
+  SELECT doc_id, i, ws[i] AS word, LEN(ws) AS t
+  FROM words,
+       (SELECT UNNEST(GENERATE_SERIES(1, (SELECT MAX(LEN(ws)) FROM words)))
+               AS i) seq
+  WHERE i <= LEN(ws)
+), grams AS (
+  SELECT doc_id, i, t,
+         STRING_AGG(word, ' ') OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS g
+  FROM expl
+), valid AS (
+  SELECT doc_id, g FROM grams WHERE i <= t - {w - 1}
+), counts AS (
+  SELECT g, COUNT(*) AS c FROM valid GROUP BY g
+), perdoc AS (
+  SELECT v.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (c >= 2) AS n_dup
+  FROM valid v JOIN counts USING (g) GROUP BY v.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup, 0) AS n_dup,
+       CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                 THEN p.n_dup * 10000 // p.n_grams ELSE 0 END AS BIGINT)
+           AS dup_bp
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 def sql_docs_paragraph_dedup(chunk_words: int = 8) -> str:
     """DuckDB twin: same chunking, same global first-occurrence
     policy (ROW_NUMBER over (doc_id, idx)), same reassembly."""

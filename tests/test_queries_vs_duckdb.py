@@ -70,7 +70,7 @@ ORACLED = [
     "docs_token_quantiles", "docs_regex_scan", "docs_inverted_index",
     "doc_sample", "docs_stratified_sample", "docs_per_source_cap",
     "docs_split",
-    "docs_paragraph_dedup",
+    "docs_paragraph_dedup", "docs_dup_ngram_fraction",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
@@ -204,6 +204,46 @@ def test_paragraph_dedup_edge_cases_match_oracle(ray_session, tmp_path):
     #                                             doc 1's tail, seen first
     assert by_id[5].text == "p q r d e f"       # no false hash-only match
     assert by_id[5].n_dropped == 0
+
+
+def test_dup_ngram_fraction_edge_cases_match_oracle(ray_session, tmp_path):
+    """Duplicate n-gram fraction on a hand-built corpus: sliding (not
+    aligned) overlap, within-doc repetition, short docs (0 grams, row
+    still present with dup_bp 0), and exact-integer basis points."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.pardedup import (
+        q_docs_dup_ngram_fraction,
+        sql_docs_dup_ngram_fraction,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a b c d e f",     # grams (w=3): abc bcd cde def
+            "z a b c d y",     # zab abc bcd cdy: shares abc+bcd UNALIGNED
+            "q q q q",         # qqq twice → within-doc duplication
+            "x y",             # < w tokens → 0 grams, dup_bp 0
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q_docs_dup_ngram_fraction(str(tmp_path), w=3)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(sql_docs_dup_ngram_fraction(w=3)).df()
+    g, w_ = _normalize(got), _normalize(want)
+    assert len(g) == len(w_) == 4
+    pd.testing.assert_frame_equal(g, w_, check_dtype=False)
+    by_id = {int(r.doc_id): r for r in got.itertuples()}
+    assert by_id[1].n_grams == 4 and by_id[1].n_dup == 2   # abc, bcd
+    assert by_id[1].dup_bp == 5000
+    assert by_id[2].n_dup == 2                             # unaligned hits
+    assert by_id[3].n_grams == 2 and by_id[3].dup_bp == 10000
+    assert by_id[4].n_grams == 0 and by_id[4].dup_bp == 0
 
 
 def test_minhash_lsh_agrees_with_exact_on_high_jaccard(entrymod):

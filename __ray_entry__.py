@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 65
+shape) and returns the images Dataset. ``queries()`` exposes the 66
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 44
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 45
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trainset_exact": TT.q_docs_trainset_exact,
         # the same chain with the benchmark-decontamination stage on
         "docs_trainset_decontam": TT.q_docs_trainset_decontam,
+        # ... and with the cross-doc paragraph-exact dedup stage on
+        "docs_trainset_pardedup": TT.q_docs_trainset_pardedup,
         # similarity search
         "ann_topk": N.q_ann_topk,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),
         "docs_trainset_decontam": TT.sql_docs_trainset_decontam(),
+        "docs_trainset_pardedup": TT.sql_docs_trainset_pardedup(),
         "ann_topk": N.sql_ann_topk(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
         "dedup_components": N.sql_dedup_components(),

@@ -36,14 +36,18 @@ import numpy as np
 import pandas as pd
 
 
-def _explode_paragraphs(df: pd.DataFrame, chunk_words: int,
-                        n_parts: int) -> pd.DataFrame:
+def _explode_paragraphs(df: pd.DataFrame, chunk_words: int, n_parts: int,
+                        meta_cols: tuple[str, ...] = ()) -> pd.DataFrame:
     """(doc_id, text) batch → one row per paragraph chunk with a
-    deterministic 64-bit partition key."""
+    deterministic 64-bit partition key. Per-doc metadata columns ride
+    on the idx-0 row only (None elsewhere) so the reassembly stage can
+    restore them without a separate join."""
     out_doc, out_idx, out_par, out_part = [], [], [], []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
+    out_meta: dict[str, list] = {c: [] for c in meta_cols}
+    for row in zip(df["doc_id"], df["text"],
+                   *(df[c] for c in meta_cols)):
+        doc_id, text, meta = int(row[0]), row[1], row[2:]
         words = text.split(" ")
-        doc_id = int(doc_id)
         for idx in range(0, (len(words) + chunk_words - 1) // chunk_words):
             par = " ".join(words[idx * chunk_words:(idx + 1) * chunk_words])
             h = int.from_bytes(
@@ -54,13 +58,84 @@ def _explode_paragraphs(df: pd.DataFrame, chunk_words: int,
             out_idx.append(idx)
             out_par.append(par)
             out_part.append(h % n_parts)
-    return pd.DataFrame(
-        {
-            "doc_id": pd.array(out_doc, dtype="int64"),
-            "idx": pd.array(out_idx, dtype="int64"),
-            "par": pd.array(out_par, dtype="string[pyarrow]"),
-            "part": pd.array(out_part, dtype="int32"),
+            for c, v in zip(meta_cols, meta):
+                out_meta[c].append(v if idx == 0 else None)
+    cols = {
+        "doc_id": pd.array(out_doc, dtype="int64"),
+        "idx": pd.array(out_idx, dtype="int64"),
+        "par": pd.array(out_par, dtype="string[pyarrow]"),
+        "part": pd.array(out_part, dtype="int32"),
+    }
+    for c in meta_cols:
+        cols[c] = pd.array(out_meta[c], dtype="string[pyarrow]")
+    return pd.DataFrame(cols)
+
+
+def paragraph_dedup_dataset(ds, chunk_words: int = 8, n_parts: int = 64,
+                            meta_cols: tuple[str, ...] = ()):
+    """Dataset-level paragraph-exact dedup kernel (see module
+    docstring): ``(doc_id, text, *meta_cols)`` Dataset → lazy Dataset
+    of surviving documents ``(doc_id, text, *meta_cols, n_pars,
+    n_dropped)``. Used standalone by :func:`q_docs_paragraph_dedup`
+    and as stage 0.5 of the text-trainset builder."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return _explode_paragraphs(df, chunk_words, n_parts, meta_cols)
+
+    def flag_winners(g: pd.DataFrame) -> pd.DataFrame:
+        """Within one paragraph-hash partition: keep the global first
+        (doc_id, idx) occurrence of each exact paragraph string."""
+        g = g.sort_values(["par", "doc_id", "idx"], kind="stable")
+        keep = ~g["par"].duplicated(keep="first").to_numpy()
+        cols = {
+            "doc_id": g["doc_id"].to_numpy(),
+            "idx": g["idx"].to_numpy(),
+            "par": g["par"].to_numpy(),
+            "keep": keep,
+            # re-key the second shuffle on the document
+            "part2": (g["doc_id"].to_numpy() % n_parts).astype(np.int32),
         }
+        for c in meta_cols:
+            cols[c] = g[c].to_numpy()
+        return pd.DataFrame(cols)
+
+    empty_cols = {"doc_id": pd.array([], dtype="int64"), "text": [],
+                  **{c: [] for c in meta_cols},
+                  "n_pars": pd.array([], dtype="int64"),
+                  "n_dropped": pd.array([], dtype="int64")}
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        """Within one doc-id partition: rebuild each document from its
+        kept paragraphs in original order; drop fully-deduped docs."""
+        g = g.sort_values(["doc_id", "idx"], kind="stable")
+        rows = []
+        for doc_id, sub in g.groupby("doc_id", sort=True):
+            kept = sub[sub["keep"]]
+            if not len(kept):
+                continue
+            row = {
+                "doc_id": int(doc_id),
+                "text": " ".join(kept["par"]),
+                "n_pars": len(sub),
+                "n_dropped": int((~sub["keep"]).sum()),
+            }
+            first = sub.iloc[0]  # idx-0 row carries the metadata
+            for c in meta_cols:
+                row[c] = first[c]
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame(empty_cols)
+        out = pd.DataFrame(rows)
+        out["n_pars"] = out["n_pars"].astype("int64")
+        order = ["doc_id", "text", *meta_cols, "n_pars", "n_dropped"]
+        return out[order]
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(flag_winners, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(reassemble, batch_format="pandas")
     )
 
 
@@ -77,61 +152,7 @@ def q_docs_paragraph_dedup(sf_dir: str, chunk_words: int = 8,
     from .textstats import _docs
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        return _explode_paragraphs(df, chunk_words, n_parts)
-
-    def flag_winners(g: pd.DataFrame) -> pd.DataFrame:
-        """Within one paragraph-hash partition: keep the global first
-        (doc_id, idx) occurrence of each exact paragraph string."""
-        g = g.sort_values(["par", "doc_id", "idx"], kind="stable")
-        keep = ~g["par"].duplicated(keep="first").to_numpy()
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "idx": g["idx"].to_numpy(),
-                "par": g["par"].to_numpy(),
-                "keep": keep,
-                # re-key the second shuffle on the document
-                "part2": (g["doc_id"].to_numpy() % n_parts).astype(np.int32),
-            }
-        )
-
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        """Within one doc-id partition: rebuild each document from its
-        kept paragraphs in original order; drop fully-deduped docs."""
-        g = g.sort_values(["doc_id", "idx"], kind="stable")
-        rows = []
-        for doc_id, sub in g.groupby("doc_id", sort=True):
-            kept = sub[sub["keep"]]
-            if not len(kept):
-                continue
-            rows.append(
-                {
-                    "doc_id": int(doc_id),
-                    "text": " ".join(kept["par"]),
-                    "n_pars": len(sub),
-                    "n_dropped": int((~sub["keep"]).sum()),
-                }
-            )
-        if not rows:
-            return pd.DataFrame(
-                {"doc_id": pd.array([], dtype="int64"), "text": [],
-                 "n_pars": pd.array([], dtype="int64"),
-                 "n_dropped": pd.array([], dtype="int64")}
-            )
-        out = pd.DataFrame(rows)
-        out["n_pars"] = out["n_pars"].astype("int64")
-        return out
-
-    out = (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby("part")
-        .map_groups(flag_winners, batch_format="pandas")
-        .groupby("part2")
-        .map_groups(reassemble, batch_format="pandas")
-        .to_pandas()
-    )
+    out = paragraph_dedup_dataset(ds, chunk_words, n_parts).to_pandas()
     return (
         out[["doc_id", "text", "n_pars", "n_dropped"]]
         .sort_values("doc_id")

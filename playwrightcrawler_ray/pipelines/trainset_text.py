@@ -5,6 +5,10 @@ The text-side analogue of ``pipelines/trainset.py`` (VERDICT r3 item
 large-scale LLM-pretraining corpus build runs, every stage a streaming
 ``map_batches``/``groupby`` over the documents Dataset:
 
+0.5. **cross-doc paragraph-exact dedup** (optional) — rewrite every
+   document with globally-duplicated paragraph chunks removed before
+   anything else sees the text (``ops/pardedup``: two hash-partition
+   shuffles, zero broadcast; fully-deduplicated docs drop out);
 1. **quality gate** — whitespace-token-count bounds (the
    ``token_counts`` convention: space-split, SQL
    ``LEN(STRING_SPLIT(text,' '))``) plus an optional language
@@ -68,6 +72,7 @@ def build_text_trainset(
     threshold: float = 0.5,
     edge_mode: str = "minhash",
     decontaminate_mod: int | None = None,
+    paragraph_dedup_words: int | None = None,
 ) -> dict:
     """Build the text training corpus (see module docstring). Returns
     summary stats; the shards land under ``dest``."""
@@ -77,6 +82,19 @@ def build_text_trainset(
 
     ds = read_table(sf_dir, "documents",
                     ["doc_id", "text", "lang", "source"])
+
+    # --- 0.5 (optional) cross-doc paragraph-exact dedup: rewrite every
+    # document with globally-duplicated paragraph chunks removed (the
+    # RefinedWeb/Dolma sub-document stage) BEFORE the gate, so token
+    # counts and content hashes see the deduplicated text. Two
+    # hash-partition shuffles, zero broadcast (ops/pardedup).
+    if paragraph_dedup_words:
+        from ..ops.pardedup import paragraph_dedup_dataset
+
+        ds = paragraph_dedup_dataset(
+            ds, chunk_words=paragraph_dedup_words,
+            meta_cols=("lang", "source"),
+        ).select_columns(["doc_id", "text", "lang", "source"])
 
     # --- 1. quality gate (+ content hash, same pass over the text) ---
     def gate(t: pa.Table) -> pa.Table:
@@ -264,6 +282,25 @@ def q_docs_trainset_decontam(sf_dir: str, bench_mod: int = 97
     ]
 
 
+def q_docs_trainset_pardedup(sf_dir: str, chunk_words: int = 8
+                             ) -> pd.DataFrame:
+    """The full curation chain WITH the cross-doc paragraph-exact
+    dedup stage active (paragraph dedup → gate → exact dedup →
+    exact-edge near-dup collapse → quota → sharded write)."""
+    import pyarrow.parquet as pq
+
+    dest = "/tmp/pwc_text_trainset_pardedup"
+    build_text_trainset(sf_dir, dest, edge_mode="exact",
+                        paragraph_dedup_words=chunk_words)
+    df = pq.read_table(
+        dest, columns=["doc_id", "source", "lang", "n_tokens", "shard"]
+    ).to_pandas()
+    df["shard"] = df["shard"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "lang", "n_tokens", "shard"]
+    ]
+
+
 def sql_docs_trainset_exact(
     min_tokens: int = 5,
     max_tokens: int = 10_000,
@@ -272,6 +309,7 @@ def sql_docs_trainset_exact(
     w: int = 3,
     threshold: float = 0.5,
     decontaminate_mod: int | None = None,
+    paragraph_dedup_words: int | None = None,
 ) -> str:
     """DuckDB oracle for the exact-edges text-trainset build: the same
     gate → (optional decontamination) → md5-min exact dedup →
@@ -306,12 +344,46 @@ gate AS (
     else:
         decontam = ""
         gate_name = "gate"
+    src = "documents"
+    pardedup = ""
+    if paragraph_dedup_words:
+        # stage 0.5: the docs_paragraph_dedup oracle inlined — the
+        # gate reads the paragraph-deduplicated rewrite of the corpus
+        cw = paragraph_dedup_words
+        src = "docs_pd"
+        pardedup = f"""
+pd_words AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS pw FROM documents
+),
+pd_expl AS (
+  SELECT doc_id, i, pw[i] AS word
+  FROM pd_words,
+       (SELECT UNNEST(GENERATE_SERIES(1, (SELECT MAX(LEN(pw))
+                                          FROM pd_words))) AS i) pseq
+  WHERE i <= LEN(pw)
+),
+pd_pars AS (
+  SELECT doc_id, (i - 1) // {cw} AS idx,
+         STRING_AGG(word, ' ' ORDER BY i) AS par
+  FROM pd_expl GROUP BY doc_id, (i - 1) // {cw}
+),
+pd_ranked AS (
+  SELECT doc_id, idx, par,
+         ROW_NUMBER() OVER (PARTITION BY par ORDER BY doc_id, idx) AS rn
+  FROM pd_pars
+),
+docs_pd AS (
+  SELECT r.doc_id, STRING_AGG(r.par, ' ' ORDER BY r.idx) AS text,
+         ANY_VALUE(doc.lang) AS lang, ANY_VALUE(doc.source) AS source
+  FROM pd_ranked r JOIN documents doc USING (doc_id)
+  WHERE r.rn = 1 GROUP BY r.doc_id
+),"""
     return f"""
-WITH RECURSIVE
+WITH RECURSIVE{pardedup}
 {gate_name} AS (
   SELECT doc_id, text, lang, source,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM {src}
   WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN {min_tokens} AND {max_tokens}
 ),{decontam}
 exact AS (
@@ -363,3 +435,7 @@ ORDER BY doc_id
 
 def sql_docs_trainset_decontam(bench_mod: int = 97) -> str:
     return sql_docs_trainset_exact(decontaminate_mod=bench_mod)
+
+
+def sql_docs_trainset_pardedup(chunk_words: int = 8) -> str:
+    return sql_docs_trainset_exact(paragraph_dedup_words=chunk_words)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 66
+shape) and returns the images Dataset. ``queries()`` exposes the 68
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 45
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 47
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import joins as J
+    from playwrightcrawler_ray.ops import lm as L
     from playwrightcrawler_ray.ops import pardedup as P
     from playwrightcrawler_ray.ops import sketch as S
     from playwrightcrawler_ray.ops import textstats as T
@@ -231,6 +232,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast layout + the no-broadcast shingle-join scale twin
         "docs_decontaminate": D.q_docs_decontaminate,
         "docs_decontaminate_join": D.q_docs_decontaminate_join,
+        # statistical-LM curation: CCNet-style perplexity filter and
+        # DSIR-style importance log-weights — int64 micro-nat scores,
+        # hash-exact vs the DuckDB oracle (ops/lm.py)
+        "docs_lm_perplexity": L.q_docs_lm_perplexity,
+        "docs_dsir_weights": L.q_docs_dsir_weights,
         # corpus heavy hitters: exact vocabulary-state top-k ...
         "words_topk": T.q_words_topk,
         # ... and the bounded-state Misra-Gries summary (rows-only:
@@ -282,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
     from playwrightcrawler_ray.ops import ann as N
     from playwrightcrawler_ray.ops import dedup as D
     from playwrightcrawler_ray.ops import joins as J
+    from playwrightcrawler_ray.ops import lm as L
     from playwrightcrawler_ray.ops import pardedup as P
     from playwrightcrawler_ray.ops import textstats as T
     from playwrightcrawler_ray.pipelines import trainset_text as TT
@@ -321,6 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": T.sql_docs_split(),
         "docs_decontaminate": D.sql_docs_decontaminate(),
         "docs_decontaminate_join": D.sql_docs_decontaminate(),
+        "docs_lm_perplexity": L.sql_docs_lm_perplexity(),
+        "docs_dsir_weights": L.sql_docs_dsir_weights(),
         "words_topk": T.sql_words_topk(),
         "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
         "docs_dup_ngram_fraction": P.sql_docs_dup_ngram_fraction(),

@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 68
+shape) and returns the images Dataset. ``queries()`` exposes the 69
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 47
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
         "ann_topk_ivf": N.q_ann_topk_ivf,              # rows-only (approx)
         "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)
+        # SemDeDup: cluster-bucketed semantic dedup (rows-only:
+        # kmeans-seeded; drop-subset + recall vs the exact global
+        # collapse pinned in pytest)
+        "docs_semdedup": N.q_docs_semdedup,
     }
 
 

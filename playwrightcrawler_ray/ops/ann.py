@@ -575,3 +575,63 @@ def q_ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         .astype({"vec_id": "int64"})
         .reset_index(drop=True)
     )
+
+
+def q_docs_semdedup(sf_dir: str, k: int = 8, threshold: float = 0.95,
+                    iters: int = 5, seed: int = 5) -> pd.DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means clusters
+    the embedding space, then near-duplicate pruning runs WITHIN each
+    cluster only — the trick that makes semantic dedup tractable at
+    web scale, because the O(n²) similarity matrix is computed per
+    cluster (n/k rows) instead of globally. Deterministic variant:
+    within a cluster, a row is dropped when ANY lower-``vec_id`` row
+    is ≥ ``threshold`` cosine-similar (transitive chains collapse to
+    the lowest id, the same keep-rule as the exact near-dup collapse
+    in ops/dedup.py).
+
+    Scale shape: the assignment pass is a broadcast-centroid
+    ``map_batches`` (no shuffle), then ONE ``groupby(cluster)``
+    shuffle co-locates each cluster; per-group work is a normalized
+    GEMM. A mega-cluster at 100 TB gets the IVF treatment — split it
+    by sub-quantizer before the pairwise step (same skew playbook as
+    the frontier's mega-host spill). Approximate vs the global rule
+    exactly when a near-dup pair straddles clusters — that recall is
+    pinned in pytest against the exact global collapse; rows-only in
+    the driver gate.
+
+    Reference parity: no semantic dedup in rggassner/playwrightcrawler
+    (an added LLM-curation operator, same family as ops/lm.py)."""
+    centroids = _kmeans_centroids(sf_dir, k, iters, seed)
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        m = _to_matrix(df)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+            "cluster": _sq_dists(m, c).argmin(axis=1).astype(np.int64),
+            "embedding": df["embedding"],
+        })
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        m = _to_matrix(g)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0.0, 1.0, norms)
+        cos = m @ m.T
+        drop = np.tril(cos >= threshold, -1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy().astype(np.int64),
+            "cluster": g["cluster"].to_numpy().astype(np.int64),
+            "keep": ~drop,
+        })
+
+    out = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pandas", batch_size=2048)
+        .groupby("cluster")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 69
+shape) and returns the images Dataset. ``queries()`` exposes the 70
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 47
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 48
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc duplicate n-gram fraction (Lee et al. diagnostic):
         # one gram-partition shuffle, doc-sized partials, SQL-oracled
         "docs_dup_ngram_fraction": P.q_docs_dup_ngram_fraction,
+        # ExactSubstr span REMOVAL (Lee et al.): cut every duplicated
+        # token span except its global first occurrence and reassemble
+        # the documents — two shuffles, SQL-oracled
+        "docs_substring_dedup": P.q_docs_substring_dedup,
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
         "simhash": D.q_simhash,                        # rows-only (hash fn)
@@ -337,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "words_topk": T.sql_words_topk(),
         "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
         "docs_dup_ngram_fraction": P.sql_docs_dup_ngram_fraction(),
+        "docs_substring_dedup": P.sql_docs_substring_dedup(),
         "ngram_jaccard_top_pairs": D.sql_ngram_jaccard_top_pairs(),
         "doc_neardup_dedup_exact": D.sql_doc_neardup_dedup_exact(),
         "docs_trainset_exact": TT.sql_docs_trainset_exact(),

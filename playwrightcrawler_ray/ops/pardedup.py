@@ -320,3 +320,183 @@ FROM ranked
 WHERE rn = 1
 GROUP BY doc_id
 """
+
+
+def q_docs_substring_dedup(sf_dir: str, w: int = 8,
+                           n_parts: int = 64) -> pd.DataFrame:
+    """ExactSubstr deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2022): REMOVE every duplicated
+    token span from every document except its single global first
+    occurrence, and reassemble the documents from the surviving
+    tokens. Where ``q_docs_dup_ngram_fraction`` only DIAGNOSES
+    duplication, this op performs the cut.
+
+    Token-level semantics (deterministic, shared with the oracle):
+    every sliding word ``w``-gram occurrence that is not the global
+    first occurrence of that exact gram string (lexicographic min over
+    ``(doc_id, position)``) marks its ``w`` token positions as
+    removed; a document's output text is its unremoved tokens joined
+    in order (possibly empty). Docs shorter than ``w`` tokens pass
+    through untouched.
+
+    Scale shape (100 TB): two shuffles, zero broadcast, no all-pairs —
+    (1) explode sliding grams, hash-partition on the gram; each
+        partition holds EVERY occurrence of its gram strings, so
+        duplicate occurrences (everything after the per-gram
+        lexicographic winner) are a local sort;
+    (2) union the duplicate-occurrence rows with the original docs and
+        hash-partition on ``doc_id``; each group rebuilds one document
+        with a boolean coverage mask (doc-sized state).
+    Winner choice compares exact gram strings inside the partition, so
+    64-bit partition-hash collisions cannot merge distinct grams.
+
+    Reference parity: the reference dedups whole pages only
+    (playwrightcrawler.py:1431-1456); this is the added Lee-et-al.
+    curation stage, the span-removal counterpart of the paragraph op
+    above."""
+    import ray.data
+
+    from .textstats import _docs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_start, out_gram, out_part = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            words = text.split(" ")
+            doc_id = int(doc_id)
+            for i in range(len(words) - w + 1):
+                g = " ".join(words[i:i + w])
+                h = int.from_bytes(
+                    hashlib.blake2b(g.encode("utf-8"),
+                                    digest_size=8).digest(), "big")
+                out_doc.append(doc_id)
+                out_start.append(i)
+                out_gram.append(g)
+                out_part.append(h % n_parts)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "start": pd.array(out_start, dtype="int64"),
+                "gram": pd.array(out_gram, dtype="string[pyarrow]"),
+                "part": pd.array(out_part, dtype="int32"),
+            }
+        )
+
+    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        """Per gram-hash partition: every occurrence AFTER the
+        per-gram-string lexicographic (doc_id, start) winner."""
+        g = g.sort_values(["gram", "doc_id", "start"], kind="stable")
+        grams = g["gram"].to_numpy()
+        is_winner = np.r_[True, grams[1:] != grams[:-1]]
+        dup = g[~is_winner]
+        d = dup["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "start": dup["start"].to_numpy(),
+                "text": pd.array([""] * len(dup), dtype="string[pyarrow]"),
+                # coarse doc partition for the rebuild shuffle: never
+                # groupby a high-cardinality key directly (BASELINE.md
+                # round-3 measurement: per-distinct-key overhead)
+                "dpart": (d % n_parts).astype(np.int32),
+            }
+        )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "start": pd.array([-1] * len(df), dtype="int64"),
+                "text": df["text"].astype("string[pyarrow]"),
+                "dpart": (d % n_parts).astype(np.int32),
+            }
+        )
+
+    def rebuild_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Per doc-hash partition: rebuild every document in the
+        partition from its coverage mask (doc-sized state each)."""
+        ids, n_toks, n_rem, texts = [], [], [], []
+        for doc_id, sub in g.groupby("doc_id", sort=True):
+            base = sub[sub["start"] < 0]
+            toks = str(base["text"].iloc[0]).split(" ")
+            removed = np.zeros(len(toks), dtype=bool)
+            for s in sub.loc[sub["start"] >= 0, "start"].to_numpy():
+                removed[int(s):int(s) + w] = True
+            kept = [t for t, r in zip(toks, removed) if not r]
+            ids.append(int(doc_id))
+            n_toks.append(len(toks))
+            n_rem.append(int(removed.sum()))
+            texts.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_tokens": pd.array(n_toks, dtype="int64"),
+                "n_removed": pd.array(n_rem, dtype="int64"),
+                "text": pd.array(texts, dtype="string[pyarrow]"),
+            }
+        )
+
+    dups = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dup_occurrences, batch_format="pandas")
+    )
+    out = (
+        ds.map_batches(doc_rows, batch_format="pandas")
+        .union(dups)
+        .groupby("dpart")
+        .map_groups(rebuild_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_substring_dedup(w: int = 8) -> str:
+    """DuckDB twin: same sliding grams, same global first-occurrence
+    winner (ROW_NUMBER over (doc_id, start)), same coverage mask and
+    token-level reassembly."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+), expl AS (
+  SELECT doc_id, i, ws[i] AS word, LEN(ws) AS t
+  FROM words,
+       (SELECT UNNEST(GENERATE_SERIES(1, (SELECT MAX(LEN(ws)) FROM words)))
+               AS i) seq
+  WHERE i <= LEN(ws)
+), grams AS (
+  SELECT doc_id, i, t,
+         STRING_AGG(word, ' ') OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS g
+  FROM expl
+), valid AS (
+  SELECT doc_id, i, g FROM grams WHERE i <= t - {w - 1}
+), ranked AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+  FROM valid
+), dupocc AS (
+  SELECT doc_id, i FROM ranked WHERE rn >= 2
+), covered AS (
+  SELECT DISTINCT e.doc_id, e.i
+  FROM expl e JOIN dupocc d
+    ON e.doc_id = d.doc_id AND e.i BETWEEN d.i AND d.i + {w - 1}
+), kept AS (
+  SELECT e.doc_id, e.i, e.word
+  FROM expl e LEFT JOIN covered c ON e.doc_id = c.doc_id AND e.i = c.i
+  WHERE c.i IS NULL
+)
+SELECT wd.doc_id,
+       LEN(wd.ws) AS n_tokens,
+       COALESCE(cov.n_removed, 0) AS n_removed,
+       COALESCE(k.text, '') AS text
+FROM words wd
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_removed
+           FROM covered GROUP BY doc_id) cov USING (doc_id)
+LEFT JOIN (SELECT doc_id, STRING_AGG(word, ' ' ORDER BY i) AS text
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY doc_id
+"""

@@ -71,6 +71,7 @@ ORACLED = [
     "doc_sample", "docs_stratified_sample", "docs_per_source_cap",
     "docs_split",
     "docs_paragraph_dedup", "docs_dup_ngram_fraction",
+    "docs_substring_dedup",
     "ngram_jaccard_top_pairs", "ann_topk", "embedding_neardup_pairs",
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",

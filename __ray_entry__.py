@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 70
+shape) and returns the images Dataset. ``queries()`` exposes the 71
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 48
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -145,6 +145,37 @@ def _q_crawl_media_probe(_sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_crawl_align_scores(_sf_dir: str):
+    """LAION-style image-caption alignment scores over the crawl's
+    image rows (rows-only: trained two-tower model, stages/align.py;
+    the model's held-out accuracy and matched-vs-mismatched
+    separation are pinned in tests/test_align.py). Bytes flow worker
+    to worker only — the driver sees scores, never payloads."""
+    import pyarrow.compute as pc
+
+    from playwrightcrawler_ray.pipelines.crawl import load_unified
+    from playwrightcrawler_ray.stages.align import AlignmentScorer
+
+    ds = load_unified(
+        _crawl_output_dir(),
+        columns=["kind", "image_id", "bytes", "caption"],
+    )
+
+    def images_only(t):
+        return t.filter(pc.equal(t.column("kind"), "image"))
+
+    scored = ds.map_batches(images_only, batch_format="pyarrow").map_batches(
+        AlignmentScorer,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=1,
+    )
+    df = scored.select_columns(
+        ["image_id", "align_score", "align_flag"]).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def _q_crawl_pagerank(_sf_dir: str):
     """Weighted PageRank over the crawl's host link graph (rows-only:
     iterative float fixpoint; pinned against an independent dense
@@ -181,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_phash_buckets": _q_crawl_phash_buckets,
         "crawl_trainset": _q_crawl_trainset,
         "crawl_media_probe": _q_crawl_media_probe,
+        "crawl_align_scores": _q_crawl_align_scores,
         "crawl_pagerank": _q_crawl_pagerank,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,

@@ -1058,3 +1058,175 @@ def vp8l_encode_palette(pixels: np.ndarray) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# -------------------------------------------------- animation (VP8X/ANIM)
+
+def _u24(data: bytes, pos: int) -> int:
+    return data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+
+
+def _p24(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Porter-Duff src-OVER-dst on straight-alpha RGBA uint8 rects
+    (the WebP spec's alpha-blending formula)."""
+    sa = src[..., 3:4].astype(np.float64) / 255.0
+    da = dst[..., 3:4].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = (src[..., :3].astype(np.float64) * sa
+           + dst[..., :3].astype(np.float64) * da * (1.0 - sa))
+    safe = np.where(oa == 0.0, 1.0, oa)
+    out = np.empty_like(dst)
+    out[..., :3] = np.clip((rgb / safe).round(), 0, 255).astype(np.uint8)
+    out[..., 3:4] = np.clip((oa * 255.0).round(), 0, 255).astype(np.uint8)
+    out[..., :3][oa[..., 0] == 0.0] = 0
+    return out
+
+
+def webp_decode_frames(data: bytes, max_pixels: int = 64_000_000,
+                       max_frames: int = 1024
+                       ) -> tuple[list[np.ndarray], list[int]]:
+    """Decode an ANIMATED WebP (VP8X + ANIM + ANMF chunks) into its
+    composited RGB frames — each ANMF rect is decoded with the
+    bit-exact VP8L / VP8-keyframe decoders in this package, placed on
+    the RGBA canvas with the frame's blending mode (alpha-blend or
+    overwrite), snapshotted flattened over white (the imaging layer's
+    convention), then disposed (none / to-background-color). Returns
+    (frames, per-frame durations in ms). A non-animated WebP yields
+    its single image with duration 0. ANMF frames carrying a separate
+    ALPH plane (lossy+alpha) are rejected — VP8L frames carry alpha
+    in-stream and are fully supported."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    canvas_w = canvas_h = None
+    bg_rgba = np.array([255, 255, 255, 0], np.uint8)
+    anmf: list[bytes] = []
+    animated = False
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X" and len(payload) >= 10:
+            animated = bool(payload[0] & 0x02)
+            canvas_w = _u24(payload, 4) + 1
+            canvas_h = _u24(payload, 7) + 1
+        elif tag == b"ANIM" and len(payload) >= 6:
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg_rgba = np.array([r_, g_, b_, a_], np.uint8)
+        elif tag == b"ANMF":
+            anmf.append(payload)
+        pos += 8 + size + (size & 1)
+    if not (animated and anmf):
+        return [webp_decode(data, max_pixels)], [0]
+    if canvas_w is None or canvas_w * canvas_h > max_pixels:
+        raise ValueError("animated WebP without a valid VP8X canvas")
+    canvas = np.empty((canvas_h, canvas_w, 4), np.uint8)
+    canvas[:] = bg_rgba
+    frames: list[np.ndarray] = []
+    durations: list[int] = []
+    for payload in anmf[:max_frames]:
+        if len(payload) < 16:
+            raise ValueError("short ANMF chunk")
+        fx = _u24(payload, 0) * 2
+        fy = _u24(payload, 3) * 2
+        fw = _u24(payload, 6) + 1
+        fh = _u24(payload, 9) + 1
+        dur = _u24(payload, 12)
+        flags = payload[15]
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("ANMF frame rect outside canvas")
+        # frame data: sub-chunks after the 16-byte header
+        fpos = 16
+        rgba = None
+        while fpos + 8 <= len(payload):
+            ftag = payload[fpos : fpos + 4]
+            (fsize,) = struct.unpack_from("<I", payload, fpos + 4)
+            body = payload[fpos + 8 : fpos + 8 + fsize]
+            if ftag == b"ALPH":
+                raise ValueError("ANMF with separate ALPH plane "
+                                 "unsupported (use VP8L alpha)")
+            if ftag == b"VP8L":
+                argb = vp8l_decode_stream(body, max_pixels)
+                rgba = argb[:, :, [1, 2, 3, 0]]
+                break
+            if ftag == b"VP8 ":
+                from .vp8 import vp8_decode
+
+                rgb = vp8_decode(body, max_pixels=max_pixels)
+                rgba = np.dstack(
+                    [rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+                break
+            fpos += 8 + fsize + (fsize & 1)
+        if rgba is None:
+            raise ValueError("ANMF frame without image data")
+        if rgba.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame dims disagree with bitstream")
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:      # B=1: do not blend — overwrite the rect
+            rect[:] = rgba
+        else:                 # B=0: alpha-blend src over canvas
+            rect[:] = _blend_over(rect, rgba)
+        # snapshot flattened over white
+        a = canvas[:, :, 3:4].astype(np.float64) / 255.0
+        flat = (canvas[:, :, :3].astype(np.float64) * a
+                + 255.0 * (1.0 - a))
+        frames.append(np.clip(flat.round(), 0, 255).astype(np.uint8))
+        durations.append(dur)
+        if flags & 0x01:      # D=1: dispose rect to background color
+            canvas[fy : fy + fh, fx : fx + fw] = bg_rgba
+    return frames, durations
+
+
+def _vp8l_chunk_payload(webp_file: bytes) -> bytes:
+    """Extract the raw VP8L chunk payload from a single-image WebP
+    produced by vp8l_encode / vp8l_encode_palette."""
+    pos = 12
+    while pos + 8 <= len(webp_file):
+        tag = webp_file[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", webp_file, pos + 4)
+        if tag == b"VP8L":
+            return webp_file[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in encoder output")
+
+
+def webp_encode_anim(canvas: tuple[int, int], frames: list[dict],
+                     bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 0),
+                     loop: int = 0) -> bytes:
+    """Animated-WebP fixture muxer: each frame dict has ``pixels``
+    (h, w, 3|4) uint8 (VP8L-encoded losslessly, alpha carried
+    in-stream), and optionally ``x``/``y`` (even, default 0),
+    ``duration_ms`` (default 40), ``blend`` (default True = alpha
+    blend; False = overwrite) and ``dispose_bg`` (default False).
+    ``canvas`` is (width, height)."""
+    cw, ch = canvas
+    body = bytearray()
+    flags = 0x02 | (0x10 if any(
+        f["pixels"].shape[2] == 4 for f in frames) else 0)
+    vp8x = bytes([flags, 0, 0, 0]) + _p24(cw - 1) + _p24(ch - 1)
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    r, g, b, a = bg_rgba
+    anim = bytes([b, g, r, a]) + struct.pack("<H", loop)
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fr in frames:
+        px = fr["pixels"]
+        h, w = px.shape[:2]
+        x, y = int(fr.get("x", 0)), int(fr.get("y", 0))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        sub = _vp8l_chunk_payload(vp8l_encode(px))
+        fl = (0 if fr.get("blend", True) else 0x02) | \
+            (0x01 if fr.get("dispose_bg", False) else 0)
+        payload = (_p24(x // 2) + _p24(y // 2) + _p24(w - 1) + _p24(h - 1)
+                   + _p24(int(fr.get("duration_ms", 40))) + bytes([fl]))
+        payload += b"VP8L" + struct.pack("<I", len(sub)) + sub
+        if len(sub) & 1:
+            payload += b"\x00"
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)

@@ -239,6 +239,20 @@ def _decode_mjpeg_avi(data: bytes, sample_every: int) -> list[np.ndarray]:
 def decode_video_frames(data: bytes, sample_every: int = 1) -> list[np.ndarray]:
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return _decode_mjpeg_avi(data, sample_every)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # REAL animated-GIF frame sampling (round 5): full GIF89a
+        # compositing — rects, transparency, all disposal methods
+        from ..imaging.gif import gif_decode_frames
+
+        frames, _delays = gif_decode_frames(data)
+        return frames[::sample_every]
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # REAL animated-WebP frame sampling (round 5): VP8X/ANIM/ANMF
+        # walk, per-frame VP8L/VP8 decode, blend + dispose compositing
+        from ..imaging.webp import webp_decode_frames
+
+        frames, _durs = webp_decode_frames(data)
+        return frames[::sample_every]
     if not data.startswith(_QVID_MAGIC):
         # mp4/webm/mkv: real containers whose codecs need ffmpeg
         raise CodecUnavailable("no video decoder for this container")

@@ -649,6 +649,11 @@ def webp_decode(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             from .vp8 import vp8_decode
 
             return vp8_decode(payload, max_pixels=max_pixels)
+        if tag == b"ANMF":
+            # animated WebP: snapshot the first frame, flattened —
+            # the crawler's still-image convention (same as GIF)
+            frames, _ = webp_decode_frames(data, max_pixels, max_frames=1)
+            return frames[0]
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("no decodable WebP chunk found")
 

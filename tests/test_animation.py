@@ -153,6 +153,25 @@ def test_webp_animation_alpha_blend_matches_porter_duff():
     assert np.array_equal(frames[1], expect)
 
 
+def test_still_image_path_snapshots_first_webp_frame():
+    """The crawler's still-image decode must not choke on an animated
+    WebP: it snapshots the composited first frame (GIF convention)."""
+    from playwrightcrawler_ray.imaging.webp import webp_decode
+
+    patch = np.full((4, 4, 3), 33, np.uint8)
+    data = webp_encode_anim(
+        (8, 8),
+        [{"pixels": patch, "x": 2, "y": 2, "blend": False},
+         {"pixels": np.full((8, 8, 3), 200, np.uint8), "blend": False}],
+        bg_rgba=(10, 20, 30, 255),
+    )
+    got = webp_decode(data)
+    expect = np.zeros((8, 8, 3), np.uint8)
+    expect[:] = (10, 20, 30)
+    expect[2:6, 2:6] = 33
+    assert np.array_equal(got, expect)
+
+
 def test_webp_non_animated_fallback_and_bad_rect():
     img = np.full((7, 9, 3), 130, np.uint8)
     frames, durs = webp_decode_frames(vp8l_encode(img))

@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 71
+shape) and returns the images Dataset. ``queries()`` exposes the 72
 implemented operators over the driver's parquet tables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the 48
 SQL-expressible ones (approximate/heuristic ops are rows-only by
@@ -176,6 +176,17 @@ def _q_crawl_align_scores(_sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def _q_crawl_semdedup(_sf_dir: str):
+    """Semantic dedup over the crawl's stored images: decode → 8×8
+    luma-thumbnail embedding → cluster-bucketed cosine pruning
+    (pipelines/export.image_semdedup; rows-only — the kernel's
+    drop-subset/recall contract is pinned in tests/test_semdedup.py,
+    the crawl-side composition in tests/test_post_pipelines.py)."""
+    from playwrightcrawler_ray.pipelines.export import image_semdedup
+
+    return image_semdedup(_crawl_output_dir(), k=4, threshold=0.92)
+
+
 def _q_crawl_pagerank(_sf_dir: str):
     """Weighted PageRank over the crawl's host link graph (rows-only:
     iterative float fixpoint; pinned against an independent dense
@@ -213,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trainset": _q_crawl_trainset,
         "crawl_media_probe": _q_crawl_media_probe,
         "crawl_align_scores": _q_crawl_align_scores,
+        # image-side SemDeDup over the crawl's stored images
+        # (rows-only: kmeans-seeded; kernel contract pinned in pytest)
+        "crawl_semdedup": _q_crawl_semdedup,
         "crawl_pagerank": _q_crawl_pagerank,
         # relational / analytics (SURVEY.md §2.5-2.6)
         "pricing_summary": A.q_pricing_summary,

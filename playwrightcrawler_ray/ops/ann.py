@@ -393,11 +393,19 @@ SELECT v AS vec_id, MIN(lbl) AS component_id FROM cc GROUP BY v
 """
 
 
-def _kmeans_centroids(sf_dir: str, k: int, iters: int,
+def _kmeans_centroids(sf_dir, k: int, iters: int,
                       seed: int) -> np.ndarray:
-    """Shared coarse-quantizer trainer (q_embedding_kmeans and the IVF
-    ANN variant): distributed seeded init + Lloyd rounds with broadcast
-    centroids and per-batch partial sums."""
+    """Shared coarse-quantizer trainer (q_embedding_kmeans, the IVF
+    ANN variant, and the SemDeDup ops): distributed seeded init +
+    Lloyd rounds with broadcast centroids and per-batch partial sums.
+    ``sf_dir`` is a testdata directory, or a zero-arg callable
+    returning a (vec_id, embedding) Dataset — the crawl-side SemDeDup
+    passes its own embedding pipeline."""
+    if callable(sf_dir):
+        emb_ds = sf_dir
+    else:
+        def emb_ds():
+            return _emb(sf_dir, ["vec_id", "embedding"])
     mult = np.uint64(0x9E3779B97F4A7C15)
     seed64 = np.uint64(seed * 0x2545F4914F6CDD1D & 0xFFFFFFFFFFFFFFFF)
 
@@ -417,7 +425,7 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int,
         )
 
     cand = (
-        _emb(sf_dir, ["vec_id", "embedding"])
+        emb_ds()
         .map_batches(seed_cand, batch_format="pandas", batch_size=4096)
         .to_pandas()
     )
@@ -441,7 +449,7 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int,
             return pd.DataFrame(rows)
 
         parts = (
-            _emb(sf_dir, ["vec_id", "embedding"])
+            emb_ds()
             .map_batches(partial_sums, batch_format="pandas", batch_size=2048)
             .to_pandas()
         )
@@ -602,17 +610,29 @@ def q_docs_semdedup(sf_dir: str, k: int = 8, threshold: float = 0.95,
 
     Reference parity: no semantic dedup in rggassner/playwrightcrawler
     (an added LLM-curation operator, same family as ops/lm.py)."""
-    centroids = _kmeans_centroids(sf_dir, k, iters, seed)
+    out = semdedup_dataset(
+        lambda: _emb(sf_dir, ["vec_id", "embedding"]),
+        k=k, threshold=threshold, iters=iters, seed=seed,
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semdedup_dataset(emb_ds, k: int, threshold: float, iters: int,
+                     seed: int) -> pd.DataFrame:
+    """SemDeDup core over any (vec_id, embedding[, passthrough...])
+    Dataset factory (see q_docs_semdedup for semantics; the crawl-side
+    image variant in pipelines/export.py passes an embedding pipeline
+    over decoded image pixels). Passthrough columns survive into the
+    output; ``embedding`` is dropped."""
+    centroids = _kmeans_centroids(emb_ds, k, iters, seed)
     c_ref = ray.put(centroids)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(c_ref)
         m = _to_matrix(df)
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
-            "cluster": _sq_dists(m, c).argmin(axis=1).astype(np.int64),
-            "embedding": df["embedding"],
-        })
+        df = df.copy()
+        df["cluster"] = _sq_dists(m, c).argmin(axis=1).astype(np.int64)
+        return df
 
     def collapse(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
@@ -621,17 +641,14 @@ def q_docs_semdedup(sf_dir: str, k: int = 8, threshold: float = 0.95,
         m = m / np.where(norms == 0.0, 1.0, norms)
         cos = m @ m.T
         drop = np.tril(cos >= threshold, -1).any(axis=1)
-        return pd.DataFrame({
-            "vec_id": g["vec_id"].to_numpy().astype(np.int64),
-            "cluster": g["cluster"].to_numpy().astype(np.int64),
-            "keep": ~drop,
-        })
+        out = g.drop(columns=["embedding"]).copy()
+        out["keep"] = ~drop
+        return out
 
-    out = (
-        _emb(sf_dir, ["vec_id", "embedding"])
+    return (
+        emb_ds()
         .map_batches(assign, batch_format="pandas", batch_size=2048)
         .groupby("cluster")
         .map_groups(collapse, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values("vec_id").reset_index(drop=True)

@@ -240,3 +240,71 @@ def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
         .sort_values("url")
         .reset_index(drop=True)
     )
+
+
+def image_semdedup(output_dir: str, k: int = 8, threshold: float = 0.92,
+                   iters: int = 5, seed: int = 5) -> pd.DataFrame:
+    """SemDeDup over the CRAWL'S OWN images: every stored image is
+    decoded (the real pure-Python codecs), embedded as a 64-dim
+    unit-normalized 8×8 block-mean luma thumbnail, and semantically
+    deduplicated with the cluster-bucketed kernel from ops/ann.py —
+    k-means buckets, within-cluster cosine pruning, keep-lowest-id.
+    This is the image-side counterpart of ``docs_semdedup``: where the
+    crawl's pixel-hash dedup removes EXACT duplicates and phash
+    removes near-identical bytes, this collapses *semantically* close
+    renders (the corpus's perturbed near-duplicate images land in one
+    cluster with cosine ≈ 1). A production pipeline swaps the
+    thumbnail embedding for a CLIP image tower; the bucketed dedup
+    kernel is unchanged.
+
+    Scale shape: decode+embed is one actor-friendly ``map_batches``
+    pass (bytes stay on workers; the embedding is 512 B/image), then
+    the kernel's single ``groupby(cluster)`` shuffle moves only
+    (id, 64-float) rows."""
+    from ..imaging.codec import decode_image
+    from ..ops.ann import semdedup_dataset
+
+    def emb_ds():
+        ds = load_unified(output_dir,
+                          columns=["kind", "image_id", "bytes"])
+
+        def embed(t: pa.Table) -> pd.DataFrame:
+            t = t.filter(pc.equal(t.column("kind"), "image"))
+            ids, vids, vecs = [], [], []
+            for image_id, body in zip(t.column("image_id").to_pylist(),
+                                      t.column("bytes").to_pylist()):
+                if not image_id or body is None:
+                    continue
+                try:
+                    px, _ = decode_image(body)
+                except Exception:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # 8×8 block means via bucketed averaging matrices
+                # (exact for any h, w — no interpolation)
+                my = np.zeros((8, h))
+                my[(np.arange(h) * 8) // h, np.arange(h)] = 1.0
+                my /= my.sum(axis=1, keepdims=True)
+                mx = np.zeros((w, 8))
+                mx[np.arange(w), (np.arange(w) * 8) // w] = 1.0
+                mx /= mx.sum(axis=0, keepdims=True)
+                thumb = (my @ gray @ mx).reshape(-1)
+                thumb = thumb - thumb.mean()
+                n = np.linalg.norm(thumb)
+                vec = thumb / n if n > 1e-9 else thumb
+                ids.append(image_id)
+                vids.append(int(image_id[:15], 16))  # 60-bit id prefix
+                vecs.append(vec.tolist())
+            return pd.DataFrame({
+                "vec_id": pd.array(vids, dtype="int64"),
+                "image_id": pd.array(ids, dtype="string[pyarrow]"),
+                "embedding": vecs,
+            })
+
+        return ds.map_batches(embed, batch_format="pyarrow")
+
+    out = semdedup_dataset(emb_ds, k=k, threshold=threshold,
+                           iters=iters, seed=seed)
+    out = out[["image_id", "cluster", "keep"]]
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -208,3 +208,24 @@ def test_cli_query_subcommand_runs():
     assert summary["query"] == "bloom_semijoin"
     assert summary["rows"] > 0
     assert summary["columns"] == ["orderkey", "n_items", "sum_qty"]
+
+
+def test_image_semdedup_over_crawl(crawl_out):
+    """Image-side SemDeDup (pipelines/export.image_semdedup): one row
+    per stored image, the corpus's perturbed near-duplicate renders
+    collapse (cos ≈ 1 thumbnails in one cluster), deterministic."""
+    from playwrightcrawler_ray.pipelines.crawl import load_images
+    from playwrightcrawler_ray.pipelines.export import image_semdedup
+
+    out = image_semdedup(crawl_out, k=4, threshold=0.92)
+    n_images = load_images(crawl_out).count()
+    assert len(out) == n_images
+    assert list(out.columns) == ["image_id", "cluster", "keep"]
+    assert out["image_id"].is_unique
+    # the corpus plants near-duplicate images whose pixel hashes
+    # differ (so crawl-time exact dedup keeps both) but whose
+    # thumbnails are semantically identical — at least one collapses
+    assert (~out["keep"]).sum() >= 1
+    assert out["keep"].sum() >= 1
+    again = image_semdedup(crawl_out, k=4, threshold=0.92)
+    assert out.equals(again)

@@ -2,9 +2,9 @@
 
 ``entry()`` runs the flagship crawl pipeline (seeded synthetic corpus →
 frontier-scheduled waves → images table of the BASELINE.json input_hint
-shape) and returns the images Dataset. ``queries()`` exposes the 72
+shape) and returns the images Dataset. ``queries()`` exposes the 73
 implemented operators over the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the 48
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the 49
 SQL-expressible ones (approximate/heuristic ops are rows-only by
 design: minhash-LSH, simhash, LSH/IVF-ANN, LSH near-dup, k-means,
 HLL distinct-count, language-ID, fingerprints, and the
@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-exact vs the DuckDB oracle (ops/lm.py)
         "docs_lm_perplexity": L.q_docs_lm_perplexity,
         "docs_dsir_weights": L.q_docs_dsir_weights,
+        "docs_ccnet_buckets": L.q_docs_ccnet_buckets,
         # corpus heavy hitters: exact vocabulary-state top-k ...
         "words_topk": T.q_words_topk,
         # ... and the bounded-state Misra-Gries summary (rows-only:
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate_join": D.sql_docs_decontaminate(),
         "docs_lm_perplexity": L.sql_docs_lm_perplexity(),
         "docs_dsir_weights": L.sql_docs_dsir_weights(),
+        "docs_ccnet_buckets": L.sql_docs_ccnet_buckets(),
         "words_topk": T.sql_words_topk(),
         "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
         "docs_dup_ngram_fraction": P.sql_docs_dup_ngram_fraction(),

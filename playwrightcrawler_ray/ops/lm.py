@@ -410,3 +410,86 @@ SELECT doc_id, n_bigrams, ll_t - ll_r AS logratio_micro
 FROM ts JOIN rs USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def q_docs_ccnet_buckets(sf_dir: str, ref_mod: int = 7) -> pd.DataFrame:
+    """CCNet's actual output shape: per-LANGUAGE perplexity terciles —
+    head / middle / tail (bucket 0/1/2, head = most reference-like).
+    Scores come from the same bigram LM as ``q_docs_lm_perplexity``;
+    within each language, docs are ranked by (avg_nll_micro, doc_id)
+    and bucket = 3·(rank−1) // n — an exact, oracle-reproducible rank
+    rule. Scale shape: scoring stays the shuffle-free broadcast pass;
+    the rank needs ONE groupby(lang) shuffle of doc-sized score rows
+    (languages are few and the text never moves). At a scale where
+    even score rows shouldn't co-locate, the rank rule swaps for the
+    mergeable KLL quantile sketch in ops/sketch.py — the exact rank is
+    kept here because it is what the DuckDB oracle can pin."""
+    import ray
+
+    model = _build_models(sf_dir, ref_mod, [0])[0]
+    model_ref = ray.put(model)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref)
+        keep = ((df["doc_id"] % ref_mod) != 0).to_numpy()
+        ids, langs, avgs = [], [], []
+        for doc_id, lang, th in zip(
+            df["doc_id"].to_numpy()[keep],
+            df["lang"].to_numpy()[keep],
+            _tok_hash_arrays(df["text"].to_numpy()[keep]),
+        ):
+            n, qsum = m.score_tokens(th)
+            if n == 0:
+                continue
+            ids.append(int(doc_id))
+            langs.append(lang)
+            avgs.append((-qsum) // n)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "lang": pd.Series(langs, dtype="string[pyarrow]"),
+            "avg_nll_micro": pd.Series(avgs, dtype=np.int64),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["avg_nll_micro", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        g["bucket"] = (3 * np.arange(n, dtype=np.int64)) // n
+        return g
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(score, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_docs_ccnet_buckets(ref_mod: int = 7) -> str:
+    return f"""
+WITH d AS ({_SQL_TOKENIZE}),
+{_sql_model_ctes("m", ref_mod, 0)},
+{_sql_scored_pairs("m", f"doc_id % {ref_mod} <> 0")},
+s AS (
+  SELECT doc_id,
+         CAST(-SUM(ql) AS BIGINT) // COUNT(*) AS avg_nll_micro
+  FROM mq GROUP BY doc_id
+),
+sl AS (
+  SELECT s.doc_id, documents.lang, s.avg_nll_micro
+  FROM s JOIN documents USING (doc_id)
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY avg_nll_micro, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM sl
+)
+SELECT doc_id, lang, avg_nll_micro,
+       CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
+FROM r
+ORDER BY doc_id
+"""

@@ -47,8 +47,10 @@ EDGE_DOCS = [
 def edge_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("lmedge")
     ids, texts = zip(*EDGE_DOCS)
+    langs = ["en" if i % 2 == 0 else "fr" for i in ids]
     pq.write_table(
-        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": list(texts)}),
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": list(texts),
+                  "lang": langs}),
         d / "documents.parquet",
     )
     return str(d)
@@ -83,6 +85,24 @@ def test_lm_dsir_edges_match_oracle(ray_session, edge_sf):
         want[c] = want[c].astype("int64")
     assert set(got["doc_id"]) <= {2, 5, 8, 11}   # only % 3 >= 2 scored
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ccnet_buckets_edges_match_oracle(ray_session, edge_sf):
+    from playwrightcrawler_ray.ops.lm import (
+        q_docs_ccnet_buckets,
+        sql_docs_ccnet_buckets,
+    )
+
+    got = q_docs_ccnet_buckets(edge_sf, ref_mod=3)
+    want = _oracle(edge_sf, sql_docs_ccnet_buckets(ref_mod=3))
+    want = want.sort_values("doc_id").reset_index(drop=True)[got.columns]
+    for c in ("doc_id", "avg_nll_micro", "bucket"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # tercile rule: within each language, buckets are rank-balanced
+    for _, g in got.groupby("lang"):
+        counts = g["bucket"].value_counts()
+        assert counts.max() - counts.min() <= 1
 
 
 def test_all_oov_doc_scores_pure_oov_mass(ray_session, edge_sf):

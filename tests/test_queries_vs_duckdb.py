@@ -76,7 +76,7 @@ ORACLED = [
     "dedup_components", "doc_neardup_dedup_exact", "docs_trainset_exact",
     "events_rolling", "lineitem_rollup", "events_distinct_users",
     "docs_decontaminate", "docs_decontaminate_join", "words_topk",
-    "docs_lm_perplexity", "docs_dsir_weights",
+    "docs_lm_perplexity", "docs_dsir_weights", "docs_ccnet_buckets",
     "docs_trainset_decontam", "docs_trainset_pardedup",
 ]
 

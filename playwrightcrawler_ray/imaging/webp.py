@@ -1126,6 +1126,11 @@ def webp_decode_frames(data: bytes, max_pixels: int = 64_000_000,
             anmf.append(payload)
         pos += 8 + size + (size & 1)
     if not (animated and anmf):
+        if anmf:
+            # webp_decode routes ANMF files here; recursing back would
+            # loop forever on this malformed (ANMF without animated
+            # VP8X) shape, so reject it outright.
+            raise ValueError("ANMF chunk without an animated VP8X header")
         return [webp_decode(data, max_pixels)], [0]
     if canvas_w is None or canvas_w * canvas_h > max_pixels:
         raise ValueError("animated WebP without a valid VP8X canvas")

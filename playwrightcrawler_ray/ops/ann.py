@@ -624,6 +624,13 @@ def semdedup_dataset(emb_ds, k: int, threshold: float, iters: int,
     image variant in pipelines/export.py passes an embedding pipeline
     over decoded image pixels). Passthrough columns survive into the
     output; ``embedding`` is dropped."""
+    # Execute the (possibly expensive — e.g. pure-Python image decode)
+    # embedding pipeline ONCE and pin the result: rows are tiny
+    # (~0.5 KB), and k-means seeding + each Lloyd round + the final
+    # assignment pass would otherwise re-run the factory end to end
+    # (iters + 2 full decodes of the corpus).
+    emb = emb_ds().materialize()
+    emb_ds = lambda: emb  # noqa: E731
     centroids = _kmeans_centroids(emb_ds, k, iters, seed)
     c_ref = ray.put(centroids)
 

@@ -63,21 +63,27 @@ _OOV_HASH = np.uint64(
 )
 
 _TOK_CACHE: dict[str, int] = {}
+# Web-crawl vocabularies are effectively unbounded, and workers are
+# long-lived: cap the memo so the Zipf head (which enters first and
+# stays) amortizes while the long tail cannot grow worker RSS forever.
+_TOK_CACHE_MAX = 1 << 20
 
 
 def _tok_hash_arrays(texts) -> list[np.ndarray]:
     """Per-token blake2b-64 hash array for each text (whitespace
     tokenization, the repo-wide convention matching the oracle's
     ``LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '')``).
-    Unique tokens are hashed once per process (cached)."""
+    Unique tokens are hashed once per process (bounded cache)."""
     cache = _TOK_CACHE
 
     def tok_hash(tok: str) -> int:
         v = cache.get(tok)
         if v is None:
-            v = cache[tok] = int.from_bytes(
+            v = int.from_bytes(
                 hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
             )
+            if len(cache) < _TOK_CACHE_MAX:
+                cache[tok] = v
         return v
 
     out = []

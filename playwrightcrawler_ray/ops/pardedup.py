@@ -36,6 +36,33 @@ import numpy as np
 import pandas as pd
 
 
+def _explode_wgrams(df: pd.DataFrame, w: int, n_parts: int):
+    """Sliding w-gram explode shared by the dup-ngram-fraction
+    diagnostic and the ExactSubstr cut — ONE definition of gram
+    identity (space split/join, blake2b-64, ``% n_parts``) so the two
+    ops can never silently diverge. Returns parallel lists
+    (doc_ids, starts, grams, parts) plus the ids of docs shorter than
+    ``w`` words (which produce no grams)."""
+    out_doc, out_start, out_gram, out_part = [], [], [], []
+    short_doc: list[int] = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        words = text.split(" ")
+        doc_id = int(doc_id)
+        if len(words) < w:
+            short_doc.append(doc_id)
+            continue
+        for i in range(len(words) - w + 1):
+            g = " ".join(words[i:i + w])
+            h = int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"),
+                                digest_size=8).digest(), "big")
+            out_doc.append(doc_id)
+            out_start.append(i)
+            out_gram.append(g)
+            out_part.append(h % n_parts)
+    return out_doc, out_start, out_gram, out_part, short_doc
+
+
 def _explode_paragraphs(df: pd.DataFrame, chunk_words: int, n_parts: int,
                         meta_cols: tuple[str, ...] = ()) -> pd.DataFrame:
     """(doc_id, text) batch → one row per paragraph chunk with a
@@ -186,23 +213,8 @@ def q_docs_dup_ngram_fraction(sf_dir: str, w: int = 8,
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_gram, out_part = [], [], []
-        short_doc, short_n = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            words = text.split(" ")
-            doc_id = int(doc_id)
-            if len(words) < w:
-                short_doc.append(doc_id)
-                short_n.append(0)
-                continue
-            for i in range(len(words) - w + 1):
-                g = " ".join(words[i:i + w])
-                h = int.from_bytes(
-                    hashlib.blake2b(g.encode("utf-8"),
-                                    digest_size=8).digest(), "big")
-                out_doc.append(doc_id)
-                out_gram.append(g)
-                out_part.append(h % n_parts)
+        out_doc, _, out_gram, out_part, short_doc = \
+            _explode_wgrams(df, w, n_parts)
         # docs with no grams ride along as sentinel rows (part -1)
         # so they surface in the output with n_grams = 0
         return pd.DataFrame(
@@ -361,19 +373,8 @@ def q_docs_substring_dedup(sf_dir: str, w: int = 8,
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_start, out_gram, out_part = [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            words = text.split(" ")
-            doc_id = int(doc_id)
-            for i in range(len(words) - w + 1):
-                g = " ".join(words[i:i + w])
-                h = int.from_bytes(
-                    hashlib.blake2b(g.encode("utf-8"),
-                                    digest_size=8).digest(), "big")
-                out_doc.append(doc_id)
-                out_start.append(i)
-                out_gram.append(g)
-                out_part.append(h % n_parts)
+        out_doc, out_start, out_gram, out_part, _ = \
+            _explode_wgrams(df, w, n_parts)
         return pd.DataFrame(
             {
                 "doc_id": pd.array(out_doc, dtype="int64"),

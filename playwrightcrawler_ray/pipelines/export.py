@@ -242,6 +242,31 @@ def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
     )
 
 
+def thumb_embedding(px: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) uint8 pixels → 64-dim unit-normalized 8×8 block-mean
+    luma thumbnail. Exact bucketed averaging for any h, w ≥ 1 (images
+    smaller than 8 px on a side repeat-sample rows/columns — never a
+    zero-sum bucket, so never NaN)."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    my = np.zeros((8, h))
+    if h >= 8:
+        my[(np.arange(h) * 8) // h, np.arange(h)] = 1.0
+    else:  # fewer rows than buckets: repeat-sample rows
+        my[np.arange(8), (np.arange(8) * h) // 8] = 1.0
+    my /= my.sum(axis=1, keepdims=True)
+    mx = np.zeros((w, 8))
+    if w >= 8:
+        mx[np.arange(w), (np.arange(w) * 8) // w] = 1.0
+    else:
+        mx[(np.arange(8) * w) // 8, np.arange(8)] = 1.0
+    mx /= mx.sum(axis=0, keepdims=True)
+    thumb = (my @ gray @ mx).reshape(-1)
+    thumb = thumb - thumb.mean()
+    n = np.linalg.norm(thumb)
+    return thumb / n if n > 1e-9 else thumb
+
+
 def image_semdedup(output_dir: str, k: int = 8, threshold: float = 0.92,
                    iters: int = 5, seed: int = 5) -> pd.DataFrame:
     """SemDeDup over the CRAWL'S OWN images: every stored image is
@@ -279,20 +304,7 @@ def image_semdedup(output_dir: str, k: int = 8, threshold: float = 0.92,
                     px, _ = decode_image(body)
                 except Exception:
                     continue
-                gray = px.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
-                # 8×8 block means via bucketed averaging matrices
-                # (exact for any h, w — no interpolation)
-                my = np.zeros((8, h))
-                my[(np.arange(h) * 8) // h, np.arange(h)] = 1.0
-                my /= my.sum(axis=1, keepdims=True)
-                mx = np.zeros((w, 8))
-                mx[np.arange(w), (np.arange(w) * 8) // w] = 1.0
-                mx /= mx.sum(axis=0, keepdims=True)
-                thumb = (my @ gray @ mx).reshape(-1)
-                thumb = thumb - thumb.mean()
-                n = np.linalg.norm(thumb)
-                vec = thumb / n if n > 1e-9 else thumb
+                vec = thumb_embedding(px)
                 ids.append(image_id)
                 vids.append(int(image_id[:15], 16))  # 60-bit id prefix
                 vecs.append(vec.tolist())

@@ -112,6 +112,12 @@ def build_pairs(rng, n_images):
             diff = sum(buckets[i][k] != buckets[j][k] for k in buckets[i])
             if j != i and diff >= 2:
                 break
+        else:
+            # never label a matching (or self) caption as a negative —
+            # fail loudly instead of poisoning the training set
+            raise RuntimeError(
+                f"no valid negative found for image {i}; image set too "
+                "small or degenerate")
         x_img.append(feats[i])
         x_cap.append(caption_vector(caps[j]))
         y.append(0.0)

@@ -69,6 +69,8 @@ def test_model_separates_fresh_pairs():
             diff = sum(buckets[i][k] != buckets[j][k] for k in buckets[i])
             if j != i and diff >= 2:
                 break
+        else:
+            raise AssertionError(f"no valid negative for image {i}")
         neg_caps.append(caps[j])
     neg = model.predict(imgs, neg_caps)
     # pairwise AUC over matched-vs-mismatched for the same image

@@ -207,3 +207,20 @@ def test_video_frame_sampler_handles_animations(ray_session):
     assert errs[0] is None and errs[1] is None and errs[2]
     phashes = out.column("frame_phashes").to_pylist()
     assert len(phashes[0]) == 3 and len(phashes[1]) == 3
+
+
+def test_anmf_without_vp8x_rejected_not_recursed():
+    """A malformed WebP carrying an ANMF chunk but no animated VP8X
+    header must raise ValueError — the still-decode → frames-decode
+    handoff used to mutually recurse to RecursionError on this
+    shape."""
+    import struct
+
+    payload = b"\x00" * 16
+    chunk = b"ANMF" + struct.pack("<I", len(payload)) + payload
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="ANMF"):
+        webp_decode_frames(data)
+    from playwrightcrawler_ray.imaging.webp import webp_decode
+    with pytest.raises(ValueError, match="ANMF"):
+        webp_decode(data)

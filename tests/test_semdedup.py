@@ -98,3 +98,19 @@ def test_semdedup_runs_on_driver_tables(ray_session):
     assert len(out) == 500
     assert set(out.columns) == {"vec_id", "cluster", "keep"}
     assert out["keep"].any()
+
+
+def test_thumb_embedding_tiny_images_no_nan():
+    """Images narrower/shorter than the 8-bucket thumbnail grid
+    (1x1 tracking pixels are ubiquitous on the web) must embed to
+    finite unit vectors — zero-sum buckets used to produce NaN and
+    poison every k-means centroid they touched."""
+    from playwrightcrawler_ray.pipelines.export import thumb_embedding
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (4, 16), (16, 4), (7, 7), (8, 8), (3, 40)]:
+        v = thumb_embedding(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        assert v.shape == (64,) and np.isfinite(v).all()
+    # constant image: zero vector (norm guard), still finite
+    v = thumb_embedding(np.full((2, 2, 3), 9, np.uint8))
+    assert np.isfinite(v).all() and abs(float(np.linalg.norm(v))) < 1e-9

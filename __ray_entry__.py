@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": T.q_lang_distribution,
         "docs_token_quantiles": T.q_docs_token_quantiles,
         "docs_regex_scan": T.q_docs_regex_scan,
+        # PII redaction (the scrub twin of the regex scan): counts +
+        # md5 of the fully redacted text, hash-exact vs the oracle
+        "docs_pii_scrub": T.q_docs_pii_scrub,
         "docs_inverted_index": T.q_docs_inverted_index,
         "docs_by_source": T.q_docs_by_source,
         "doc_exact_dedup": T.q_doc_exact_dedup,
@@ -271,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.q_doc_fingerprints,      # rows-only (hash fns)
         # curation: seeded sampling + per-source quota + split
         "doc_sample": T.q_doc_sample,
+        # weighted (Efraimidis-Spirakis) draw: P(include) ∝ n_chars
+        "docs_weighted_sample": T.q_docs_weighted_sample,
         "docs_stratified_sample": T.q_docs_stratified_sample,
         "docs_per_source_cap": T.q_docs_per_source_cap,
         "docs_split": T.q_docs_split,
@@ -374,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": T.SQL_LANG_DISTRIBUTION,
         "docs_token_quantiles": T.SQL_DOCS_TOKEN_QUANTILES,
         "docs_regex_scan": T.SQL_DOCS_REGEX_SCAN,
+        "docs_pii_scrub": T.SQL_DOCS_PII_SCRUB,
+        "docs_weighted_sample": T.sql_docs_weighted_sample(),
         "docs_inverted_index": T.SQL_DOCS_INVERTED_INDEX,
         "docs_by_source": T.SQL_DOCS_BY_SOURCE,
         "doc_exact_dedup": T.SQL_DOC_EXACT_DEDUP,

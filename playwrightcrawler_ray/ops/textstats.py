@@ -942,3 +942,127 @@ SELECT lang, doc_id FROM (
 ) WHERE rn <= {k}
 ORDER BY lang, doc_id
 """
+
+
+def q_docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII REDACTION — the scrub twin q_docs_regex_scan's docstring
+    promises (reference analogue: the crawler's content post-filters,
+    playwrightcrawler.py CONTENT_FILTERS; the curation-standard "strip
+    emails/IPs before training" pass). Emails are replaced first, then
+    IPv4 literals over the email-redacted string — the pass ORDER is
+    part of the contract (an IPv4-shaped substring inside a redacted
+    email must not be double-counted) and the SQL oracle applies the
+    same two passes in the same order.
+
+    Returns per-document redaction counts plus the md5 of the fully
+    scrubbed text: the digest proves the entire redacted STRING agrees
+    with the oracle without shipping the corpus back to the driver. In
+    production the scrubbed column would stream straight to
+    write_parquet; this query returns the verifiable projection.
+
+    Scale shape: one vectorized map_batches pass — the RE2 automatons
+    (pyarrow.compute count/replace_substring_regex) run once per
+    pattern per batch; no shuffle, no Python regex. Only the md5 is
+    per-row (same convention as q_doc_fingerprints)."""
+    import hashlib as _hl
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    email_pat = _REGEX_SCAN_PATTERNS["n_email"]
+    ipv4_pat = _REGEX_SCAN_PATTERNS["n_ipv4"]
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_email = pc.count_substring_regex(text, pattern=email_pat)
+        t1 = pc.replace_substring_regex(
+            text, pattern=email_pat, replacement="<EMAIL>"
+        )
+        n_ipv4 = pc.count_substring_regex(t1, pattern=ipv4_pat)
+        t2 = pc.replace_substring_regex(
+            t1, pattern=ipv4_pat, replacement="<IP>"
+        )
+        md5 = [_hl.md5(s.encode("utf-8")).hexdigest()
+               for s in t2.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_email": pc.cast(n_email, pa.int64()),
+            "n_ipv4": pc.cast(n_ipv4, pa.int64()),
+            "scrub_md5": pa.array(md5, pa.string()),
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOCS_PII_SCRUB = f"""
+WITH r1 AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_extract_all(text,
+              '{_REGEX_SCAN_PATTERNS["n_email"]}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '{_REGEX_SCAN_PATTERNS["n_email"]}',
+                        '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id, n_email,
+       CAST(LENGTH(regexp_extract_all(t1,
+            '{_REGEX_SCAN_PATTERNS["n_ipv4"]}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(t1, '{_REGEX_SCAN_PATTERNS["n_ipv4"]}',
+                          '<IP>', 'g')) AS scrub_md5
+FROM r1 ORDER BY doc_id
+"""
+
+
+def q_docs_weighted_sample(sf_dir: str, k: int = 100, seed: int = 31
+                           ) -> pd.DataFrame:
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-ES): the k
+    documents with the smallest ``-ln(u)/w`` exponential race keys,
+    u = mix64(doc_id ^ seed) mapped to (0, 1), weight w = n_chars —
+    inclusion probability proportional to document length, the
+    standard "sample tokens, not documents" curation draw.
+
+    Same one-streaming-pass shape as q_doc_sample: per-batch partial
+    top-k (k rows leave each batch), driver merges k-sized partials;
+    at 100 TB the merge is a tree reduce over k-row partials. The
+    float key is computed from the SAME integers on both sides (hash
+    -> double -> ln -> divide, every step IEEE-identical except ln's
+    final ulp, orders of magnitude below the inter-key spacing); ties
+    break by doc_id on both sides."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _mix64_np(df["doc_id"].to_numpy(), seed)
+        u = (h.astype(np.float64) + 0.5) * 2.0 ** -64
+        w = np.maximum(df["n_chars"].to_numpy(), 1).astype(np.float64)
+        key = -np.log(u) / w
+        idx = np.argsort(key, kind="stable")[:k]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[idx],
+            "source": df["source"].to_numpy()[idx],
+            "n_chars": df["n_chars"].to_numpy()[idx],
+            "key": key[idx],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["key", "doc_id"]).head(k)
+    return (
+        out[["doc_id", "source", "n_chars"]]
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def sql_docs_weighted_sample(k: int = 100, seed: int = 31) -> str:
+    """DuckDB mirror of the A-ES race (mix64 CTE shared via
+    :func:`_sql_mix64_cte`; the float-key arithmetic is spelled with
+    the exact same operation sequence as the numpy side)."""
+    return f"""
+WITH {_sql_mix64_cte(["doc_id", "source", "n_chars"], seed)}
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         -ln((CAST(h AS DOUBLE) + 0.5) * POWER(2.0, -64))
+             / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS key
+  FROM h4 ORDER BY key, doc_id LIMIT {k}
+) ORDER BY doc_id
+"""

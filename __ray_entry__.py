@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the bounded-state Misra-Gries summary (rows-only:
         # sketch; guarantee-tested against the exact twin in pytest)
         "words_topk_mg": S.q_words_topk_mg,
+        # ... and the fixed-state count-min estimate (rows-only:
+        # sketch; overestimate + linear-merge guarantees pinned vs
+        # the exact twin in pytest)
+        "words_topk_cms": S.q_words_topk_cms,
         # float-domain quantiles via the mergeable compactor sketch
         # (rows-only: carries its own rank-error certificate, checked
         # against exact ranks in pytest)

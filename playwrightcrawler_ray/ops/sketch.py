@@ -303,3 +303,101 @@ def q_embedding_norm_quantiles(sf_dir: str,
         return pd.DataFrame(rows)
 
     return partial_grouped_agg(ds, partial, combine)
+
+
+# --- Count-min sketch (mergeable point-frequency summary) ---
+#
+# The third classical mergeable frequency summary beside Misra-Gries
+# and HLL (Cormode & Muthukrishnan 2005): d x w counter rows, each
+# item hashed to one counter per row, estimate = min over rows. Two
+# guarantees are DETERMINISTIC and pinned in pytest: the estimate
+# never undercounts (est >= true, always), and the sketch is LINEAR —
+# merging shard sketches by element-wise addition is bit-identical to
+# sketching the concatenated stream. The probabilistic side
+# (est <= true + e*N/w with prob 1-(1/2)^d) is what w sizes; at 100 TB
+# the fixed d*w state makes the combine a tree reduce over 128 KB
+# blobs no matter the token count, where MG keeps only survivors and
+# exact counting keeps the vocabulary.
+
+CMS_D = 4
+CMS_W = 1 << 12
+
+
+def cms_hash(keys: np.ndarray, row: int) -> np.ndarray:
+    """Row-salted column index for uint64 item keys."""
+    salt = _splitmix64(np.array([row + 1], dtype=np.uint64))[0]
+    return (_splitmix64(keys ^ salt) % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_update(table: np.ndarray, keys: np.ndarray,
+               counts: np.ndarray) -> None:
+    """Fold (key, count) pairs into a (CMS_D, CMS_W) int64 table —
+    ``np.add.at`` gather per row, no Python loop over items."""
+    for r in range(CMS_D):
+        np.add.at(table[r], cms_hash(keys, r), counts)
+
+
+def cms_estimate(table: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the d salted rows."""
+    est = table[0][cms_hash(keys, 0)].copy()
+    for r in range(1, CMS_D):
+        np.minimum(est, table[r][cms_hash(keys, r)], out=est)
+    return est
+
+
+def _word_keys(words: np.ndarray) -> np.ndarray:
+    """blake2b-64 item keys (the repo-wide string-hash convention —
+    same digest family as ops/lm.py's token hashes)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode("utf-8"),
+                                        digest_size=8).digest(), "big")
+         for w in words),
+        dtype=np.uint64, count=len(words))
+
+
+def q_words_topk_cms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus word top-k by count-min estimate (rows-only: sketch;
+    the deterministic overestimate + linearity guarantees are pinned
+    against the exact twin in tests/test_sketches.py). The classic
+    distributed shape: each batch contributes its local top-2k words
+    as CANDIDATES plus its fixed-size CMS partial; the combine sums
+    the sketches (linear merge) and ranks the candidate union by CMS
+    estimate. Candidate recall is the per-batch-top-2k heuristic; the
+    estimates themselves inherit the sketch's one-sided bound."""
+    from .aggutil import partial_grouped_agg
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy().astype(np.int64)
+        table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        cms_update(table, _word_keys(words), counts)
+        cand = words[:2 * k]  # value_counts is count-descending
+        return pd.DataFrame({
+            "word": np.concatenate([cand, [""] * (CMS_D * CMS_W)]),
+            "cnt": np.concatenate([np.zeros(len(cand), dtype=np.int64),
+                                   table.reshape(-1)]),
+            "slot": np.concatenate([np.full(len(cand), -1, dtype=np.int64),
+                                    np.arange(CMS_D * CMS_W)]),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cells = df[df["slot"] >= 0]
+        table = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        np.add.at(table, cells["slot"].to_numpy(),
+                  cells["cnt"].to_numpy())
+        table = table.reshape(CMS_D, CMS_W)
+        cand = np.unique(
+            df.loc[df["slot"] < 0, "word"].to_numpy(dtype=object))
+        est = cms_estimate(table, _word_keys(cand))
+        out = pd.DataFrame({"word": cand, "est": est.astype("int64")})
+        return out.sort_values(["est", "word"],
+                               ascending=[False, True]).head(k
+                               ).reset_index(drop=True)
+
+    return partial_grouped_agg(ds, partial, combine)

@@ -115,3 +115,72 @@ def test_hll_merge_equals_single_stream_fuzz(n, seed, splits):
     est = hll_estimate(merged)
     tol = 6 * 1.04 / np.sqrt(HLL_M)
     assert abs(est - n_distinct) <= max(tol * n_distinct, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 1000)),
+        min_size=1, max_size=800,
+    ),
+    splits=st.integers(1, 6),
+)
+def test_cms_overestimate_and_linear_merge_fuzz(stream, splits):
+    """Count-min guarantees on adversarial streams: (a) estimates
+    NEVER undercount, (b) merging shard sketches by addition is
+    bit-identical to sketching the whole stream (linearity)."""
+    from playwrightcrawler_ray.ops.sketch import (
+        CMS_D, CMS_W, cms_estimate, cms_update,
+    )
+
+    words = np.array([f"w{i}" for i, _ in stream], dtype=object)
+    counts = np.array([c for _, c in stream], dtype=np.int64)
+    keys = np.array(
+        [int.from_bytes(__import__("hashlib").blake2b(
+            w.encode(), digest_size=8).digest(), "big") for w in words],
+        dtype=np.uint64)
+
+    single = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cms_update(single, keys, counts)
+
+    merged = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for idx in np.array_split(np.arange(len(words)), splits):
+        shard = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        cms_update(shard, keys[idx], counts[idx])
+        merged += shard
+    assert np.array_equal(merged, single)
+
+    true = collections.Counter()
+    for (i, _), c in zip(stream, counts):
+        true[f"w{i}"] += int(c)
+    uniq = np.array(sorted(true), dtype=object)
+    uk = np.array(
+        [int.from_bytes(__import__("hashlib").blake2b(
+            w.encode(), digest_size=8).digest(), "big") for w in uniq],
+        dtype=np.uint64)
+    est = cms_estimate(single, uk)
+    for w, e in zip(uniq, est):
+        assert int(e) >= true[w]
+
+
+def test_words_topk_cms_vs_exact(ray_session):
+    """Driver-shaped check on the corpus: every CMS estimate bounds
+    its true count from above, and at sf0.001 (token count << CMS_W
+    collision regime) the sketch ranking reproduces the exact top-k."""
+    import pandas as pd
+
+    from playwrightcrawler_ray.ops.sketch import q_words_topk_cms
+    from playwrightcrawler_ray.ops.textstats import q_words_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = q_words_topk_cms(sf, k=10)
+    exact = q_words_topk(sf, k=10)
+
+    true = (
+        pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])["text"]
+        .str.split().explode().dropna().value_counts()
+    )
+    for w, e in zip(got["word"], got["est"]):
+        assert int(e) >= int(true.get(w, 0))
+    assert list(got["word"]) == list(exact["word"])
+    assert (got["est"].to_numpy() >= exact["cnt"].to_numpy()).all()

@@ -203,15 +203,23 @@ def verify_admission_invariants(output_dir: str, cfg: CrawlConfig | None = None)
     return ds.map_batches(check, batch_format="pandas").to_pandas()
 
 
-def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
+def export_media_files(output_dir: str, dest: str,
+                       scrub_exif: bool = False) -> pd.DataFrame:
     """Write every stored image payload to a file tree under ``dest``
     using the reference downloader's traversal-proof URL→path mapping
     (downloader.py:167-209 / :255-300 via urlkit.filepath). Distributed:
     each batch writes its own rows; a shared filesystem (as on a real
     cluster) receives one file per URL, overwrite-idempotent. Returns a
-    small manifest (url, path, n_bytes)."""
+    small manifest (url, path, n_bytes).
+
+    ``scrub_exif=True`` runs the byte-level EXIF privacy strip
+    (imaging/exif.py — GPS coordinates are PII) on each payload before
+    writing; pixels stay bit-identical, only metadata containers are
+    removed. Bare-TIFF payloads (where EXIF is structural) pass
+    through unmodified rather than being re-encoded."""
     import os
 
+    from ..imaging.exif import exif_strip
     from ..urlkit.filepath import safe_filepath_from_url
 
     ds = load_unified(output_dir, columns=["kind", "url", "bytes"])
@@ -222,6 +230,11 @@ def export_media_files(output_dir: str, dest: str) -> pd.DataFrame:
         bodies = t.column("bytes").to_pylist()
         paths, sizes = [], []
         for u, b in zip(urls, bodies):
+            if scrub_exif and b:
+                try:
+                    b = exif_strip(b)
+                except ValueError:
+                    pass  # structural (bare TIFF): keep verbatim
             path = safe_filepath_from_url(u, dest)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:

@@ -288,10 +288,16 @@ class ImageResizer:
         return (sums / np.maximum(cnt, 1)).astype(np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.exif import decode_image_oriented
+
         out_bytes, out_w, out_h, err = [], [], [], []
         for b in batch.column("bytes").to_pylist():
             try:
-                px, _ = decode_image(b)
+                # EXIF-orientation-normalized decode: identity for
+                # untagged images (the whole synthetic corpus), the
+                # upright pixels for phone photos — so every
+                # downstream hash/embedding sees the viewed image
+                px, _, _ = decode_image_oriented(b)
                 rs = self._resize(px)
                 out_bytes.append(encode_image(rs, self.out_fmt))
                 out_h.append(rs.shape[0])
@@ -309,6 +315,53 @@ class ImageResizer:
             .append_column("resized_h", pa.array(out_h, pa.int32()))
             .append_column("resize_error", pa.array(err, pa.string()))
         )
+
+
+class ExifExtractor:
+    """Actor-pool stage over a ``bytes`` image column: append the
+    EXIF curation signals (orientation, camera make/model, capture
+    time, GPS presence — imaging/exif.py) and, with ``scrub=True``,
+    a ``scrubbed_bytes`` column holding the byte-level privacy strip
+    (GPS is PII; pixels stay bit-identical). Parse failures are
+    error ROWS, never crashed tasks — same taxonomy contract as the
+    decode stages."""
+
+    def __init__(self, scrub: bool = False):
+        self.scrub = scrub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging.exif import exif_parse, exif_strip
+
+        orient, make, model, dt, has_gps, scrubbed = [], [], [], [], [], []
+        for b in batch.column("bytes").to_pylist():
+            try:
+                info = exif_parse(b or b"")
+            except Exception:
+                info = {"orientation": 1, "make": None, "model": None,
+                        "datetime": None, "has_gps": False}
+            orient.append(info["orientation"])
+            make.append(info["make"])
+            model.append(info["model"])
+            dt.append(info["datetime"])
+            has_gps.append(info["has_gps"])
+            if self.scrub:
+                try:
+                    scrubbed.append(exif_strip(b) if b else b)
+                except ValueError:
+                    scrubbed.append(b)  # structural (bare TIFF)
+        out = (
+            batch.append_column("exif_orientation",
+                                pa.array(orient, pa.int32()))
+            .append_column("exif_make", pa.array(make, pa.string()))
+            .append_column("exif_model", pa.array(model, pa.string()))
+            .append_column("exif_datetime", pa.array(dt, pa.string()))
+            .append_column("exif_has_gps",
+                           pa.array(has_gps, pa.bool_()))
+        )
+        if self.scrub:
+            out = out.append_column("scrubbed_bytes",
+                                    pa.array(scrubbed, pa.binary()))
+        return out
 
 
 class AudioFeaturizer:

@@ -316,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_top_pairs": D.q_ngram_jaccard_top_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,    # rows-only (approx)
         "simhash": D.q_simhash,                        # rows-only (hash fn)
+        # Manku/WWW'07 banded Hamming-radius pairs over the simhash
+        # (rows-only: hash fn; exact vs the brute-force all-pairs
+        # kernel, pinned in pytest)
+        "simhash_hamming_pairs": D.q_simhash_hamming_pairs,
         # rows-only: near-dup COLLAPSE over minhash edges + contraction
         "doc_neardup_dedup": D.q_doc_neardup_dedup,
         # oracle-anchored twin: exact-Jaccard edges + same collapse

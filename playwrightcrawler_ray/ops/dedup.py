@@ -418,59 +418,177 @@ def q_minhash_lsh_pairs(sf_dir: str, w: int = 3, threshold: float = 0.5,
     )
 
 
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) batch → (doc_id, simhash int64). Whole-batch
+    vectorization: each UNIQUE token is blake2b-hashed once into a
+    (vocab, 64) ±1 matrix, then every doc's rows are
+    gather-accumulated in one np.add.at — no per-token Python loop
+    (the hash per unique token is the irreducible cost; natural text
+    reuses tokens heavily so it amortizes across the batch). Shared by
+    q_simhash and the banded Hamming-pairs op so signature identity
+    can never diverge."""
+    shifts = np.arange(64, dtype=np.uint64)
+    vocab: dict[str, int] = {}
+    idx_lists = []
+    for text in df["text"]:
+        toks = text.split()
+        idx_lists.append(
+            np.fromiter(
+                (vocab.setdefault(t, len(vocab)) for t in toks),
+                dtype=np.int64, count=len(toks),
+            )
+        )
+    acc = np.zeros((len(df), 64), dtype=np.int64)
+    if vocab:
+        hv = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "big",
+                )
+                for t in vocab
+            ),
+            dtype=np.uint64, count=len(vocab),
+        )
+        bitmat = np.where(
+            (hv[:, None] >> shifts[None, :]) & np.uint64(1) == 1, 1, -1
+        ).astype(np.int64)
+        doc_idx = np.repeat(
+            np.arange(len(df)), [len(ix) for ix in idx_lists]
+        )
+        if len(doc_idx):
+            np.add.at(acc, doc_idx, bitmat[np.concatenate(idx_lists)])
+    vals = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # (v ^ sign_bit) viewed int64 == v - 2^63 for all uint64 v —
+    # bit-identical to the previous per-row int(val) - (1 << 63)
+    sim64 = (vals ^ np.uint64(1 << 63)).view(np.int64)
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(), "simhash": sim64}
+    )
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash of each document's token multiset (near-dup
     signature; Hamming-close signatures ⇒ similar docs). Rows-only."""
     ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas").to_pandas()
 
-    def sim(df: pd.DataFrame) -> pd.DataFrame:
-        # whole-batch vectorization: each UNIQUE token is blake2b-hashed
-        # once into a (vocab, 64) ±1 matrix, then every doc's rows are
-        # gather-accumulated in one np.add.at — no per-token Python loop
-        # (the hash per unique token is the irreducible cost; natural
-        # text reuses tokens heavily so it amortizes across the batch)
-        shifts = np.arange(64, dtype=np.uint64)
-        vocab: dict[str, int] = {}
-        idx_lists = []
-        for text in df["text"]:
-            toks = text.split()
-            idx_lists.append(
-                np.fromiter(
-                    (vocab.setdefault(t, len(vocab)) for t in toks),
-                    dtype=np.int64, count=len(toks),
-                )
-            )
-        acc = np.zeros((len(df), 64), dtype=np.int64)
-        if vocab:
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big",
-                    )
-                    for t in vocab
-                ),
-                dtype=np.uint64, count=len(vocab),
-            )
-            bitmat = np.where(
-                (hv[:, None] >> shifts[None, :]) & np.uint64(1) == 1, 1, -1
-            ).astype(np.int64)
-            doc_idx = np.repeat(
-                np.arange(len(df)), [len(ix) for ix in idx_lists]
-            )
-            if len(doc_idx):
-                np.add.at(acc, doc_idx, bitmat[np.concatenate(idx_lists)])
-        vals = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        # (v ^ sign_bit) viewed int64 == v - 2^63 for all uint64 v —
-        # bit-identical to the previous per-row int(val) - (1 << 63)
-        sim64 = (vals ^ np.uint64(1 << 63)).view(np.int64)
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(), "simhash": sim64}
-        )
 
-    return ds.map_batches(sim, batch_format="pandas").to_pandas()
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)],
+                    dtype=np.int64)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between parallel uint64 arrays
+    (byte-LUT popcount — numpy 1.x has no bitwise_count)."""
+    x = (a ^ b).view(np.uint64)
+    return _POPCNT8[(x[:, None] >> (np.arange(8, dtype=np.uint64) * 8)
+                     ).astype(np.uint8)].sum(axis=1)
+
+
+def q_simhash_hamming_pairs(sf_dir: str, radius: int = 3,
+                            n_parts: int = 64) -> pd.DataFrame:
+    """All document pairs within SimHash Hamming distance ``radius``
+    — the Manku/Jain/Sarma (WWW'07, the Google web-dedup paper)
+    pigeonhole scheme: split the 64-bit signature into ``radius + 1``
+    bands; any pair within the radius agrees EXACTLY on at least one
+    band, so candidate generation is an equality groupby per band,
+    never an all-pairs scan.
+
+    Scale shape: signatures computed in one vectorized pass; ONE
+    shuffle keyed on hash(band, band_bits) % n_parts (coarse
+    partitions — a high-cardinality groupby key would pay Ray's
+    per-key overhead); per-partition candidate verification is a
+    vectorized popcount over each equal-band bucket. Cross-band
+    duplicate suppression is LOCAL, zero extra shuffle: both
+    signatures travel with the row, so band b emits a pair only when
+    no band < b also agrees (checkable from xor alone). Output exact
+    (no false positives/negatives given the signatures) — pinned
+    against the brute-force all-pairs kernel in pytest."""
+    n_bands = radius + 1
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sig = simhash_batch(df)
+        sim_u = sig["simhash"].to_numpy().view(np.uint64)
+        n = len(sig)
+        out = {
+            "doc_id": np.tile(sig["doc_id"].to_numpy(), n_bands),
+            "simhash": np.tile(sig["simhash"].to_numpy(), n_bands),
+            "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+        }
+        band_vals = np.concatenate([
+            (sim_u >> np.uint64(b * band_bits)) & mask
+            for b in range(n_bands)
+        ]) if n else np.empty(0, np.uint64)
+        key = (_mix(band_vals ^ (np.repeat(
+            np.arange(n_bands, dtype=np.uint64), n) << np.uint64(56)))
+            % np.uint64(n_parts)).astype(np.int64)
+        out["part"] = key
+        return pd.DataFrame(out)
+
+    def _mix(v: np.ndarray) -> np.ndarray:
+        x = v.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return x ^ (x >> np.uint64(33))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sim_u = g["simhash"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        bands = g["band"].to_numpy()
+        out_a, out_b, out_d = [], [], []
+        sub = pd.DataFrame({
+            "band": bands,
+            "bv": (sim_u >> (bands.astype(np.uint64)
+                             * np.uint64(band_bits))) & mask,
+            "id": ids, "sig": sim_u,
+        })
+        for (b, _), grp in sub.groupby(["band", "bv"], sort=False):
+            if len(grp) < 2:
+                continue
+            gi = grp["id"].to_numpy()
+            gs = grp["sig"].to_numpy()
+            order = np.argsort(gi, kind="stable")
+            gi, gs = gi[order], gs[order]
+            ii, jj = np.triu_indices(len(gi), k=1)
+            x = gs[ii] ^ gs[jj]
+            d = _hamming64(gs[ii], gs[jj])
+            keep = d <= radius
+            # lowest-agreeing-band ownership: emit only if no band
+            # below b also agrees (local check on the xor)
+            for lb in range(int(b)):
+                keep &= ((x >> np.uint64(lb * band_bits)) & mask) != 0
+            out_a.append(gi[ii][keep])
+            out_b.append(gi[jj][keep])
+            out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame({
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+            "hamming": np.concatenate(out_d).astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    )
 
 
 def q_doc_neardup_dedup(sf_dir: str, w: int = 3,

@@ -611,3 +611,62 @@ def test_decontaminate_layouts_agree(entrymod):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
+    """The banded (pigeonhole) Hamming-pairs op must reproduce the
+    brute-force all-pairs answer EXACTLY — the banding is a shuffle
+    strategy, not an approximation. Checked on the corpus and on a
+    planted-near-dup fixture that forces cross-band ownership."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.dedup import (
+        _hamming64,
+        q_simhash,
+        q_simhash_hamming_pairs,
+    )
+
+    def brute(sf, radius):
+        sig = q_simhash(sf).sort_values("doc_id").reset_index(drop=True)
+        ids = sig["doc_id"].to_numpy()
+        s = sig["simhash"].to_numpy().view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = _hamming64(s[ii], s[jj])
+        keep = d <= radius
+        return set(zip(ids[ii][keep].tolist(), ids[jj][keep].tolist(),
+                       d[keep].tolist()))
+
+    got = q_simhash_hamming_pairs(SF_DIR, radius=3)
+    got_set = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+    assert got_set == brute(SF_DIR, 3)
+    # no duplicate pair rows (cross-band ownership is exclusive)
+    assert len(got) == len(set(zip(got["doc_a"], got["doc_b"])))
+
+    # planted fixture: identical docs (distance 0), one-token flips
+    # (small distance), unrelated docs; wider radius exercises the
+    # 16-way banding ownership
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = {
+        "doc_id": list(range(8)),
+        "text": [
+            base, base,                       # exact twins
+            base + "extra", base + "EXTRA",   # near twins
+            "completely different words entirely unrelated content",
+            "another orthogonal document about databases and rays",
+            base.replace("fox", "cat"),
+            base.replace("dog", "wolf"),
+        ],
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table(docs), f"{td}/documents.parquet")
+        for radius in (0, 3, 7):
+            got = q_simhash_hamming_pairs(td, radius=radius)
+            got_set = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+            assert got_set == brute(td, radius), radius
+        # the exact twins must surface at distance 0
+        z = q_simhash_hamming_pairs(td, radius=0)
+        assert (0, 1) in set(zip(z["doc_a"], z["doc_b"]))

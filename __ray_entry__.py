@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components_lsh": N.q_dedup_components_lsh,
         "ann_topk_lsh": N.q_ann_topk_lsh,              # rows-only (approx)
         "ann_topk_ivf": N.q_ann_topk_ivf,              # rows-only (approx)
+        # IVF-PQ / IVFADC+R (Jégou et al. 2011): m_sub-byte codes +
+        # asymmetric-distance tables + exact rerank of the ADC top-R
+        # (rows-only: approx; recall + score-exactness in pytest)
+        "ann_topk_ivfpq": N.q_ann_topk_ivfpq,          # rows-only (approx)
         "embedding_kmeans": N.q_embedding_kmeans,      # rows-only (iterative)
         # SemDeDup: cluster-bucketed semantic dedup (rows-only:
         # kmeans-seeded; drop-subset + recall vs the exact global

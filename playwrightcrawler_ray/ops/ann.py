@@ -585,6 +585,160 @@ def q_ann_topk_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     )
 
 
+def q_ann_topk_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                     n_clusters: int = 16, nprobe: int = 8,
+                     m_sub: int = 16, n_codes: int = 32,
+                     iters: int = 5, seed: int = 5,
+                     sample_n: int = 2048,
+                     rerank: int | None = None) -> pd.DataFrame:
+    """IVF-PQ ANN (Jégou/Douze/Schmid "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the IVFADC layout every
+    billion-scale vector index descends from): the coarse quantizer
+    partitions the corpus; within probed clusters, vectors are
+    represented by ``m_sub`` uint8 codes (one per subspace of the
+    RESIDUAL to the coarse centroid) and ranked by asymmetric
+    distance computation — per-subspace lookup tables built once from
+    the query, candidate distance = m_sub table gathers + a sum,
+    never a full-dimension dot product.
+
+    Memory is the point: at 100 TB a float32 corpus is unscannable,
+    but m_sub bytes/vector (8 here vs 256 for the raw vector) keeps
+    whole shards in RAM. Codebooks are trained on a deterministic
+    hash-smallest ``sample_n`` sample (standard practice — and the
+    sample is cluster-size invariant because hash order is). In a
+    deployed index the codes are precomputed at ingest; this query
+    encodes during the scan, which changes cost, not results.
+
+    ``rerank`` (default 4k) is the paper's IVFADC+R refinement: each
+    batch keeps its ADC top-``rerank`` WITH the exact vectors riding
+    along, and only those R survivors get a true cosine — the final
+    answer is exact over the candidate pool, so the only recall loss
+    is a true neighbor whose cluster wasn't probed or whose ADC rank
+    fell below R. Approximate → rows-only; recall vs the exact top-k
+    is pinned in pytest."""
+    if rerank is None:
+        rerank = 4 * k
+    centroids = _kmeans_centroids(sf_dir, n_clusters, iters, seed)
+    d = centroids.shape[1]
+    if d % m_sub:
+        raise ValueError(f"m_sub={m_sub} must divide dim={d}")
+    d_sub = d // m_sub
+
+    # --- deterministic sample for codebook training (hash-smallest
+    # vec_ids, same mixer as the k-means seeder)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    seed64 = np.uint64((seed * 0x2545F4914F6CDD1D + 1)
+                       & 0xFFFFFFFFFFFFFFFF)
+
+    def sample_part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["vec_id"].to_numpy().astype(np.uint64)
+        h = (v ^ seed64) * mult
+        h ^= h >> np.uint64(29)
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        idx = np.argsort(h, kind="stable")[:sample_n]
+        return pd.DataFrame({
+            "h": h[idx].astype(np.int64) - (1 << 63),
+            "vec_id": df["vec_id"].to_numpy()[idx],
+            "embedding": df["embedding"].to_numpy()[idx],
+        })
+
+    samp = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(sample_part, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+        .sort_values(["h", "vec_id"]).head(sample_n)
+    )
+    sm = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    res = sm - centroids[_sq_dists(sm, centroids).argmin(axis=1)]
+
+    # --- per-subspace Lloyd on the sample residuals (driver-local:
+    # the sample is O(sample_n), deterministic init = first n_codes
+    # rows in hash order)
+    codebooks = np.empty((m_sub, n_codes, d_sub))
+    for s in range(m_sub):
+        sub = res[:, s * d_sub : (s + 1) * d_sub]
+        cb = sub[: min(n_codes, len(sub))].copy()
+        if len(cb) < n_codes:  # degenerate tiny corpus: pad by repeat
+            cb = np.resize(cb, (n_codes, d_sub))
+        for _ in range(iters):
+            assign = _sq_dists(sub, cb).argmin(axis=1)
+            for ci in range(n_codes):
+                sel = sub[assign == ci]
+                if len(sel):
+                    cb[ci] = sel.mean(axis=0)
+        codebooks[s] = cb
+
+    # --- query prep: probe list + one ADC lookup table per probed
+    # cluster (LUT[s, j] = ||query_residual_s - codebook[s, j]||²)
+    qdf = _fetch_vecs(sf_dir, [query_vec_id])
+    q = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d2, kind="stable")[:nprobe]
+    luts = {}
+    for ci in probe.tolist():
+        qr = (q - centroids[ci]).reshape(m_sub, d_sub)
+        luts[ci] = np.stack([
+            ((codebooks[s] - qr[s][None, :]) ** 2).sum(axis=1)
+            for s in range(m_sub)
+        ])
+    refs = ray.put((centroids, codebooks, luts))
+
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def adc_scan(df: pd.DataFrame) -> pd.DataFrame:
+        c, cbs, lut_map = ray.get(refs)
+        qv = ray.get(q_ref)
+        m = _to_matrix(df)
+        assign = _sq_dists(m, c).argmin(axis=1)
+        ids = df["vec_id"].to_numpy()
+        out_id, out_d, out_row = [], [], []
+        for ci, lut in lut_map.items():
+            mask = (assign == ci) & (ids != query_vec_id)
+            if not mask.any():
+                continue
+            r = (m[mask] - c[ci]).reshape(-1, m_sub, d_sub)
+            # encode: per-subspace nearest code (precomputed at
+            # ingest in a deployed index), then ADC gather-sum
+            dist = np.zeros(len(r))
+            for s in range(m_sub):
+                codes = _sq_dists(r[:, s, :], cbs[s]).argmin(axis=1)
+                dist += lut[s][codes]
+            out_id.append(ids[mask])
+            out_d.append(dist)
+            out_row.append(m[mask])
+        if not out_id:
+            return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                 "cos_sim": pd.array([], dtype="float64")})
+        cand_id = np.concatenate(out_id)
+        cand_d = np.concatenate(out_d)
+        cand_m = np.concatenate(out_row)
+        # IVFADC+R: exact cosine only for the ADC top-`rerank`
+        order = np.lexsort((cand_id, cand_d))[:rerank]
+        sub = cand_m[order]
+        norms = np.linalg.norm(sub, axis=1)
+        cos = (sub @ qv) / np.where(norms == 0, 1.0, norms)
+        out = pd.DataFrame({
+            "vec_id": cand_id[order].astype("int64"),
+            "cos_sim": np.round(cos, 4),
+        })
+        return out.sort_values(["cos_sim", "vec_id"],
+                               ascending=[False, True]).head(k)
+
+    out = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(adc_scan, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .astype({"vec_id": "int64"})
+        .reset_index(drop=True)
+    )
+
+
 def q_docs_semdedup(sf_dir: str, k: int = 8, threshold: float = 0.95,
                     iters: int = 5, seed: int = 5) -> pd.DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

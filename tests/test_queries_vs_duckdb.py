@@ -297,6 +297,24 @@ def test_ann_topk_ivf_recall(entrymod):
     assert hits >= len(exact) // 2  # recall@10 >= 0.5 at these params
 
 
+def test_ann_topk_ivfpq_recall_and_exact_rerank(entrymod):
+    """IVF-PQ with the IVFADC+R refinement: every reported score must
+    be the EXACT cosine (the rerank touches true vectors), recall@10
+    >= 0.5 at 16x32 codebooks / nprobe 8/16, and the result is
+    deterministic (hash-seeded sample + stable Lloyd)."""
+    qs = entrymod.queries()
+    exact = qs["ann_topk"](SF_DIR)
+    pq_ = qs["ann_topk_ivfpq"](SF_DIR)
+    exact_map = dict(zip(exact["vec_id"].astype(int), exact["cos_sim"]))
+    hits = 0
+    for v, c in zip(pq_["vec_id"].astype(int), pq_["cos_sim"]):
+        if v in exact_map:
+            assert abs(exact_map[v] - c) < 1e-6
+            hits += 1
+    assert hits >= len(exact) // 2
+    assert pq_.equals(qs["ann_topk_ivfpq"](SF_DIR))
+
+
 def test_entry_smoke(entrymod):
     ds = entrymod.entry()
     df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds

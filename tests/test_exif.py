@@ -260,3 +260,60 @@ def test_export_media_scrub_exif(ray_session, tmp_path):
         assert find_exif(data) is None or data[:4] in (
             b"II*\x00", b"MM\x00*")  # bare TIFF passes through
         decode_image(data)  # still a valid image
+
+
+def test_exif_survives_crawl_end_to_end(ray_session, tmp_path):
+    """Real-crawl e2e: tag a corpus image with EXIF (incl. GPS) after
+    build, crawl it, and confirm (a) the stored image bytes carry the
+    tag verbatim (the engine stores fetched bytes, it must not mangle
+    metadata), (b) ExifExtractor over the crawl's own images table
+    surfaces the signals, (c) the scrub pipeline writes a GPS-free
+    copy with identical pixels."""
+    import pyarrow.compute as pc
+
+    from playwrightcrawler_ray.config import CrawlConfig
+    from playwrightcrawler_ray.corpus import build_corpus
+    from playwrightcrawler_ray.pipelines.crawl import load_unified, run_crawl
+    from playwrightcrawler_ray.stages.multimodal import ExifExtractor
+
+    corpus = build_corpus(seed=42, n_hosts=4, pages_per_host=4)
+    # tag EVERY decodable JPEG/PNG image response (pixels unchanged,
+    # so the crawl's content identities are untouched) — guarantees
+    # the crawl stores at least one tagged payload
+    tagged_urls = set()
+    for url, resp in sorted(corpus.pages.items()):
+        body = resp.get("body")
+        if not isinstance(body, (bytes, bytearray)):
+            continue
+        if bytes(body[:2]) == b"\xff\xd8" or bytes(body[:8]) == b"\x89PNG\r\n\x1a\n":
+            resp["body"] = attach_exif(bytes(body), build_exif(**TAGS))
+            tagged_urls.add(url)
+    assert tagged_urls, "corpus has no jpeg/png image"
+
+    out_dir = str(tmp_path / "crawl")
+    run_crawl(corpus, CrawlConfig(output_dir=out_dir, max_waves=30))
+
+    ds = load_unified(out_dir, columns=["kind", "url", "bytes"])
+    ds = ds.filter(lambda r: r["kind"] == "image")
+    out = (
+        ds.map_batches(ExifExtractor, batch_format="pyarrow",
+                       concurrency=1, fn_constructor_kwargs={"scrub": True})
+        .to_pandas()
+    )
+    assert len(out) > 0
+    tagged = out[out["url"].isin(tagged_urls)]
+    assert len(tagged) > 0, "crawl stored no tagged jpeg/png image"
+    for _, row in tagged.iterrows():
+        assert row["exif_orientation"] == 6
+        assert bool(row["exif_has_gps"])
+        assert row["exif_make"] == "GraftCam"
+        # scrubbed twin: no EXIF, identical pixels
+        sb = bytes(row["scrubbed_bytes"])
+        assert find_exif(sb) is None
+        orig = corpus.pages[row["url"]]["body"]
+        np.testing.assert_array_equal(decode_image(sb)[0],
+                                      decode_image(bytes(orig))[0])
+    # untouched (non-jpeg/png) images keep orientation 1 / no GPS
+    rest = out[~out["url"].isin(tagged_urls)]
+    assert (rest["exif_orientation"] == 1).all()
+    assert (~rest["exif_has_gps"]).all()

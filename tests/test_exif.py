@@ -317,3 +317,45 @@ def test_exif_survives_crawl_end_to_end(ray_session, tmp_path):
     rest = out[~out["url"].isin(tagged_urls)]
     assert (rest["exif_orientation"] == 1).all()
     assert (~rest["exif_has_gps"]).all()
+
+
+def test_exif_parse_structured_fuzz():
+    """Structured-adversarial fuzz: valid TIFF headers with random
+    IFD entry tables (random tags/types/counts/offsets, including
+    pointers past EOF and into the header) must never raise and never
+    return out-of-domain values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        endian=st.sampled_from(["<", ">"]),
+        entries=st.lists(
+            st.tuples(
+                st.integers(0, 0xFFFF),      # tag
+                st.integers(0, 13),          # type (incl. invalid)
+                st.integers(0, 1 << 22),     # count (incl. huge)
+                st.integers(0, 1 << 32 - 1), # inline value / offset
+            ),
+            min_size=0, max_size=12,
+        ),
+        ifd_off=st.integers(0, 64),
+        trailing=st.binary(max_size=64),
+    )
+    def run(endian, entries, ifd_off, trailing):
+        import struct as s
+
+        magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+        body = s.pack(endian + "H", len(entries))
+        for tag, typ, count, val in entries:
+            body += s.pack(endian + "HHII", tag, typ, count,
+                           val & 0xFFFFFFFF)
+        body += s.pack(endian + "I", 0)
+        payload = magic + s.pack(endian + "I", ifd_off) + body + trailing
+        out = parse_exif_tiff(payload)
+        assert 1 <= out["orientation"] <= 8
+        assert isinstance(out["has_gps"], bool)
+        if out["gps_lat"] is not None:
+            assert np.isfinite(out["gps_lat"])
+
+    run()

@@ -948,11 +948,12 @@ def q_docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII REDACTION — the scrub twin q_docs_regex_scan's docstring
     promises (reference analogue: the crawler's content post-filters,
     playwrightcrawler.py CONTENT_FILTERS; the curation-standard "strip
-    emails/IPs before training" pass). Emails are replaced first, then
-    IPv4 literals over the email-redacted string — the pass ORDER is
-    part of the contract (an IPv4-shaped substring inside a redacted
-    email must not be double-counted) and the SQL oracle applies the
-    same two passes in the same order.
+    emails/IPs/phones before training" pass). Emails are replaced
+    first, then IPv4 literals, then E.164-ish phone numbers, each over
+    the previous pass's output — the pass ORDER is part of the
+    contract (an IPv4-shaped substring inside a redacted email must
+    not be double-counted) and the SQL oracle applies the same three
+    passes in the same order.
 
     Returns per-document redaction counts plus the md5 of the fully
     scrubbed text: the digest proves the entire redacted STRING agrees
@@ -980,18 +981,27 @@ def q_docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
         t2 = pc.replace_substring_regex(
             t1, pattern=ipv4_pat, replacement="<IP>"
         )
+        n_phone = pc.count_substring_regex(t2, pattern=_PII_PHONE)
+        t3 = pc.replace_substring_regex(
+            t2, pattern=_PII_PHONE, replacement="<PHONE>"
+        )
         md5 = [_hl.md5(s.encode("utf-8")).hexdigest()
-               for s in t2.to_pylist()]
+               for s in t3.to_pylist()]
         return pa.table({
             "doc_id": t["doc_id"],
             "n_email": pc.cast(n_email, pa.int64()),
             "n_ipv4": pc.cast(n_ipv4, pa.int64()),
+            "n_phone": pc.cast(n_phone, pa.int64()),
             "scrub_md5": pa.array(md5, pa.string()),
         })
 
     out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
+
+# E.164-ish international phone literal: RE2-safe, identical meaning
+# in pyarrow and DuckDB (both RE2)
+_PII_PHONE = r"\+[0-9][0-9 -]{5,13}[0-9]"
 
 SQL_DOCS_PII_SCRUB = f"""
 WITH r1 AS (
@@ -1001,13 +1011,20 @@ WITH r1 AS (
          regexp_replace(text, '{_REGEX_SCAN_PATTERNS["n_email"]}',
                         '<EMAIL>', 'g') AS t1
   FROM documents
+), r2 AS (
+  SELECT doc_id, n_email,
+         CAST(LENGTH(regexp_extract_all(t1,
+              '{_REGEX_SCAN_PATTERNS["n_ipv4"]}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t1, '{_REGEX_SCAN_PATTERNS["n_ipv4"]}',
+                        '<IP>', 'g') AS t2
+  FROM r1
 )
-SELECT doc_id, n_email,
-       CAST(LENGTH(regexp_extract_all(t1,
-            '{_REGEX_SCAN_PATTERNS["n_ipv4"]}')) AS BIGINT) AS n_ipv4,
-       md5(regexp_replace(t1, '{_REGEX_SCAN_PATTERNS["n_ipv4"]}',
-                          '<IP>', 'g')) AS scrub_md5
-FROM r1 ORDER BY doc_id
+SELECT doc_id, n_email, n_ipv4,
+       CAST(LENGTH(regexp_extract_all(t2,
+            '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(t2, '{_PII_PHONE}',
+                          '<PHONE>', 'g')) AS scrub_md5
+FROM r2 ORDER BY doc_id
 """
 
 

@@ -688,3 +688,47 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
         # the exact twins must surface at distance 0
         z = q_simhash_hamming_pairs(td, radius=0)
         assert (0, 1) in set(zip(z["doc_a"], z["doc_b"]))
+
+
+def test_pii_scrub_planted_edge_cases(ray_session, tmp_path):
+    """Planted PII: emails, IPv4, E.164 phones, an IPv4-shaped
+    substring inside an email domain (must be consumed by the email
+    pass, not double-counted), and digit runs that must NOT match —
+    engine and oracle identical, and the scrubbed text provably loses
+    the literals."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.textstats import (
+        SQL_DOCS_PII_SCRUB,
+        q_docs_pii_scrub,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [
+            "contact alice@example.com or bob@host.org today",
+            "server at 10.1.2.3 and backup 192.168.0.1 port 8080",
+            "call +1 555-012-3456 or +44 20 7946 0958 now",
+            "edge a@b1.2.3.4xy.com hides an ip-shaped domain",
+            "no pii here just numbers 12345 and 3.14159",
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q_docs_pii_scrub(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(SQL_DOCS_PII_SCRUB).df()
+    g, w = _normalize(got), _normalize(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1, "n_email"] == 2
+    assert by_id.loc[2, "n_ipv4"] == 2
+    assert by_id.loc[3, "n_phone"] == 2
+    # the ip-shaped substring inside the email domain: email pass
+    # consumes it, ip count stays 0
+    assert by_id.loc[4, "n_email"] == 1 and by_id.loc[4, "n_ipv4"] == 0
+    assert (by_id.loc[5, ["n_email", "n_ipv4", "n_phone"]] == 0).all()

@@ -2,8 +2,9 @@
 attach, lossless strip, and orientation-normalized decode.
 
 Reference parity note: the reference stores fetched images verbatim
-and hashes/decodes them with PIL (playwrightcrawler.py image
-handling), which PRESERVES EXIF bytes but never applies them — so a
+and hashes/decodes them with PIL (playwrightcrawler.py:3848,
+``Image.open`` on the raw bytes), which PRESERVES EXIF bytes but
+never applies them (no ``ImageOps.exif_transpose`` anywhere) — so a
 phone photo with Orientation=6 sits sideways in every downstream
 consumer that forgets ``exif_transpose``. A curation pipeline needs
 all three EXIF operations this module provides:

@@ -946,9 +946,11 @@ ORDER BY lang, doc_id
 
 def q_docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII REDACTION — the scrub twin q_docs_regex_scan's docstring
-    promises (reference analogue: the crawler's content post-filters,
-    playwrightcrawler.py CONTENT_FILTERS; the curation-standard "strip
-    emails/IPs/phones before training" pass). Emails are replaced
+    promises (reference analogue: the downloader's regex filter
+    configuration, downloader.py:20-44 — the reference filters at the
+    URL/content-type level; redaction inside document text is the
+    curation-standard "strip emails/IPs/phones before training"
+    extension). Emails are replaced
     first, then IPv4 literals, then E.164-ish phone numbers, each over
     the previous pass's output — the pass ORDER is part of the
     contract (an IPv4-shaped substring inside a redacted email must

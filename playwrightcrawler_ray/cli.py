@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=None)
     s.add_argument("--concurrency", type=int, default=2)
 
+    e = sub.add_parser(
+        "exif", help="EXIF signal scan over crawled images (actor-pool "
+        "ExifExtractor); optionally write GPS-scrubbed copies")
+    e.add_argument("--out", required=True)
+    e.add_argument("--scrub-dest", default=None,
+                   help="write byte-level-scrubbed image files here")
+    e.add_argument("--concurrency", type=int, default=2)
+
     q = sub.add_parser(
         "query", help="run a named driver query over a testdata dir "
         "(list names with --list)")
@@ -107,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="list available query names and exit")
 
     args = p.parse_args(argv)
-    if args.cmd in ("images", "verify", "urls", "score"):
+    if args.cmd in ("images", "verify", "urls", "score", "exif"):
         import glob
         import os
 
@@ -231,6 +239,42 @@ def main(argv: list[str] | None = None) -> int:
                                if f)
             print(json.dumps({"images": n, "scored": scored_n,
                               "flagged": flagged, "threshold": thr}))
+        elif args.cmd == "exif":
+            from .pipelines.crawl import load_unified
+            from .stages.multimodal import ExifExtractor
+
+            scrub = args.scrub_dest is not None
+            ds = load_unified(args.out, columns=["kind", "url", "bytes"])
+            ds = ds.filter(lambda r: r["kind"] == "image")
+            ds = ds.map_batches(
+                ExifExtractor, batch_format="pyarrow", batch_size=32,
+                concurrency=args.concurrency, num_cpus=1,
+                fn_constructor_kwargs={"scrub": scrub},
+            )
+            n = tagged = gps = 0
+            if scrub:
+                import os as _os
+
+                from .urlkit.filepath import safe_filepath_from_url
+            for batch in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=1024):
+                n += batch.num_rows
+                orient = batch["exif_orientation"].to_pylist()
+                has_gps = batch["exif_has_gps"].to_pylist()
+                makes = batch["exif_make"].to_pylist()
+                tagged += sum(1 for o, m in zip(orient, makes)
+                              if o != 1 or m is not None)
+                gps += sum(1 for g in has_gps if g)
+                if scrub:
+                    for u, b in zip(batch["url"].to_pylist(),
+                                    batch["scrubbed_bytes"].to_pylist()):
+                        path = safe_filepath_from_url(u, args.scrub_dest)
+                        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                        with open(path, "wb") as f:
+                            f.write(b or b"")
+            print(json.dumps({"images": n, "exif_tagged": tagged,
+                              "with_gps": gps,
+                              "scrubbed_to": args.scrub_dest}))
         elif args.cmd == "query":
             import pandas as pd
 

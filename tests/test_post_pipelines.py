@@ -229,3 +229,27 @@ def test_image_semdedup_over_crawl(crawl_out):
     assert out["keep"].sum() >= 1
     again = image_semdedup(crawl_out, k=4, threshold=0.92)
     assert out.equals(again)
+
+
+def test_cli_exif_scan_and_scrub(crawl_out, tmp_path):
+    """`cli exif` scans the crawl's images in its own process and
+    writes byte-level-scrubbed copies; the standard corpus carries no
+    EXIF, so every copy must be byte-identical to its stored
+    original and the tagged/GPS counters zero."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    dest = str(tmp_path / "scrub")
+    r = subprocess.run(
+        [sys.executable, "-m", "playwrightcrawler_ray.cli", "exif",
+         "--out", crawl_out, "--scrub-dest", dest],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["images"] > 0
+    assert summary["exif_tagged"] == 0 and summary["with_gps"] == 0
+    n_files = sum(len(fs) for _, _, fs in os.walk(dest))
+    assert n_files == summary["images"]

@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trainset_pardedup": TT.q_docs_trainset_pardedup,
         # similarity search
         "ann_topk": N.q_ann_topk,
+        # batched multi-query top-k: one GEMM per batch against the
+        # broadcast query matrix, per-query partial top-k
+        "ann_topk_batch": N.q_ann_topk_batch,
         "embedding_neardup_pairs": N.q_embedding_neardup_pairs,
         "embedding_neardup_lsh": N.q_embedding_neardup_lsh,  # rows-only (approx scale twin)
         "dedup_components": N.q_dedup_components,
@@ -415,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_trainset_decontam": TT.sql_docs_trainset_decontam(),
         "docs_trainset_pardedup": TT.sql_docs_trainset_pardedup(),
         "ann_topk": N.sql_ann_topk(),
+        "ann_topk_batch": N.sql_ann_topk_batch(),
         "embedding_neardup_pairs": N.sql_embedding_neardup_pairs(),
         "dedup_components": N.sql_dedup_components(),
     }

@@ -109,6 +109,80 @@ LIMIT {k}
 """
 
 
+def q_ann_topk_batch(sf_dir: str, n_queries: int = 16, k: int = 5
+                     ) -> pd.DataFrame:
+    """BATCHED similarity search: top-k for EACH of ``n_queries``
+    query vectors in ONE pass — the deployment shape (real retrieval
+    runs thousands of queries, not one). The query matrix is
+    broadcast once (``ray.put``); each batch computes a single
+    (batch × n_queries) GEMM against it and emits per-query partial
+    top-k rows, so the driver merge is O(n_queries × k × batches)
+    and the corpus is read exactly once regardless of query count.
+    Queries are the embeddings with vec_id < n_queries (deterministic
+    and SQL-mirrorable)."""
+    qdf = _fetch_vecs(sf_dir, list(range(n_queries))).sort_values("vec_id")
+    Q = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.where(qn == 0, 1.0, qn)[:, None]
+    q_ref = ray.put((qids, Qn))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, qm = ray.get(q_ref)
+        m = _to_matrix(df)
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m / np.where(norms == 0, 1.0, norms)[:, None]) @ qm.T
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(ids_q)):
+            col = cos[:, qi]
+            mask = ids != ids_q[qi]          # self excluded
+            order = np.lexsort((ids[mask], -col[mask]))[:k]
+            out_q.append(np.full(len(order), ids_q[qi], np.int64))
+            out_v.append(ids[mask][order])
+            out_c.append(col[mask][order])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v),
+            "cos_sim": np.concatenate(out_c),
+        })
+
+    parts = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    out = (
+        parts.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", sort=True).head(k)
+    )
+    out["cos_sim"] = np.round(out["cos_sim"].to_numpy(), 4)
+    return (
+        out.astype({"query_id": "int64", "vec_id": "int64"})
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+
+def sql_ann_topk_batch(n_queries: int = 16, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < {n_queries})
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT q.query_id, e.vec_id,
+         ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.qe), 4) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
 def q_embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """All (a < b) pairs with cosine ≥ threshold: per-batch GEMM of the
     streamed side against the broadcast normalized matrix.

@@ -78,7 +78,7 @@ ORACLED = [
     "docs_decontaminate", "docs_decontaminate_join", "words_topk",
     "docs_lm_perplexity", "docs_dsir_weights", "docs_ccnet_buckets",
     "docs_trainset_decontam", "docs_trainset_pardedup",
-    "docs_pii_scrub", "docs_weighted_sample",
+    "docs_pii_scrub", "docs_weighted_sample", "ann_topk_batch",
 ]
 
 

@@ -243,9 +243,16 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.crawl import load_unified
             from .stages.multimodal import ExifExtractor
 
+            import pyarrow.compute as _pc
+
             scrub = args.scrub_dest is not None
             ds = load_unified(args.out, columns=["kind", "url", "bytes"])
-            ds = ds.filter(lambda r: r["kind"] == "image")
+            # vectorized batch filter (repo convention) — a per-row
+            # lambda would dict-convert every page body on the way by
+            ds = ds.map_batches(
+                lambda t: t.filter(_pc.equal(t.column("kind"), "image")),
+                batch_format="pyarrow",
+            )
             ds = ds.map_batches(
                 ExifExtractor, batch_format="pyarrow", batch_size=32,
                 concurrency=args.concurrency, num_cpus=1,

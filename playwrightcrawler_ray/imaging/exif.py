@@ -66,7 +66,7 @@ def _read_ifd_rich(data: bytes, endian: str, off: int):
     unknown-typed entries are skipped, matching the permissive walk
     every real-world EXIF consumer needs (phone writers disagree on
     padding and sub-IFD layout constantly)."""
-    if off + 2 > len(data):
+    if off < 0 or off + 2 > len(data):
         return {}
     (n,) = struct.unpack_from(endian + "H", data, off)
     out = {}
@@ -101,19 +101,34 @@ def _read_ifd_rich(data: bytes, endian: str, off: int):
     return out
 
 
-def _dms_to_deg(dms, ref: str | None) -> float | None:
+def _dms_to_deg(dms, ref) -> float | None:
     """[(d_n,d_d),(m_n,m_d),(s_n,s_d)] + 'N'/'S'/'E'/'W' → signed
-    decimal degrees."""
+    decimal degrees. Defensive: a GPS IFD with the tag missing,
+    mistyped (e.g. ASCII), or short (fewer than 3 rationals — what a
+    coordinate-less GPS IFD degrades to) yields None, NOT a fabricated
+    0.0 at Null Island."""
+    if not isinstance(dms, (list, tuple)) or len(dms) < 3:
+        return None
     try:
         d = sum(
             (num / den) / scale
             for (num, den), scale in zip(dms, (1.0, 60.0, 3600.0))
         )
-    except (TypeError, ZeroDivisionError):
+    except (TypeError, ValueError, ZeroDivisionError):
         return None
     if ref in ("S", "W"):
         d = -d
     return d
+
+
+def _int0(values) -> int | None:
+    """First element of an integer-typed tag value list, or None when
+    the tag is absent/mistyped — hostile files type anything as
+    anything."""
+    if (isinstance(values, list) and values
+            and isinstance(values[0], int)):
+        return values[0]
+    return None
 
 
 def parse_exif_tiff(payload: bytes) -> dict:
@@ -131,23 +146,24 @@ def parse_exif_tiff(payload: bytes) -> dict:
         return out
     (ifd0_off,) = struct.unpack_from(endian + "I", payload, 4)
     ifd0 = _read_ifd_rich(payload, endian, ifd0_off)
-    if _TAG_ORIENTATION in ifd0:
-        o = ifd0[_TAG_ORIENTATION][0]
-        if 1 <= o <= 8:
-            out["orientation"] = int(o)
+    o = _int0(ifd0.get(_TAG_ORIENTATION))
+    if o is not None and 1 <= o <= 8:
+        out["orientation"] = o
     for tag, key in ((_TAG_MAKE, "make"), (_TAG_MODEL, "model"),
                      (_TAG_DATETIME, "datetime")):
         if isinstance(ifd0.get(tag), str):
             out[key] = ifd0[tag]
-    if _TAG_EXIF_IFD in ifd0:
-        sub = _read_ifd_rich(payload, endian, ifd0[_TAG_EXIF_IFD][0])
+    exif_off = _int0(ifd0.get(_TAG_EXIF_IFD))
+    if exif_off is not None:
+        sub = _read_ifd_rich(payload, endian, exif_off)
         if isinstance(sub.get(_TAG_DATETIME_ORIGINAL), str):
             out["datetime"] = sub[_TAG_DATETIME_ORIGINAL]
-    if _TAG_GPS_IFD in ifd0:
-        gps = _read_ifd_rich(payload, endian, ifd0[_TAG_GPS_IFD][0])
-        lat = _dms_to_deg(gps.get(_TAG_GPS_LAT, ()),
+    gps_off = _int0(ifd0.get(_TAG_GPS_IFD))
+    if gps_off is not None:
+        gps = _read_ifd_rich(payload, endian, gps_off)
+        lat = _dms_to_deg(gps.get(_TAG_GPS_LAT),
                           gps.get(_TAG_GPS_LAT_REF))
-        lon = _dms_to_deg(gps.get(_TAG_GPS_LON, ()),
+        lon = _dms_to_deg(gps.get(_TAG_GPS_LON),
                           gps.get(_TAG_GPS_LON_REF))
         if lat is not None and lon is not None:
             out["gps_lat"], out["gps_lon"] = lat, lon
@@ -367,6 +383,10 @@ def attach_exif(data: bytes, payload: bytes) -> bytes:
     header, whose EXIF flag is set). Raises for other containers."""
     if data[:2] == b"\xff\xd8":
         app1 = b"Exif\x00\x00" + payload
+        if len(app1) + 2 > 0xFFFF:
+            raise ValueError(
+                "EXIF payload exceeds one APP1 segment (65529 bytes); "
+                "multi-segment splitting is not supported")
         seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
         return data[:2] + seg + data[2:]
     if data[:8] == b"\x89PNG\r\n\x1a\n":

@@ -676,7 +676,7 @@ def q_ann_topk_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     never a full-dimension dot product.
 
     Memory is the point: at 100 TB a float32 corpus is unscannable,
-    but m_sub bytes/vector (8 here vs 256 for the raw vector) keeps
+    but m_sub bytes/vector (16 here vs 256 for the raw vector) keeps
     whole shards in RAM. Codebooks are trained on a deterministic
     hash-smallest ``sample_n`` sample (standard practice — and the
     sample is cluster-size invariant because hash order is). In a

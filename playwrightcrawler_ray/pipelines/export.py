@@ -299,7 +299,7 @@ def image_semdedup(output_dir: str, k: int = 8, threshold: float = 0.92,
     pass (bytes stay on workers; the embedding is 512 B/image), then
     the kernel's single ``groupby(cluster)`` shuffle moves only
     (id, 64-float) rows."""
-    from ..imaging.codec import decode_image
+    from ..imaging.exif import decode_image_oriented
     from ..ops.ann import semdedup_dataset
 
     def emb_ds():
@@ -314,7 +314,10 @@ def image_semdedup(output_dir: str, k: int = 8, threshold: float = 0.92,
                 if not image_id or body is None:
                     continue
                 try:
-                    px, _ = decode_image(body)
+                    # EXIF-orientation-normalized: a sideways-stored
+                    # copy of a photo must embed like the upright one
+                    # (identity for the untagged corpus)
+                    px, _, _ = decode_image_oriented(body)
                 except Exception:
                     continue
                 vec = thumb_embedding(px)

@@ -359,3 +359,91 @@ def test_exif_parse_structured_fuzz():
             assert np.isfinite(out["gps_lat"])
 
     run()
+
+
+def test_exif_parse_mistyped_tags_never_raise():
+    """Regression (review): hostile files type anything as anything —
+    an ASCII-typed Orientation, ASCII-typed sub-IFD pointers, and a
+    1-char ASCII GPS latitude all used to raise TypeError/ValueError
+    through decode_image_oriented, turning decodable images into
+    error rows. They must yield defaults."""
+    import struct as s
+
+    def tiff(entries, heap=b""):
+        body = s.pack("<H", len(entries))
+        for tag, typ, count, val in entries:
+            body += s.pack("<HHI", tag, typ, count) + val
+        body += s.pack("<I", 0)
+        return b"II*\x00" + s.pack("<I", 8) + body + heap
+
+    # Orientation typed ASCII ("6\0\0\0" inline)
+    out = parse_exif_tiff(tiff([(0x0112, 2, 4, b"6\x00\x00\x00")]))
+    assert out["orientation"] == 1
+    # Exif/GPS IFD pointers typed ASCII
+    out = parse_exif_tiff(tiff([(0x8769, 2, 4, b"ab\x00\x00"),
+                                (0x8825, 2, 4, b"cd\x00\x00")]))
+    assert out["orientation"] == 1 and not out["has_gps"]
+    # GPS IFD whose latitude is a 1-char ASCII and longitude absent
+    gps_off = 8 + 2 + 12 + 4
+    payload = tiff(
+        [(0x8825, 4, 1, s.pack("<I", gps_off))],
+        heap=s.pack("<H", 1) + s.pack("<HHI", 0x0002, 2, 2)
+        + b"N\x00\x00\x00" + s.pack("<I", 0),
+    )
+    out = parse_exif_tiff(payload)
+    assert not out["has_gps"] and out["gps_lat"] is None
+    # negative (type-9) sub-IFD pointer
+    out = parse_exif_tiff(tiff([(0x8769, 9, 1, s.pack("<i", -40))]))
+    assert out["orientation"] == 1
+
+
+def test_gps_ifd_without_coordinates_not_reported():
+    """Regression (review): a GPS IFD containing only GPSVersionID —
+    what phones write with location off (the spec makes the version
+    tag mandatory whenever the IFD exists) — must NOT report
+    has_gps=True at (0, 0)."""
+    import struct as s
+
+    gps_off = 8 + 2 + 12 + 4
+    gps_ifd = (s.pack("<H", 1)
+               + s.pack("<HHI", 0x0000, 1, 4) + b"\x02\x03\x00\x00"
+               + s.pack("<I", 0))
+    payload = (b"II*\x00" + s.pack("<I", 8)
+               + s.pack("<H", 1)
+               + s.pack("<HHI", 0x8825, 4, 1) + s.pack("<I", gps_off)
+               + s.pack("<I", 0)
+               + gps_ifd)
+    out = parse_exif_tiff(payload)
+    assert not out["has_gps"]
+    assert out["gps_lat"] is None and out["gps_lon"] is None
+
+
+def test_attach_exif_oversized_payload_refused():
+    """Regression (review): a payload over one APP1 segment must be a
+    clean ValueError, not struct.error."""
+    data = encode_image(_test_image(), "jpeg")
+    with pytest.raises(ValueError, match="APP1"):
+        attach_exif(data, build_exif() + b"\x00" * 70000)
+
+
+def test_image_semdedup_embedding_is_orientation_normalized(
+        ray_session, tmp_path):
+    """Regression (review): the image-SemDeDup embedding path must
+    fold EXIF orientation — a sideways-stored (tag 6) copy of a photo
+    collapses onto the upright original instead of surviving as a
+    spurious unique."""
+    from playwrightcrawler_ray.imaging.exif import decode_image_oriented
+    from playwrightcrawler_ray.pipelines.export import thumb_embedding
+
+    v = _test_image(24, 36)
+    upright = encode_image(v, "png")
+    sideways = attach_exif(
+        encode_image(np.ascontiguousarray(np.rot90(v, 1)), "png"),
+        build_exif(orientation=6))
+    ea = thumb_embedding(decode_image_oriented(upright)[0])
+    eb = thumb_embedding(decode_image_oriented(sideways)[0])
+    np.testing.assert_allclose(ea, eb, atol=1e-12)
+    # and WITHOUT the fold they would not collide (sanity that the
+    # test discriminates)
+    raw = thumb_embedding(decode_image(sideways)[0])
+    assert float(np.dot(ea, raw)) < 0.99

@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": A.q_lineitem_rollup,
         # grouped COUNT DISTINCT: exact pair-stream combiner ...
         "events_distinct_users": A.q_events_distinct_users,
+        # column profiling (null fraction / distinct / range per col)
+        "lineitem_profile": A.q_lineitem_profile,
         # ... and its bounded-state HLL sketch twin (rows-only:
         # estimator; error-bound agreement vs the exact op in pytest)
         "events_distinct_users_hll": S.q_events_distinct_users_hll,
@@ -383,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": A.SQL_EVENTS_ROLLING,
         "lineitem_rollup": A.SQL_LINEITEM_ROLLUP,
         "events_distinct_users": A.SQL_EVENTS_DISTINCT_USERS,
+        "lineitem_profile": A.SQL_LINEITEM_PROFILE,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
         "bloom_semijoin": J.SQL_BLOOM_SEMIJOIN,

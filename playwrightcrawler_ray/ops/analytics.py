@@ -527,3 +527,70 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """Column profiling — the data-engineering staple every ingest
+    pipeline runs before training (row counts, null fractions,
+    distinct cardinalities, value ranges). One row per profiled
+    numeric column.
+
+    Scale shape: per-batch partials carry (n, n_null, min, max) as
+    scalars plus the batch's DISTINCT value set — distincts are the
+    only state that grows, and they collapse at each combine
+    (np.unique over concatenated partials); for a genuinely
+    high-cardinality column the documented swap is the HLL sketch
+    (ops/sketch.py) or a groupby-on-value-partition, exactly the
+    events_distinct_users pattern."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_COLS:
+            v = df[c]
+            nn = v.dropna().to_numpy(dtype=np.float64)
+            rows.append({
+                "col": c,
+                "n": len(v),
+                "n_null": int(v.isna().sum()),
+                "vmin": nn.min() if len(nn) else np.nan,
+                "vmax": nn.max() if len(nn) else np.nan,
+                "distinct": np.unique(nn).tolist(),
+            })
+        return pd.DataFrame(rows)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = []
+        for c, grp in df.groupby("col", sort=True):
+            dis = np.unique(np.concatenate(
+                [np.asarray(d, dtype=np.float64)
+                 for d in grp["distinct"]]))
+            out.append({
+                "col": c,
+                "n": int(grp["n"].sum()),
+                "n_null": int(grp["n_null"].sum()),
+                "n_distinct": int(len(dis)),
+                "vmin": round(float(np.nanmin(grp["vmin"])), 4),
+                "vmax": round(float(np.nanmax(grp["vmax"])), 4),
+            })
+        return pd.DataFrame(out)
+
+    from .aggutil import partial_grouped_agg
+
+    return partial_grouped_agg(ds, partial, combine)
+
+
+SQL_LINEITEM_PROFILE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(MIN({c}), 4) AS vmin, ROUND(MAX({c}), 4) AS vmax
+FROM lineitem""" for c in _PROFILE_COLS
+) + " ORDER BY col"

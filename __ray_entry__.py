@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": A.q_events_distinct_users,
         # column profiling (null fraction / distinct / range per col)
         "lineitem_profile": A.q_lineitem_profile,
+        # pivot/crosstab (event_type × hour): combiner partials, no
+        # event-row shuffle
+        "events_pivot": A.q_events_pivot,
         # ... and its bounded-state HLL sketch twin (rows-only:
         # estimator; error-bound agreement vs the exact op in pytest)
         "events_distinct_users_hll": S.q_events_distinct_users_hll,
@@ -386,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": A.SQL_LINEITEM_ROLLUP,
         "events_distinct_users": A.SQL_EVENTS_DISTINCT_USERS,
         "lineitem_profile": A.SQL_LINEITEM_PROFILE,
+        "events_pivot": A.SQL_EVENTS_PIVOT,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
         "bloom_semijoin": J.SQL_BLOOM_SEMIJOIN,

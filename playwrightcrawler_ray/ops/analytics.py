@@ -594,3 +594,49 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
        ROUND(MIN({c}), 4) AS vmin, ROUND(MAX({c}), 4) AS vmax
 FROM lineitem""" for c in _PROFILE_COLS
 ) + " ORDER BY col"
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab: event counts as (event_type × hour-of-day)
+    — the reshape every analytics layer provides and Ray Data has no
+    native operator for. Expressed as a combiner aggregation: per-batch
+    (type, hour) count partials (≤ types×24 rows leave any batch),
+    summed, then reshaped driver-side into one column per hour. No
+    shuffle of event rows, ever."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.hour.astype("int64"),
+        })
+        out = sub.value_counts(["event_type", "hour"]).reset_index()
+        out.columns = ["event_type", "hour", "cnt"]
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(["event_type", "hour"], as_index=False,
+                         sort=False)["cnt"].sum()
+        wide = tot.pivot_table(index="event_type", columns="hour",
+                               values="cnt", aggfunc="sum",
+                               fill_value=0)
+        wide = wide.reindex(columns=range(24), fill_value=0)
+        wide.columns = [f"h{int(h)}" for h in wide.columns]
+        wide = wide.reset_index().sort_values("event_type")
+        for c in wide.columns:
+            if c != "event_type":
+                wide[c] = wide[c].astype("int64")
+        return wide.reset_index(drop=True)
+
+    from .aggutil import partial_grouped_agg
+
+    return partial_grouped_agg(ds, partial, combine)
+
+
+SQL_EVENTS_PIVOT = ("SELECT event_type, "
+                    + ", ".join(
+                        f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h}"
+                        f" THEN 1 ELSE 0 END) AS BIGINT) AS h{h}"
+                        for h in range(24))
+                    + " FROM events GROUP BY event_type"
+                    " ORDER BY event_type")

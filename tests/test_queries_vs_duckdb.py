@@ -79,7 +79,7 @@ ORACLED = [
     "docs_lm_perplexity", "docs_dsir_weights", "docs_ccnet_buckets",
     "docs_trainset_decontam", "docs_trainset_pardedup",
     "docs_pii_scrub", "docs_weighted_sample", "ann_topk_batch",
-    "lineitem_profile",
+    "lineitem_profile", "events_pivot",
 ]
 
 

@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ccnet_buckets": L.q_docs_ccnet_buckets,
         # corpus heavy hitters: exact vocabulary-state top-k ...
         "words_topk": T.q_words_topk,
+        # fuzzy vocabulary self-join (SymSpell deletion neighborhoods
+        # -> equality groupby -> banded-DP verify; never all-pairs)
+        "words_edit_pairs": T.q_words_edit_pairs,
         # ... and the bounded-state Misra-Gries summary (rows-only:
         # sketch; guarantee-tested against the exact twin in pytest)
         "words_topk_mg": S.q_words_topk_mg,
@@ -416,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": L.sql_docs_dsir_weights(),
         "docs_ccnet_buckets": L.sql_docs_ccnet_buckets(),
         "words_topk": T.sql_words_topk(),
+        "words_edit_pairs": T.sql_words_edit_pairs(),
         "docs_paragraph_dedup": P.sql_docs_paragraph_dedup(),
         "docs_dup_ngram_fraction": P.sql_docs_dup_ngram_fraction(),
         "docs_substring_dedup": P.sql_docs_substring_dedup(),

@@ -1085,3 +1085,142 @@ SELECT doc_id, source, n_chars FROM (
   FROM h4 ORDER BY key, doc_id LIMIT {k}
 ) ORDER BY doc_id
 """
+
+
+def _lev_le2(a: str, b: str) -> int | None:
+    """Plain Levenshtein distance if ≤ 2 else None — banded DP (only
+    the |i-j| ≤ 2 diagonal matters), O(len) per pair. Matches
+    DuckDB's levenshtein() (no transposition op)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 2:
+        return None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo, hi = max(1, i - 2), min(lb, i + 2)
+        if lo > 1:
+            cur[lo - 1] = 3  # outside the band: sentinel > 2
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if hi < lb:
+            cur[hi + 1] = 3
+        if min(cur[lo - 1 : hi + 1]) > 2:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= 2 else None
+
+
+def _deletion_neighborhood(w: str, depth: int = 2) -> set[str]:
+    """All strings reachable from ``w`` by ≤ depth character
+    deletions (including ``w`` itself) — the SymSpell index keys."""
+    out = {w}
+    frontier = {w}
+    for _ in range(depth):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def q_words_edit_pairs(sf_dir: str, max_dist: int = 2,
+                       n_parts: int = 32) -> pd.DataFrame:
+    """Fuzzy vocabulary self-join: every pair of DISTINCT corpus
+    words within Levenshtein distance ``max_dist`` — the typo/variant
+    clustering step of vocabulary normalization, and an operator Ray
+    Data has no native form for. SymSpell candidate generation
+    (Garbe's deletion-neighborhood trick): two words within distance
+    d always share a member of their depth-d deletion neighborhoods,
+    so candidates come from an equality groupby on deletion variants
+    — never an all-pairs scan. Verification is a banded O(len) DP per
+    candidate, exact plain Levenshtein (same metric as DuckDB's
+    ``levenshtein``).
+
+    Scale shape: vocabulary via the combiner word-count pattern; the
+    variant explode is one hash-partition shuffle keyed on the
+    deletion variant; candidate pairs are verified inside their
+    partition and deduped at the (small, output-sized) merge — the
+    documented swap at a web-scale vocabulary is a final
+    groupby(pair) instead of the driver-side drop_duplicates."""
+    import numpy as np
+
+    ds = _docs(sf_dir, ["text"])
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split().explode().dropna().unique()
+        return pd.DataFrame({"word": pd.array(words, dtype=object)})
+
+    vocab = (
+        ds.map_batches(vocab_partial, batch_format="pandas")
+        .to_pandas()["word"].unique()
+    )
+    vocab_df = pd.DataFrame({"word": sorted(vocab)})
+
+    import ray.data
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_w = [], []
+        for w in df["word"]:
+            for v in _deletion_neighborhood(w, max_dist):
+                out_v.append(v)
+                out_w.append(w)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8)
+                            .digest(), "big") % n_parts for v in out_v),
+            dtype=np.int64, count=len(out_v))
+        return pd.DataFrame({"variant": out_v, "word": out_w, "part": h})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, grp in g.groupby("variant", sort=False):
+            ws = sorted(set(grp["word"]))
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    d = _lev_le2(ws[i], ws[j])
+                    if d is not None and 0 < d <= max_dist:
+                        out_a.append(ws[i])
+                        out_b.append(ws[j])
+                        out_d.append(d)
+        return pd.DataFrame({
+            "word_a": pd.array(out_a, dtype=object),
+            "word_b": pd.array(out_b, dtype=object),
+            "dist": pd.array(out_d, dtype="int64"),
+        })
+
+    out = (
+        ray.data.from_pandas(vocab_df)
+        .map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop_duplicates(["word_a", "word_b"])
+        .sort_values(["word_a", "word_b"])
+        .astype({"dist": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+def sql_words_edit_pairs(max_dist: int = 2) -> str:
+    return f"""
+WITH v AS (
+  SELECT w FROM documents,
+       UNNEST(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) AS t(w)
+  GROUP BY w
+)
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM v a, v b
+WHERE a.w < b.w AND abs(length(a.w) - length(b.w)) <= {max_dist}
+  AND levenshtein(a.w, b.w) <= {max_dist}
+ORDER BY word_a, word_b
+"""

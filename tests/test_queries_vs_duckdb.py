@@ -79,7 +79,7 @@ ORACLED = [
     "docs_lm_perplexity", "docs_dsir_weights", "docs_ccnet_buckets",
     "docs_trainset_decontam", "docs_trainset_pardedup",
     "docs_pii_scrub", "docs_weighted_sample", "ann_topk_batch",
-    "lineitem_profile", "events_pivot",
+    "lineitem_profile", "events_pivot", "words_edit_pairs",
 ]
 
 
@@ -733,3 +733,71 @@ def test_pii_scrub_planted_edge_cases(ray_session, tmp_path):
     # consumes it, ip count stays 0
     assert by_id.loc[4, "n_email"] == 1 and by_id.loc[4, "n_ipv4"] == 0
     assert (by_id.loc[5, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
+
+
+def test_words_edit_pairs_planted_and_dp_fuzz(ray_session, tmp_path):
+    """Planted typo families (substitution, deletion, insertion,
+    double-edit, and beyond-radius words) must match the DuckDB
+    levenshtein oracle exactly; the banded verify DP is fuzzed against
+    a full reference DP."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.textstats import (
+        _lev_le2,
+        q_words_edit_pairs,
+        sql_words_edit_pairs,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "spelling speling spellling spelling spelled",
+            "banana bananna banan bananas ananas",
+            "orthogonal unrelated zebra xylophone",
+        ],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q_words_edit_pairs(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.sql(sql_words_edit_pairs()).df()
+    g, w = _normalize(got), _normalize(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    gs = set(zip(got["word_a"], got["word_b"], got["dist"]))
+    assert ("speling", "spelling", 1) in gs      # deletion
+    assert ("spelling", "spellling", 1) in gs    # insertion
+    assert ("banana", "bananna", 1) in gs
+    assert ("ananas", "bananas", 1) in gs
+    assert ("banan", "bananna", 2) in gs         # double edit
+    assert not any("zebra" in p[:2] for p in gs)
+
+    # banded DP vs full reference DP on random short strings
+    def ref_lev(a, b):
+        la, lb = len(a), len(b)
+        d = np.zeros((la + 1, lb + 1), dtype=int)
+        d[:, 0] = np.arange(la + 1)
+        d[0, :] = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                              d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return d[la, lb]
+
+    rng = np.random.default_rng(17)
+    alphabet = "abc"
+    for _ in range(400):
+        a = "".join(rng.choice(list(alphabet),
+                               rng.integers(0, 8)).tolist())
+        b = "".join(rng.choice(list(alphabet),
+                               rng.integers(0, 8)).tolist())
+        true = ref_lev(a, b)
+        band = _lev_le2(a, b)
+        if true <= 2:
+            assert band == true, (a, b, true, band)
+        else:
+            assert band is None, (a, b, true, band)

@@ -251,6 +251,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pivot/crosstab (event_type × hour): combiner partials, no
         # event-row shuffle
         "events_pivot": A.q_events_pivot,
+        # exact grouped PERCENTILE_CONT (integer-cent interpolation)
+        "lineitem_price_quartiles": A.q_lineitem_price_quartiles,
+        # Pearson correlation via mergeable sufficient statistics
+        "lineitem_corr": A.q_lineitem_corr,
         # ... and its bounded-state HLL sketch twin (rows-only:
         # estimator; error-bound agreement vs the exact op in pytest)
         "events_distinct_users_hll": S.q_events_distinct_users_hll,
@@ -393,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": A.SQL_EVENTS_DISTINCT_USERS,
         "lineitem_profile": A.SQL_LINEITEM_PROFILE,
         "events_pivot": A.SQL_EVENTS_PIVOT,
+        "lineitem_price_quartiles": A.SQL_LINEITEM_PRICE_QUARTILES,
+        "lineitem_corr": A.SQL_LINEITEM_CORR,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
         "bloom_semijoin": J.SQL_BLOOM_SEMIJOIN,

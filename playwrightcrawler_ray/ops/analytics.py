@@ -640,3 +640,104 @@ SQL_EVENTS_PIVOT = ("SELECT event_type, "
                         for h in range(24))
                     + " FROM events GROUP BY event_type"
                     " ORDER BY event_type")
+
+
+def q_lineitem_price_quartiles(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped PERCENTILE_CONT (p25/p50/p75 of extended price
+    per returnflag). Values are quantized to integer CENTS on both
+    sides before the linear interpolation, so the quantile arithmetic
+    is exact integer work in a double — no float-parity tolerance
+    needed against the oracle.
+
+    Scale shape: groups here are few and bounded, so one
+    ``groupby(flag).map_groups`` suffices; for high-cardinality
+    groups or giant groups the documented swap is the mergeable
+    QuantileSketch (ops/sketch.py) per group with its rank
+    certificate."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            g["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        cents.sort()
+        n = len(cents)
+        rows = {"l_returnflag": [g["l_returnflag"].iloc[0]]}
+        for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            # PERCENTILE_CONT: rank h = p*(n-1), linear interpolation
+            h = p * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            v = cents[lo] + (h - lo) * (cents[hi] - cents[lo])
+            rows[name] = [round(v / 100.0, 4)]
+        return pd.DataFrame(rows)
+
+    out = (
+        ds.groupby("l_returnflag")
+        .map_groups(quartiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LINEITEM_PRICE_QUARTILES = """
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS p25,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS p50,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation (quantity vs extended price
+    per returnflag) via the classic sufficient-statistics combiner:
+    each batch contributes (n, Σx, Σy, Σxx, Σyy, Σxy) per group —
+    six scalars, mergeable by addition — and the correlation is
+    computed once from the merged sums. The canonical "any moment
+    statistic is a map-reduce" pattern; no row ever crosses the
+    wire."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        sub = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": 1.0, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return sub.groupby("l_returnflag", as_index=False,
+                           sort=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("l_returnflag", as_index=False,
+                         sort=True).sum()
+        n = tot["n"]
+        cov = tot["sxy"] - tot["sx"] * tot["sy"] / n
+        vx = tot["sxx"] - tot["sx"] ** 2 / n
+        vy = tot["syy"] - tot["sy"] ** 2 / n
+        return pd.DataFrame({
+            "l_returnflag": tot["l_returnflag"],
+            "n": n.astype("int64"),
+            "corr_qty_price": np.round(cov / np.sqrt(vx * vy), 4),
+        })
+
+    from .aggutil import partial_grouped_agg
+
+    return partial_grouped_agg(ds, partial, combine)
+
+
+SQL_LINEITEM_CORR = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quartiles": A.q_lineitem_price_quartiles,
         # Pearson correlation via mergeable sufficient statistics
         "lineitem_corr": A.q_lineitem_corr,
+        # cohort retention (first-activity-day cohorts × day offset)
+        "user_retention": A.q_user_retention,
         # ... and its bounded-state HLL sketch twin (rows-only:
         # estimator; error-bound agreement vs the exact op in pytest)
         "events_distinct_users_hll": S.q_events_distinct_users_hll,
@@ -399,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": A.SQL_EVENTS_PIVOT,
         "lineitem_price_quartiles": A.SQL_LINEITEM_PRICE_QUARTILES,
         "lineitem_corr": A.SQL_LINEITEM_CORR,
+        "user_retention": A.SQL_USER_RETENTION,
         "asof_join": J.SQL_ASOF_JOIN,
         "range_join": J.SQL_RANGE_JOIN,
         "bloom_semijoin": J.SQL_BLOOM_SEMIJOIN,

@@ -741,3 +741,71 @@ SELECT l_returnflag, COUNT(*) AS n,
        ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def q_user_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention — the product-analytics staple: users
+    grouped by their first-activity day, counted as retained on each
+    later day they appear. Two combiner passes, zero row shuffles:
+    (1) first-event-day per user via per-batch min partials (output
+    is user-sized); the (user → cohort day) map broadcasts as sorted
+    arrays + searchsorted (ray.put; the documented swap at 10^9
+    users is a user-bucketed join, exactly ops/joins' layout);
+    (2) a second pass emits DISTINCT (cohort, offset, user) triples
+    per batch — the pair-stream combiner of events_distinct_users —
+    deduped again and counted at the merge."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    from .aggutil import partial_grouped_agg
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False, sort=False).agg(
+            first_ts=("ts", "min"))
+
+    def first_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False, sort=False).agg(
+            first_ts=("first_ts", "min"))
+
+    first = partial_grouped_agg(ds, first_partial, first_combine)
+    first = first.sort_values("user_id")
+    uids = first["user_id"].to_numpy().astype(np.int64)
+    cohorts = first["first_ts"].dt.floor("D").to_numpy()
+    bc = ray.put((uids, cohorts))
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        ids, chs = ray.get(bc)
+        u = df["user_id"].to_numpy().astype(np.int64)
+        coh = chs[np.searchsorted(ids, u)]
+        day = df["ts"].dt.floor("D").to_numpy()
+        off = ((day - coh) // np.timedelta64(1, "D")).astype(np.int64)
+        sub = pd.DataFrame({"cohort_day": coh, "day_offset": off,
+                            "user_id": u})
+        return sub.drop_duplicates()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df.drop_duplicates()
+        out = (dd.groupby(["cohort_day", "day_offset"], as_index=False)
+               .agg(n_users=("user_id", "nunique")))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out.sort_values(["cohort_day", "day_offset"]
+                               ).reset_index(drop=True)
+
+    return partial_grouped_agg(
+        ds.map_batches(triples, batch_format="pandas"),
+        lambda df: df, fold)
+
+
+SQL_USER_RETENTION = """
+WITH first AS (
+  SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(DATE_DIFF('day', f.cohort_day,
+                      DATE_TRUNC('day', e.ts)) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -80,7 +80,7 @@ ORACLED = [
     "docs_trainset_decontam", "docs_trainset_pardedup",
     "docs_pii_scrub", "docs_weighted_sample", "ann_topk_batch",
     "lineitem_profile", "events_pivot", "words_edit_pairs",
-    "lineitem_price_quartiles", "lineitem_corr",
+    "lineitem_price_quartiles", "lineitem_corr", "user_retention",
 ]
 
 

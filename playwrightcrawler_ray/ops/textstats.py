@@ -1179,10 +1179,16 @@ def q_words_edit_pairs(sf_dir: str, max_dist: int = 2,
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
+        seen: set[tuple[str, str]] = set()  # a close pair shares
+        # O(len) variants — verify each candidate pair ONCE per part
         for _, grp in g.groupby("variant", sort=False):
             ws = sorted(set(grp["word"]))
             for i in range(len(ws)):
                 for j in range(i + 1, len(ws)):
+                    key = (ws[i], ws[j])
+                    if key in seen:
+                        continue
+                    seen.add(key)
                     d = _lev_le2(ws[i], ws[j])
                     if d is not None and 0 < d <= max_dist:
                         out_a.append(ws[i])
@@ -1195,7 +1201,11 @@ def q_words_edit_pairs(sf_dir: str, max_dist: int = 2,
         })
 
     out = (
+        # repartition first: from_pandas yields ONE block, and the
+        # neighborhood explode is the dominant cost of the query —
+        # it must fan out, not run on a single core
         ray.data.from_pandas(vocab_df)
+        .repartition(min(n_parts, max(1, len(vocab_df) // 64)))
         .map_batches(explode, batch_format="pandas")
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")

@@ -802,3 +802,40 @@ def test_words_edit_pairs_planted_and_dp_fuzz(ray_session, tmp_path):
             assert band == true, (a, b, true, band)
         else:
             assert band is None, (a, b, true, band)
+
+
+def test_lineitem_profile_planted_nulls(ray_session, tmp_path):
+    """The corpus lineitem has zero nulls, so the oracle run never
+    exercises the null-accounting path — plant a parquet with partial
+    nulls and one entirely-null profiled column (all-NaN min/max
+    branch) and require exact engine/oracle agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from playwrightcrawler_ray.ops.analytics import (
+        SQL_LINEITEM_PROFILE,
+        q_lineitem_profile,
+    )
+
+    tbl = pa.table({
+        "l_quantity": pa.array([1.0, None, 3.0, None, 5.0], pa.float64()),
+        "l_extendedprice": pa.array([10.5, 20.25, None, 40.0, 50.0],
+                                    pa.float64()),
+        "l_discount": pa.array([None] * 5, pa.float64()),  # all null
+        "l_tax": pa.array([0.01, 0.02, 0.02, 0.03, 0.01], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    got = q_lineitem_profile(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+    )
+    want = con.sql(SQL_LINEITEM_PROFILE).df()
+    g, w = _normalize(got), _normalize(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    by = got.set_index("col")
+    assert by.loc["l_quantity", "n_null"] == 2
+    assert by.loc["l_discount", "n_null"] == 5
+    assert by.loc["l_discount", "n_distinct"] == 0
+    assert pd.isna(by.loc["l_discount", "vmin"])
